@@ -1,0 +1,57 @@
+"""Min-max normalization to a 0-100 "score".
+
+The reference computes ``((v - min) / (max - min)) * 100`` with min and
+max collected to the driver via ``.agg(min,max).first`` and re-embedded
+as literals (/root/reference/src/main/scala/App.scala:175-201).  That
+shape recomputes the upstream lineage twice (it is never cached) and
+NPEs on empty input.
+
+Two formulations:
+
+* :func:`minmax_score` -- **in-plan**: the 1-row grand-total aggregate
+  is broadcast-cross-joined into the expression.  One lineage, no
+  driver round-trip, safe on empty input; the aggregate is a map-side
+  partial + 1-row final, essentially free at any scale.  This is the
+  100 TB default.
+* :func:`minmax_score_collect` -- reference-parity collect-then-literal
+  (documented for completeness; guards the empty/NPE case the
+  reference would hit).
+
+Edge case both must handle (FIXTURES.md): ``max == min`` divides by
+zero -> score NULL, never a crash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _score_expr(v, mn, mx):
+    # NULL when max == min (reference would emit NaN/Infinity;
+    # /root/reference/src/main/scala/App.scala:180-185).
+    return F.when(mx != mn, (v - mn) / (mx - mn) * F.lit(100.0))
+
+
+def minmax_score(df: DataFrame, col: str, out_col: str) -> DataFrame:
+    bounds = df.agg(F.min(col).alias("__mn"), F.max(col).alias("__mx"))
+    return (
+        df.join(F.broadcast(bounds))
+        .withColumn(out_col, _score_expr(F.col(col), F.col("__mn"), F.col("__mx")))
+        .drop("__mn", "__mx")
+    )
+
+
+def minmax_score_collect(df: DataFrame, col: str, out_col: str) -> DataFrame:
+    """Reference-shaped variant: blocking ``.first()`` mid-plan, min/max
+    re-embedded as literals (App.scala:175-185, 191-201)."""
+    row = df.agg(F.min(col).alias("mn"), F.max(col).alias("mx")).first()
+    if row is None or row["mn"] is None:
+        # Reference would NPE on Row.getDouble; we return NULL scores.
+        return df.withColumn(out_col, F.lit(None).cast("double"))
+    mn, mx = float(row["mn"]), float(row["mx"])
+    if mx == mn:
+        return df.withColumn(out_col, F.lit(None).cast("double"))
+    return df.withColumn(
+        out_col, (F.col(col) - F.lit(mn)) / F.lit(mx - mn) * F.lit(100.0)
+    )

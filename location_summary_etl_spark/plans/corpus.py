@@ -1,0 +1,63 @@
+"""The oracle query corpus: every operator from SURVEY.md §2 (and the
+LLM-pipeline extensions) as a named (spark_query, oracle_sql) pair.
+
+Contract (see /root/repo/__spark_entry__.py): each entry in
+:func:`queries` is ``name -> callable(spark, sf_dir) -> DataFrame``;
+:func:`oracle_sql` holds the DuckDB-equivalent ANSI SQL.  Column names
+and aliases must match exactly -- the driver sorts columns by name and
+hashes values order-insensitively.
+
+Numeric discipline: aggregate doubles are rounded (typically to 2-4
+decimals) in BOTH formulations so cross-engine float summation-order
+differences (~1e-13 relative) cannot flip the hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from location_summary_etl_spark.plans.flagship import (
+    FLAGSHIP_ORACLE_SQL,
+    flagship_nation_summary,
+)
+
+# name -> (spark_callable, oracle_sql | None)
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def register(name: str, fn: Callable[[SparkSession, str], DataFrame],
+             sql: str | None) -> None:
+    if name in _REGISTRY:
+        raise ValueError(f"duplicate query name {name!r}")
+    _REGISTRY[name] = (fn, sql)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _ensure_loaded()
+    return {name: fn for name, (fn, _sql) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _ensure_loaded()
+    return {name: sql for name, (fn, sql) in _REGISTRY.items() if sql is not None}
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    """Import every corpus module exactly once (each registers itself)."""
+    global _LOADED
+    if _LOADED:
+        return
+    _LOADED = True
+    register("flagship_nation_summary", flagship_nation_summary, FLAGSHIP_ORACLE_SQL)
+    from location_summary_etl_spark.plans import (  # noqa: F401
+        corpus_reference,
+        corpus_dedup,
+        corpus_text,
+        corpus_similarity,
+        corpus_events,
+    )

@@ -1,0 +1,127 @@
+"""Flagship pipeline: the reference ETL end-to-end, Spark-first.
+
+Mirrors the dataflow of /root/reference/src/main/scala/App.scala:166-263
+(latest-snapshot facts -> per-group averages -> dim joins -> min-max
+0-100 score -> round -> rename/project -> audit date) over the testdata
+star schema:
+
+    reference                     this pipeline
+    ---------                     -------------
+    dim_location (state='DE')     nation x region dims (broadcast)
+    latest-snapshot fact filter   latest order per customer (argmax)
+    per-location AVG facts        per-nation avg acctbal / order total
+    min-max crime/expense score   min-max price score (in-plan)
+    summary_zip_code append       summary dataframe (writer in sources)
+
+Scale notes: the only wide shuffles are the two groupBys (customer-key
+argmax, nation-key aggregates); both are partial-aggregated map-side.
+All dimension joins are broadcast.  The min-max bounds and the audit
+snapshot date are 1-row broadcast joins, not driver collects, so the
+whole job is a single lineage with no eager actions
+(vs. the reference's 2 blocking ``.first`` calls at App.scala:179,195).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from location_summary_etl_spark.functions.scalars import round_portable
+from location_summary_etl_spark.operators.normalize import minmax_score
+from location_summary_etl_spark.operators.snapshot import (
+    latest_snapshot_join,
+    latest_snapshot_window,
+)
+from location_summary_etl_spark.sources.registry import load_table
+
+FINAL_COLS = [
+    "n_name", "r_name", "avg_acctbal", "avg_order_total", "order_count",
+    "price_score", "snapshot_date",
+]
+
+
+def flagship_nation_summary(spark: SparkSession, sf_dir: str,
+                            use_window: bool = True) -> DataFrame:
+    """Per nation: avg customer balance, avg/count of each customer's
+    latest order, min-max normalized 0-100 price score, audit date."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    # A3: greatest-n-per-group -- latest order(s) per customer.
+    argmax = latest_snapshot_window if use_window else latest_snapshot_join
+    latest = argmax(orders, ["o_custkey"], "o_orderdate")
+
+    # B4/B5: join to customer, aggregate to nation grain.
+    per_nation = (
+        latest.join(customer, latest["o_custkey"] == customer["c_custkey"], "inner")
+        .groupBy("c_nationkey")
+        .agg(
+            F.avg("o_totalprice").alias("avg_order_total"),
+            F.count("*").alias("order_count"),
+        )
+    )
+    bal = customer.groupBy("c_nationkey").agg(
+        F.avg("c_acctbal").alias("avg_acctbal")
+    )
+
+    # B8: in-plan min-max score over the nation-grain averages.
+    scored = minmax_score(per_nation, "avg_order_total", "price_score")
+
+    # B13: audit snapshot date -- global max order date, in-plan.
+    snap = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("snapshot_date"))
+
+    out = (
+        scored.join(bal, "c_nationkey", "inner")
+        .join(F.broadcast(nation), scored["c_nationkey"] == nation["n_nationkey"], "inner")
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"], "inner")
+        .join(F.broadcast(snap))
+        # B12: round display columns (score computed on unrounded input).
+        # round_portable, not F.round: matches DuckDB's double rounding.
+        .withColumn("avg_acctbal", round_portable("avg_acctbal", 2))
+        .withColumn("avg_order_total", round_portable("avg_order_total", 2))
+        .withColumn("price_score", round_portable("price_score", 2))
+        .select(*FINAL_COLS)  # B14 final projection
+    )
+    return out
+
+
+FLAGSHIP_ORACLE_SQL = """
+WITH latest AS (
+    SELECT o.*
+    FROM orders o
+    JOIN (SELECT o_custkey, MAX(o_orderdate) AS md
+          FROM orders GROUP BY o_custkey) m
+      ON o.o_custkey = m.o_custkey AND o.o_orderdate = m.md
+),
+per_nation AS (
+    SELECT c.c_nationkey,
+           AVG(l.o_totalprice) AS avg_order_total,
+           COUNT(*) AS order_count
+    FROM latest l
+    JOIN customer c ON l.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+),
+bal AS (
+    SELECT c_nationkey, AVG(c_acctbal) AS avg_acctbal
+    FROM customer GROUP BY c_nationkey
+),
+b AS (SELECT MIN(avg_order_total) AS mn, MAX(avg_order_total) AS mx FROM per_nation),
+snap AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS snapshot_date FROM orders)
+SELECT n.n_name,
+       r.r_name,
+       ROUND(bal.avg_acctbal, 2) AS avg_acctbal,
+       ROUND(pn.avg_order_total, 2) AS avg_order_total,
+       pn.order_count,
+       ROUND(CASE WHEN b.mx <> b.mn
+                  THEN (pn.avg_order_total - b.mn) / (b.mx - b.mn) * 100
+             END, 2) AS price_score,
+       snap.snapshot_date
+FROM per_nation pn
+JOIN bal ON pn.c_nationkey = bal.c_nationkey
+JOIN nation n ON pn.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+CROSS JOIN b
+CROSS JOIN snap
+"""

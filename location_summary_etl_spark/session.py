@@ -1,0 +1,54 @@
+"""SparkSession factory.
+
+The reference builds its session with a legacy two-step
+SparkConf/SparkContext dance and no tuning at all
+(/root/reference/src/main/scala/App.scala:18-20, master local[4] per
+README.md:13).  We centralize session construction and set the knobs
+that matter at scale:
+
+- AQE on (runtime re-plan: broadcast conversion, shuffle coalescing,
+  skew-join splitting) -- this is the 100 TB safety net.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real
+  cluster this is overridden (or left to AQE coalescing from a high
+  initial value).
+- UTC session timezone so timestamp semantics match the DuckDB oracle.
+- Arrow enabled for the pandas-UDF paths (vector similarity,
+  multimodal decode).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_session(app_name: str = "location-summary-etl-spark",
+                master: str | None = None,
+                shuffle_partitions: int | None = None,
+                extra_conf: dict | None = None) -> SparkSession:
+    cpus = default_parallelism()
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,108 @@
+"""Table registry: name -> explicit schema -> parquet path.
+
+The reference never declares a schema -- every source's shape is
+inferred at load time by the Snowflake connector from a pushed-down
+query string (/root/reference/src/main/scala/App.scala:22-50, :25).
+We instead pin an explicit ``StructType`` per table and *assert* it on
+read: self-describing parquet plus a registry check means a schema
+drift upstream fails loudly at the scan instead of silently three
+joins later.
+
+At 100 TB the scan is everything: we read parquet (columnar,
+predicate/column pushdown to row groups), never ``inferSchema``, and
+register temp views so queries can be written in either the DataFrame
+API or SQL against the same relations.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_F = T.FloatType()
+_D = T.DoubleType()
+_I = T.IntegerType()
+_L = T.LongType()
+_S = T.StringType()
+# Testdata parquet stores naive (isAdjustedToUTC=false) timestamps;
+# Spark 4 surfaces those as TIMESTAMP_NTZ, which also matches DuckDB's
+# naive TIMESTAMP -- no timezone coercion anywhere in the oracle path.
+_TS = T.TimestampNTZType()
+
+
+def _schema(*fields: tuple) -> T.StructType:
+    return T.StructType([T.StructField(n, t, True) for n, t in fields])
+
+
+# Star schema (TPC-H-ish) + extension tables, per /root/repo/FIXTURES.md.
+TABLES: dict[str, T.StructType] = {
+    "region": _schema(("r_regionkey", _I), ("r_name", _S)),
+    "nation": _schema(("n_nationkey", _I), ("n_name", _S), ("n_regionkey", _I)),
+    "customer": _schema(
+        ("c_custkey", _L), ("c_name", _S), ("c_nationkey", _I),
+        ("c_acctbal", _D), ("c_mktsegment", _S),
+    ),
+    "supplier": _schema(
+        ("s_suppkey", _L), ("s_name", _S), ("s_nationkey", _I), ("s_acctbal", _D),
+    ),
+    "part": _schema(
+        ("p_partkey", _L), ("p_name", _S), ("p_brand", _S), ("p_type", _S),
+        ("p_size", _I), ("p_retailprice", _D),
+    ),
+    "orders": _schema(
+        ("o_orderkey", _L), ("o_custkey", _L), ("o_orderstatus", _S),
+        ("o_totalprice", _D), ("o_orderdate", _TS), ("o_orderpriority", _S),
+    ),
+    "lineitem": _schema(
+        ("l_orderkey", _L), ("l_partkey", _L), ("l_suppkey", _L),
+        ("l_linenumber", _I), ("l_quantity", _D), ("l_extendedprice", _D),
+        ("l_discount", _D), ("l_tax", _D), ("l_returnflag", _S),
+        ("l_linestatus", _S), ("l_shipdate", _TS),
+    ),
+    "events": _schema(
+        ("event_id", _L), ("ts", _TS), ("user_id", _L), ("event_type", _S),
+        ("value", _D), ("props", _S),
+    ),
+    "documents": _schema(
+        ("doc_id", _L), ("text", _S), ("lang", _S), ("source", _S),
+        ("n_chars", _L),
+    ),
+    "embeddings": _schema(
+        ("vec_id", _L), ("embedding", T.ArrayType(_F)), ("label", _I),
+    ),
+}
+
+# Dimension tables small enough to broadcast to every executor at any
+# realistic scale (region/nation are bounded by geography, not data
+# volume).  Join planners in this package consult this set.
+BROADCAST_TABLES = {"region", "nation", "supplier"}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str,
+               assert_schema: bool = True) -> DataFrame:
+    """Scan one registry table. Columnar parquet read; Catalyst handles
+    predicate pushdown and column pruning downstream."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; registry has {sorted(TABLES)}")
+    # Read with the file's own (self-describing) schema, then check it
+    # against the registry -- inferring nothing, trusting nothing.
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if assert_schema:
+        got = {f.name: f.dataType for f in df.schema.fields}
+        want = {f.name: f.dataType for f in TABLES[name].fields}
+        if got != want:
+            raise ValueError(f"schema drift for {name}: {got} != {want}")
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: list[str] | None = None) -> None:
+    """Register every registry table as a temp view for spark.sql()."""
+    for name in names or TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

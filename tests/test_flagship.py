@@ -1,0 +1,30 @@
+from __future__ import annotations
+
+from location_summary_etl_spark.plans.flagship import (
+    FLAGSHIP_ORACLE_SQL,
+    flagship_nation_summary,
+)
+from tests.oracle_utils import compare, duckdb_con
+
+
+def test_flagship_smoke(spark, sf_dir):
+    df = flagship_nation_summary(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == [
+        "n_name", "r_name", "avg_acctbal", "avg_order_total", "order_count",
+        "price_score", "snapshot_date",
+    ]
+    scores = [r["price_score"] for r in rows if r["price_score"] is not None]
+    assert scores and all(0.0 <= s <= 100.0 for s in scores)
+
+
+def test_flagship_vs_oracle(spark, sf_dir):
+    df = flagship_nation_summary(spark, sf_dir)
+    compare(df, duckdb_con(sf_dir), FLAGSHIP_ORACLE_SQL)
+
+
+def test_flagship_join_formulation_matches_window(spark, sf_dir):
+    a = flagship_nation_summary(spark, sf_dir, use_window=True)
+    b = flagship_nation_summary(spark, sf_dir, use_window=False)
+    assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
