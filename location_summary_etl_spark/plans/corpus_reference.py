@@ -1,1 +1,431 @@
-"""Corpus module: filled in as operators land."""
+"""Reference-parity corpus: one oracle-paired query per operator family
+of SURVEY.md §2 (the reference's complete algebra: scan -> filter ->
+equi/left join -> group-by {AVG,MIN,MAX} -> grand-total agg -> scalar
+broadcast -> arithmetic/conditional/date/rounding -> rename/project).
+
+Every query is a pure Catalyst plan (no UDFs, no collects); dimension
+joins are broadcast; aggregates are partial+final hash aggregates.
+Citations point at the reference construct each query reproduces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from location_summary_etl_spark.functions.scalars import round_portable
+from location_summary_etl_spark.operators.aggregates import multi_avg
+from location_summary_etl_spark.operators.normalize import minmax_score
+from location_summary_etl_spark.operators.snapshot import (
+    global_latest_filter,
+    latest_snapshot_window,
+)
+from location_summary_etl_spark.plans.corpus import register
+from location_summary_etl_spark.sources.registry import load_table, register_views
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------
+# A3/A5: greatest-n-per-group (latest snapshot per key) -- the
+# reference's 3-way-join argmax (App.scala:27-48), window formulation.
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return latest_snapshot_window(orders, ["o_custkey"], "o_orderdate").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+
+
+register("latest_order_per_customer", latest_order_per_customer, """
+SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice
+FROM orders o
+JOIN (SELECT o_custkey, MAX(o_orderdate) AS md FROM orders GROUP BY o_custkey) m
+  ON o.o_custkey = m.o_custkey AND o.o_orderdate = m.md
+""")
+
+
+# --------------------------------------------------------------------
+# A6/A7: grand-total aggregate + uncorrelated scalar-subquery filter
+# (``WHERE dd.date = (SELECT max_date ...)``, App.scala:57-75).
+def global_latest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return global_latest_filter(orders, "o_orderdate").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+
+
+register("global_latest_orders", global_latest_orders, """
+SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+FROM orders
+WHERE o_orderdate = (SELECT MAX(o_orderdate) FROM orders)
+""")
+
+
+# --------------------------------------------------------------------
+# A5/B5/B6/B12: the classic pricing summary (TPC-H Q1 shape) -- filter,
+# group-by, 8 aggregates, rounding. Partial aggregation map-side means
+# the shuffle carries ~|groups| rows per partition at any scale.
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            round_portable(F.sum("l_quantity"), 2).alias("sum_qty"),
+            round_portable(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            round_portable(F.sum(disc), 2).alias("sum_disc_price"),
+            round_portable(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            round_portable(F.avg("l_quantity"), 4).alias("avg_qty"),
+            round_portable(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            round_portable(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+register("pricing_summary", pricing_summary, """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(SUM(l_quantity) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(SUM(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+       round(CAST(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE), 2) AS sum_charge,
+       round(CAST(AVG(l_quantity) AS DOUBLE), 4) AS avg_qty,
+       round(CAST(AVG(l_extendedprice) AS DOUBLE), 4) AS avg_price,
+       round(CAST(AVG(l_discount) AS DOUBLE), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+""")
+
+
+# --------------------------------------------------------------------
+# A8/A9/A10: conjunctive equality predicates + dim filter + narrow
+# projection (the household-profile and state='DE' filters,
+# App.scala:71-73, :106, :100-105). Filters are pushed to the parquet
+# scan; nation/region are broadcast.
+def segment_customers_in_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+              nation["n_regionkey"] == region["r_regionkey"])
+        .select("c_custkey", "c_name", "c_acctbal", "n_name")
+    )
+
+
+register("segment_customers_in_region", segment_customers_in_region, """
+SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE c.c_mktsegment = 'BUILDING' AND r.r_name = 'ASIA'
+""")
+
+
+# --------------------------------------------------------------------
+# A4/B2/B3: left outer join + NULL-tested conditional + date arithmetic
+# (the nullable removed_date pattern, App.scala:161-169). Customers with
+# no orders take the CASE's NULL branch.
+def customer_order_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.min(F.col("o_orderdate").cast("date")).alias("first_order"),
+        F.count("*").alias("order_cnt"),
+    )
+    joined = customer.join(
+        per_cust, customer["c_custkey"] == per_cust["o_custkey"], "left"
+    )
+    return joined.select(
+        "c_custkey",
+        F.coalesce("order_cnt", F.lit(0)).alias("order_cnt"),
+        F.when(F.col("last_order").isNull(), F.lit(-1))
+        .otherwise(F.datediff("last_order", "first_order"))
+        .alias("active_days"),
+    )
+
+
+register("customer_order_recency", customer_order_recency, """
+SELECT c.c_custkey,
+       COALESCE(o.order_cnt, 0) AS order_cnt,
+       CASE WHEN o.last_order IS NULL THEN -1
+            ELSE date_diff('day', o.first_order, o.last_order) END AS active_days
+FROM customer c
+LEFT JOIN (
+    SELECT o_custkey,
+           MAX(CAST(o_orderdate AS DATE)) AS last_order,
+           MIN(CAST(o_orderdate AS DATE)) AS first_order,
+           COUNT(*) AS order_cnt
+    FROM orders GROUP BY o_custkey
+) o ON c.c_custkey = o.o_custkey
+""")
+
+
+# --------------------------------------------------------------------
+# B7/B8: grand-total min/max broadcast into a 0-100 min-max score
+# (App.scala:175-201), per-nation account balances.
+def nation_balance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    bal = customer.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("avg_bal"))
+    return minmax_score(bal, "avg_bal", "bal_score").select(
+        "c_nationkey",
+        round_portable("avg_bal", 2).alias("avg_bal"),
+        round_portable("bal_score", 2).alias("bal_score"),
+    )
+
+
+register("nation_balance_score", nation_balance_score, """
+WITH bal AS (
+    SELECT c_nationkey, AVG(c_acctbal) AS avg_bal FROM customer GROUP BY c_nationkey
+),
+b AS (SELECT MIN(avg_bal) AS mn, MAX(avg_bal) AS mx FROM bal)
+SELECT c_nationkey,
+       round(CAST(avg_bal AS DOUBLE), 2) AS avg_bal,
+       round(CAST(CASE WHEN b.mx <> b.mn THEN (avg_bal - b.mn) / (b.mx - b.mn) * 100 END AS DOUBLE), 2) AS bal_score
+FROM bal CROSS JOIN b
+""")
+
+
+# --------------------------------------------------------------------
+# B6: programmatic multi-aggregate (avg(c) as avg_c splat,
+# App.scala:212-214) over four lineitem measures.
+def returnflag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    out = multi_avg(li, ["l_returnflag"],
+                    ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+    cols = [round_portable(c, 4).alias(c) for c in out.columns if c != "l_returnflag"]
+    return out.select("l_returnflag", *cols)
+
+
+register("returnflag_profile", returnflag_profile, """
+SELECT l_returnflag,
+       round(CAST(AVG(l_quantity) AS DOUBLE), 4) AS avg_l_quantity,
+       round(CAST(AVG(l_extendedprice) AS DOUBLE), 4) AS avg_l_extendedprice,
+       round(CAST(AVG(l_discount) AS DOUBLE), 4) AS avg_l_discount,
+       round(CAST(AVG(l_tax) AS DOUBLE), 4) AS avg_l_tax
+FROM lineitem
+GROUP BY l_returnflag
+""")
+
+
+# --------------------------------------------------------------------
+# A1/A2: the reference's CTE + fact-to-dim-date equi-join shape,
+# expressed through the SQL API (spark.sql runs the same Catalyst
+# pipeline as the DataFrame API).
+def cte_latest_order_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ["orders", "customer"])
+    return spark.sql("""
+        WITH max_snapshot AS (
+            SELECT o_custkey, MAX(o_orderdate) AS max_date
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT c.c_custkey, c.c_name, m.max_date
+        FROM customer c
+        JOIN max_snapshot m ON c.c_custkey = m.o_custkey
+    """)
+
+
+register("cte_latest_order_sql", cte_latest_order_sql, """
+WITH max_snapshot AS (
+    SELECT o_custkey, MAX(o_orderdate) AS max_date
+    FROM orders GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_name, m.max_date
+FROM customer c
+JOIN max_snapshot m ON c.c_custkey = m.o_custkey
+""")
+
+
+# --------------------------------------------------------------------
+# B2/B9: arithmetic + date-part derived columns (age_in_years and
+# annualization at App.scala:166, :204-205).
+def lineitem_derived_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        round_portable(revenue, 2).alias("revenue"),
+        round_portable(revenue * (1 + F.col("l_tax")), 2).alias("charge"),
+        F.year("l_shipdate").alias("ship_year"),
+    )
+
+
+register("lineitem_derived_columns", lineitem_derived_columns, """
+SELECT l_orderkey, l_linenumber,
+       round(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE), 2) AS revenue,
+       round(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DOUBLE), 2) AS charge,
+       CAST(year(l_shipdate) AS INT) AS ship_year
+FROM lineitem
+""")
+
+
+# --------------------------------------------------------------------
+# B4/B10/B11: USING-style join (key deduplicated), drop of a duplicate
+# column, and the reference's rename block (App.scala:248-253).
+def customer_nation_renamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer").withColumnRenamed(
+        "c_nationkey", "nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").withColumnRenamed(
+        "n_nationkey", "nationkey"
+    )
+    return (
+        customer.join(F.broadcast(nation), on="nationkey", how="inner")
+        .drop("n_regionkey")
+        .withColumnRenamed("c_name", "CUSTOMER_NAME")
+        .withColumnRenamed("n_name", "NATION_NAME")
+        .withColumnRenamed("c_acctbal", "ACCOUNT_BALANCE")
+        .select("c_custkey", "CUSTOMER_NAME", "NATION_NAME", "ACCOUNT_BALANCE")
+    )
+
+
+register("customer_nation_renamed", customer_nation_renamed, """
+SELECT c.c_custkey,
+       c.c_name AS CUSTOMER_NAME,
+       n.n_name AS NATION_NAME,
+       c.c_acctbal AS ACCOUNT_BALANCE
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+""")
+
+
+# --------------------------------------------------------------------
+# A11: SELECT * passthrough across a join (App.scala:88 drags the
+# joined dim's columns into the output).
+def select_star_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return supplier.join(
+        F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"]
+    ).select("*")
+
+
+register("select_star_passthrough", select_star_passthrough, """
+SELECT s.*, n.*
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+""")
+
+
+# --------------------------------------------------------------------
+# Extension: window ranking (top-k per group). Absent from the
+# reference (SURVEY §2.D) but its argmax is semantically a window;
+# deterministic tie-break on the key.
+def top_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    )
+    return (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_nationkey", "rk", "o_orderkey", "o_totalprice")
+    )
+
+
+register("top_orders_per_nation", top_orders_per_nation, """
+SELECT c_nationkey, rk, o_orderkey, o_totalprice
+FROM (
+    SELECT c.c_nationkey, o.o_orderkey, o.o_totalprice,
+           CAST(ROW_NUMBER() OVER (PARTITION BY c.c_nationkey
+                              ORDER BY o.o_totalprice DESC, o.o_orderkey) AS INT) AS rk
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+WHERE rk <= 3
+""")
+
+
+# --------------------------------------------------------------------
+# Extension: global sort + limit with deterministic tie-break.
+def top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+register("top_orders_global", top_orders_global, """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""")
+
+
+# --------------------------------------------------------------------
+# Extension: rollup (multi-level aggregate) -- one-liner on top of the
+# reference's hash-agg machinery (SURVEY §2.D "absent" list).
+def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    full = (
+        customer.join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return full.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"),
+        round_portable(F.avg("c_acctbal"), 2).alias("avg_bal"),
+    )
+
+
+register("region_nation_rollup", region_nation_rollup, """
+SELECT r.r_name, n.n_name, COUNT(*) AS n_customers,
+       round(CAST(AVG(c.c_acctbal) AS DOUBLE), 2) AS avg_bal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""")
+
+
+# --------------------------------------------------------------------
+# Extension: set operations (absent from the reference, SURVEY §2.D).
+def segment_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return building.exceptAll(urgent.distinct())
+
+
+register("segment_without_urgent_orders", segment_without_urgent_orders, """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT ALL
+SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+""")
+
+
+# --------------------------------------------------------------------
+# Extension: distinct aggregate (absent from the reference).
+def nation_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    return customer.groupBy("c_nationkey").agg(
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+register("nation_distinct_segments", nation_distinct_segments, """
+SELECT c_nationkey,
+       COUNT(DISTINCT c_mktsegment) AS n_segments,
+       COUNT(*) AS n_customers
+FROM customer
+GROUP BY c_nationkey
+""")
