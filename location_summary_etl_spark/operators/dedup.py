@@ -1,0 +1,291 @@
+"""Deduplication operators for LLM-training-data pipelines.
+
+Five families (BASELINE.json north star), all pure DataFrame plans --
+no UDFs, no driver loops -- so they scale with the cluster:
+
+- **exact**: hash-groupBy on content digest. The shuffle key is
+  md5(content), not the content itself, so a 100 TB corpus shuffles
+  32-byte keys instead of documents.
+- **MinHash + LSH**: shingle -> portable 32-bit hash -> K permutation
+  min-hashes -> banded LSH bucket join -> candidate pairs + estimated
+  Jaccard. Candidate generation is a self-equi-join on (band, band
+  signature): at scale each bucket is tiny, so the join is a sparse
+  shuffle, never the O(n^2) cross product.
+- **SimHash**: per-token hash bit-vote -> 32-bit signature; near-dup
+  candidates via pigeonhole banding on signature blocks + popcount
+  (Hamming) filter.
+- **n-gram Jaccard**: exact Jaccard over distinct word n-grams for
+  pairs sharing at least one n-gram (inverted-index join).
+- **embedding cosine**: exact cosine over a blocking key (label /
+  cluster id), pairs above threshold.
+
+All hashes go through ``portable_hash32`` (md5-prefix) so the DuckDB
+oracle can reproduce every signature bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from location_summary_etl_spark.functions.scalars import (
+    portable_hash32,
+    round_portable,
+)
+from location_summary_etl_spark.functions.texts import tokens, word_ngrams
+
+# Fixed MinHash permutation coefficients (seed=42, hardcoded so Spark
+# and the DuckDB oracle share them). h_i(x) = (a_i*x + b_i) mod P with
+# a_i,b_i < 2^30 and x < 2^32, so a_i*x < 2^62 never overflows int64.
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (686579304, 239081663), (26855093, 590620971), (262950629, 479341423),
+    (149827707, 220106707), (726600540, 186699713), (634036507, 906070220),
+    (34126397, 63989047), (100604503, 469521477), (249817735, 56985561),
+    (602632298, 427000596), (768820205, 900911954), (236696313, 964669077),
+    (632719212, 597409992), (869119331, 13955983), (814763203, 342865762),
+    (749621471, 907557512),
+]
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+SIMHASH_BITS = 32
+LSH_BANDS = 4
+LSH_ROWS = 4  # bands * rows == len(MINHASH_COEFFS)
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str],
+                id_col: str) -> DataFrame:
+    """Keep the lowest id per distinct content; report group size.
+
+    GroupBy on the md5 digest of the content columns: the shuffle
+    carries (digest, id) pairs, never the payload.
+    """
+    digest = F.md5(F.concat_ws("\x1f", *content_cols))
+    return (
+        df.select(F.col(id_col), digest.alias("content_digest"))
+        .groupBy("content_digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+SHINGLE_NGRAM = 3  # word n-gram size for MinHash/SimHash features
+
+
+def _feature_hashes(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, distinct word-3gram shingle, h32) exploded relation -- the
+    inverted index MinHash and SimHash are built from.
+
+    Shingles, not unigrams: with a small vocabulary, unigram token
+    *sets* are near-identical across unrelated docs, which makes every
+    signature collide and the candidate-pair output quadratic. Word
+    3-grams keep signatures discriminative, which is what bounds LSH
+    bucket sizes (and therefore the join fan-out) at corpus scale.
+    """
+    return (
+        docs.select(
+            id_col, F.explode(word_ngrams(text_col, SHINGLE_NGRAM)).alias("tok")
+        )
+        .distinct()
+        .withColumn("h", portable_hash32("tok"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """One row per doc: m0..m{K-1} permutation min-hashes.
+
+    The explode -> groupBy(min) is a partial aggregate: each partition
+    emits one candidate min per doc before the shuffle.
+    """
+    tok = _feature_hashes(docs, id_col, text_col)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME))
+        .alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return tok.groupBy(id_col).agg(*aggs)
+
+
+def _band_signatures(sig: DataFrame, id_col: str) -> DataFrame:
+    """Long-form (id, band, band_sig): md5 over each band's minhashes."""
+    bands = []
+    for b in range(LSH_BANDS):
+        cols = [f"m{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
+        bands.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("band_sig"),
+            )
+        )
+    out = bands[0]
+    for df in bands[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      threshold: float = 0.5) -> DataFrame:
+    """Candidate pairs from banded LSH, scored by estimated Jaccard
+    (fraction of equal minhashes), filtered at ``threshold``.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    """
+    sig = minhash_signatures(docs, id_col, text_col)
+    bands = _band_signatures(sig, id_col)
+    left = bands.select(F.col(id_col).alias("id_a"), "band", "band_sig")
+    right = bands.select(F.col(id_col).alias("id_b"), "band", "band_sig")
+    cand = (
+        left.join(right, ["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(*[F.col(c).alias(f"a_{c}") for c in sig.columns])
+    sb = sig.select(*[F.col(c).alias(f"b_{c}") for c in sig.columns])
+    k = len(MINHASH_COEFFS)
+    est = sum(
+        F.when(F.col(f"a_m{i}") == F.col(f"b_m{i}"), 1).otherwise(0)
+        for i in range(k)
+    ) / F.lit(float(k))
+    return (
+        cand.join(sa, cand["id_a"] == sa[f"a_{id_col}"])
+        .join(sb, cand["id_b"] == sb[f"b_{id_col}"])
+        .select("id_a", "id_b", round_portable(est, 4).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """32-bit SimHash per doc: for each bit, distinct tokens vote
+    +1/-1; the sign becomes the bit.  One explode + one groupBy with 32
+    conditional-sum aggregates -- a single shuffle at any scale."""
+    tok = _feature_hashes(docs, id_col, text_col)
+    votes = [
+        F.sum(
+            F.when((F.floor(F.col("h") / F.lit(1 << b)) % 2) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    sim = sum(
+        F.when(F.col(f"v{b}") >= 0, F.lit(1 << b)).otherwise(0)
+        for b in range(SIMHASH_BITS)
+    )
+    return agg.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
+
+
+def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      max_hamming: int = 6) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, candidates blocked
+    on 8-bit signature bytes (pigeonhole: distance <= 6 over 4 blocks
+    guarantees >= 1 equal block... distance <= 3 strictly; wider
+    distances trade recall, which is the documented LSH compromise).
+
+    Returns (id_a, id_b, hamming).
+    """
+    sig = simhash_signatures(docs, id_col, text_col)
+    blocks = []
+    for blk in range(4):
+        block_val = F.floor(F.col("simhash") / F.lit(1 << (8 * blk))) % F.lit(256)
+        blocks.append(
+            sig.select(
+                F.col(id_col), F.col("simhash"),
+                F.lit(blk).alias("blk"), block_val.alias("blk_val"),
+            )
+        )
+    longf = blocks[0]
+    for b in blocks[1:]:
+        longf = longf.unionByName(b)
+    left = longf.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"),
+        "blk", "blk_val",
+    )
+    right = longf.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"),
+        "blk", "blk_val",
+    )
+    return (
+        left.join(right, ["blk", "blk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(
+                F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard over distinct word n-grams for pairs sharing at
+    least one n-gram (inverted-index self-join -- candidate volume is
+    bounded by posting-list sizes, not |docs|^2).
+
+    Returns (id_a, id_b, jaccard >= threshold).
+    """
+    grams = (
+        docs.select(F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("g"))
+        .distinct()
+    )
+    counts = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    left = grams.select(F.col(id_col).alias("id_a"), "g")
+    right = grams.select(F.col(id_col).alias("id_b"), "g")
+    shared = (
+        left.join(right, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"))
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        shared.join(ca, "id_a").join(cb, "id_b")
+        .select("id_a", "id_b", round_portable(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        block_col: str = "label",
+                        threshold: float = 0.4) -> DataFrame:
+    """Cosine near-duplicates within a blocking key.
+
+    The block column (a label, cluster id, or LSH bucket) bounds the
+    pair count; within a block the dot product runs as a Catalyst
+    higher-order function (zip_with + aggregate), JVM-side.
+    Returns (id_a, id_b, cosine >= threshold).
+    """
+    from location_summary_etl_spark.functions.vectors import cosine, l2_norm
+
+    base = emb.select(
+        F.col(id_col), F.col(block_col).alias("blk"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        l2_norm(F.col(vec_col).cast("array<double>")).alias("nrm"),
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"), "blk",
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), "blk",
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    cos = cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", round_portable(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

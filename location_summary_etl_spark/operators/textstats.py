@@ -1,0 +1,117 @@
+"""Text analysis operators for LLM-training-data pipelines: language
+ID (n-gram heuristic), quality scoring, token counting, and document
+fingerprinting (BASELINE.json north star).
+
+Everything is Catalyst expressions over ``split``/higher-order array
+functions -- JVM-side, whole-stage-codegen, no Python UDFs -- and every
+construct has an exact DuckDB translation for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from location_summary_etl_spark.functions.scalars import (
+    portable_hash32,
+    round_portable,
+)
+from location_summary_etl_spark.functions.texts import (
+    STOPWORDS,
+    char_shingles,
+    tokens,
+)
+
+# Character trigrams that dominate English text -- the n-gram profile
+# for the language-ID heuristic.  (With real multilingual corpora this
+# would be a per-language profile table broadcast into the join.)
+EN_TRIGRAMS = ["the", "he ", " th", "ing", "and"]
+
+
+def _count_in_array(arr: Column, value: str) -> Column:
+    return F.size(F.filter(arr, lambda x: x == F.lit(value)))
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Per-doc token statistics + a 0-100 quality score.
+
+    Quality = 50 * unique-token ratio + 50 * capped length ratio --
+    a deterministic stand-in for fastText-style quality classifiers,
+    with the same plan shape (narrow projection, no shuffle at all).
+    """
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    n_unique = F.size(F.array_distinct(toks))
+    stop_hits = sum(_count_in_array(toks, w) for w in STOPWORDS)
+    avg_len = (F.length(text_col) - (n_tokens - 1)) / n_tokens
+    quality = (
+        F.lit(50.0) * n_unique / n_tokens
+        + F.lit(50.0) * F.least(n_tokens, F.lit(200)) / F.lit(200.0)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_unique.alias("n_unique_tokens"),
+        round_portable(avg_len, 4).alias("avg_token_len"),
+        stop_hits.alias("stopword_hits"),
+        round_portable(stop_hits / n_tokens, 4).alias("stopword_ratio"),
+        round_portable(quality, 2).alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """Character-trigram language heuristic: fraction of the doc's
+    trigrams that hit the English profile; >= 2% -> 'en'."""
+    tris = char_shingles(text_col, 3)
+    hits = sum(_count_in_array(tris, t) for t in EN_TRIGRAMS)
+    n = F.size(tris)
+    conf = F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col),
+        F.col("lang").alias("declared_lang"),
+        round_portable(conf, 4).alias("en_confidence"),
+        F.when(conf >= 0.02, F.lit("en")).otherwise(F.lit("other"))
+        .alias("lang_guess"),
+    )
+
+
+def vocab_top_tokens(docs: DataFrame, text_col: str = "text",
+                     k: int = 20) -> DataFrame:
+    """Global top-k tokens by document frequency (ties broken by token
+    text).  The explode->groupBy is partial-aggregated map-side; the
+    top-k is a single-partition sort of |vocab| rows, not |tokens|."""
+    from pyspark.sql import Window
+
+    df_counts = (
+        docs.select(F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("tok"))
+    return (
+        df_counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("rk", "tok", "n")
+    )
+
+
+def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = 8) -> DataFrame:
+    """Winnowing-style fingerprint: the minimum 32-bit hash over all
+    k-char shingles (one representative hash per doc; equal fingerprints
+    => high overlap candidates), plus the distinct-shingle count.
+
+    The shingle array never leaves the row (transform + array_min --
+    no explode, no shuffle), so this is a pure map at any scale.
+    """
+    hashes = F.transform(
+        char_shingles(text_col, k),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.array_min(hashes).alias("fingerprint"),
+        F.size(F.array_distinct(hashes)).alias("n_distinct_shingles"),
+    )

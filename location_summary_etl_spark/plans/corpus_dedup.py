@@ -1,1 +1,229 @@
-"""Corpus module: filled in as operators land."""
+"""Dedup corpus: oracle-paired queries over the documents/embeddings
+tables for every dedup family (exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding cosine).
+
+The DuckDB oracle SQL is *generated from the same constants*
+(MINHASH_COEFFS, MINHASH_PRIME, band layout) as the Spark operators,
+so signatures match bit-for-bit across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from location_summary_etl_spark.operators.dedup import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_COEFFS,
+    MINHASH_PRIME,
+    SIMHASH_BITS,
+    embedding_near_dups,
+    exact_dedup,
+    minhash_near_dups,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+    simhash_signatures,
+)
+from location_summary_etl_spark.plans.corpus import register
+from location_summary_etl_spark.sources.registry import load_table
+
+# ------------------------------------------------------------------ SQL
+# Shared oracle fragments (DuckDB dialect), built from the operator
+# constants.
+
+# Word-3gram shingles (SHINGLE_NGRAM) -- must mirror
+# operators.dedup._feature_hashes exactly.
+_TOKENS_CTE = """
+words AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+tok AS (
+    SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS tok
+        FROM words, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
+    )
+),
+th AS (
+    SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h FROM tok
+)
+"""
+
+_MINHASH_AGGS = ",\n           ".join(
+    f"MIN(({a} * h + {b}) % {MINHASH_PRIME}) AS m{i}"
+    for i, (a, b) in enumerate(MINHASH_COEFFS)
+)
+
+_SIG_CTE = f"""
+sig AS (
+    SELECT doc_id,
+           {_MINHASH_AGGS}
+    FROM th GROUP BY doc_id
+)
+"""
+
+
+def _band_select(side: str) -> str:
+    parts = []
+    for b in range(LSH_BANDS):
+        cols = ", ".join(f"m{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        parts.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS band_sig FROM sig"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+MINHASH_SIG_SQL = f"""
+WITH {_TOKENS_CTE}, {_SIG_CTE}
+SELECT * FROM sig
+"""
+
+_EST_JACCARD = " + ".join(
+    f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END"
+    for i in range(len(MINHASH_COEFFS))
+)
+
+MINHASH_NEAR_DUP_SQL = f"""
+WITH {_TOKENS_CTE}, {_SIG_CTE},
+bands AS (
+{_band_select('x')}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(CAST(({_EST_JACCARD}) / {float(len(MINHASH_COEFFS))} AS DOUBLE), 4) AS est_jaccard
+FROM cand
+JOIN sig sa ON cand.id_a = sa.doc_id
+JOIN sig sb ON cand.id_b = sb.doc_id
+WHERE ({_EST_JACCARD}) / {float(len(MINHASH_COEFFS))} >= 0.5
+"""
+
+_VOTES = ",\n           ".join(
+    f"SUM(CASE WHEN CAST(floor(h / {1 << b}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(SIMHASH_BITS)
+)
+_SIM_RECON = " + ".join(
+    f"CASE WHEN v{b} >= 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS)
+)
+
+SIMHASH_SIG_SQL = f"""
+WITH {_TOKENS_CTE},
+votes AS (
+    SELECT doc_id,
+           {_VOTES}
+    FROM th GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIM_RECON} AS BIGINT) AS simhash FROM votes
+"""
+
+SIMHASH_NEAR_DUP_SQL = f"""
+WITH {_TOKENS_CTE},
+votes AS (
+    SELECT doc_id,
+           {_VOTES}
+    FROM th GROUP BY doc_id
+),
+sim AS (SELECT doc_id, CAST({_SIM_RECON} AS BIGINT) AS simhash FROM votes),
+blocks AS (
+    SELECT doc_id, simhash, blk,
+           CAST(floor(simhash / power(2, 8 * blk)) AS BIGINT) % 256 AS blk_val
+    FROM sim, (SELECT unnest([0, 1, 2, 3]) AS blk)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM blocks a JOIN blocks b
+  ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+
+NGRAM_JACCARD_SQL = """
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+tri AS (
+    SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+        FROM tok, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
+    )
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+    FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(shared / (ca.n + cb.n - shared) AS DOUBLE), 4) AS jaccard
+FROM shared
+JOIN cnt ca ON id_a = ca.doc_id
+JOIN cnt cb ON id_b = cb.doc_id
+WHERE round(CAST(shared / (ca.n + cb.n - shared) AS DOUBLE), 4) >= 0.5
+"""
+
+EMBEDDING_NEAR_DUP_SQL = """
+WITH e AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DOUBLE), 6) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE a.nrm > 0 AND b.nrm > 0
+  AND round(CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DOUBLE), 6) >= 0.4
+"""
+
+EXACT_DEDUP_SQL = """
+SELECT md5(text) AS content_digest,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+# ----------------------------------------------------------- queries
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs(spark, sf_dir), ["text"], "doc_id")
+
+
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(_docs(spark, sf_dir))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_near_dups(_docs(spark, sf_dir), threshold=0.5)
+
+
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_signatures(_docs(spark, sf_dir))
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_dups(_docs(spark, sf_dir), max_hamming=6)
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dups(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+register("dedup_exact", dedup_exact, EXACT_DEDUP_SQL)
+register("dedup_minhash_signatures", dedup_minhash_signatures, MINHASH_SIG_SQL)
+register("dedup_minhash_lsh", dedup_minhash_lsh, MINHASH_NEAR_DUP_SQL)
+register("dedup_simhash_signatures", dedup_simhash_signatures, SIMHASH_SIG_SQL)
+register("dedup_simhash_pairs", dedup_simhash_pairs, SIMHASH_NEAR_DUP_SQL)
+register("dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_JACCARD_SQL)
+register("dedup_embedding_cosine", dedup_embedding_cosine, EMBEDDING_NEAR_DUP_SQL)

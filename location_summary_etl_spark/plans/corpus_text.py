@@ -1,1 +1,120 @@
-"""Corpus module: filled in as operators land."""
+"""Text-analysis corpus: oracle-paired queries over documents."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from location_summary_etl_spark.functions.texts import STOPWORDS
+from location_summary_etl_spark.operators.textstats import (
+    EN_TRIGRAMS,
+    doc_fingerprints,
+    lang_id,
+    token_stats,
+    vocab_top_tokens,
+)
+from location_summary_etl_spark.plans.corpus import register
+from location_summary_etl_spark.sources.registry import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(_docs(spark, sf_dir))
+
+
+_STOP_HITS = " + ".join(
+    f"len(list_filter(toks, x -> x = '{w}'))" for w in STOPWORDS
+)
+
+register("text_token_stats", text_token_stats, f"""
+WITH t AS (
+    SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+),
+s AS (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_unique_tokens,
+           CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS avg_len,
+           ({_STOP_HITS}) AS stopword_hits
+    FROM t
+)
+SELECT doc_id,
+       n_tokens,
+       n_unique_tokens,
+       round(CAST(avg_len AS DOUBLE), 4) AS avg_token_len,
+       stopword_hits,
+       round(CAST(stopword_hits AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+       round(CAST(50.0 * n_unique_tokens / n_tokens
+             + 50.0 * least(n_tokens, 200) / 200.0 AS DOUBLE), 2) AS quality_score
+FROM s
+""")
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(_docs(spark, sf_dir))
+
+
+_TRI_HITS = " + ".join(
+    f"len(list_filter(tris, x -> x = '{t}'))" for t in EN_TRIGRAMS
+)
+
+register("text_lang_id", text_lang_id, f"""
+WITH t AS (
+    SELECT doc_id, lang,
+           list_transform(generate_series(1, greatest(length(text) - 2, 0)),
+                          i -> substr(text, CAST(i AS INT), 3)) AS tris
+    FROM documents
+),
+s AS (
+    SELECT doc_id, lang,
+           CASE WHEN len(tris) > 0
+                THEN CAST(({_TRI_HITS}) AS DOUBLE) / len(tris)
+                ELSE 0.0 END AS conf
+    FROM t
+)
+SELECT doc_id,
+       lang AS declared_lang,
+       round(CAST(conf AS DOUBLE), 4) AS en_confidence,
+       CASE WHEN conf >= 0.02 THEN 'en' ELSE 'other' END AS lang_guess
+FROM s
+""")
+
+
+def text_vocab_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_top_tokens(_docs(spark, sf_dir), k=20)
+
+
+register("text_vocab_top20", text_vocab_top20, """
+WITH c AS (
+    SELECT tok, COUNT(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ) GROUP BY tok
+)
+SELECT rk, tok, n FROM (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS INT) AS rk, tok, n
+    FROM c
+)
+WHERE rk <= 20
+""")
+
+
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprints(_docs(spark, sf_dir), k=8)
+
+
+register("text_fingerprints", text_fingerprints, """
+WITH t AS (
+    SELECT doc_id,
+           list_transform(
+               list_transform(generate_series(1, greatest(length(text) - 7, 0)),
+                              i -> substr(text, CAST(i AS INT), 8)),
+               s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hashes
+    FROM documents
+)
+SELECT doc_id,
+       list_min(hashes) AS fingerprint,
+       len(list_distinct(hashes)) AS n_distinct_shingles
+FROM t
+""")
