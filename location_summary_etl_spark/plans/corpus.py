@@ -60,4 +60,5 @@ def _ensure_loaded() -> None:
         corpus_text,
         corpus_similarity,
         corpus_events,
+        corpus_multimodal,
     )

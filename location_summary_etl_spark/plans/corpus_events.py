@@ -1,1 +1,153 @@
-"""Corpus module: filled in as operators land."""
+"""Events corpus: JSON extraction, event-time windows, sessionization,
+and the as-of join, each oracle-paired."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from location_summary_etl_spark.functions.scalars import round_portable
+from location_summary_etl_spark.operators.asof import asof_join_backward
+from location_summary_etl_spark.operators.windows import (
+    epoch_seconds,
+    sessionize,
+    sliding_buckets,
+    tumbling_bucket,
+)
+from location_summary_etl_spark.plans.corpus import register
+from location_summary_etl_spark.sources.registry import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# ------------------------------------------------------------------
+# JSON extraction (extension per SURVEY §2.D: string/json functions are
+# absent from the reference).
+def events_json_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            round_portable(F.avg("value"), 4).alias("avg_value"),
+            round_portable(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
+
+
+register("events_json_kpis", events_json_kpis, """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       round(CAST(AVG(value) AS DOUBLE), 4) AS avg_value,
+       round(CAST(AVG(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE), 4) AS avg_k
+FROM events
+GROUP BY event_type
+""")
+
+
+# ------------------------------------------------------------------
+# Tumbling 10-minute windows (portable epoch bucketing).
+def events_tumbling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("window_start", tumbling_bucket("ts", 600))
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            round_portable(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+register("events_tumbling_10min", events_tumbling_10min, """
+SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       round(CAST(SUM(value) AS DOUBLE), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+""")
+
+
+# ------------------------------------------------------------------
+# Sliding 10-minute windows, 5-minute slide: each event lands in 2
+# windows (explode of the covering-window array).
+def events_sliding_10min_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("window_start", F.explode(sliding_buckets("ts", 600, 300)))
+        .groupBy("window_start")
+        .agg(
+            F.count("*").alias("n_events"),
+            round_portable(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+register("events_sliding_10min_5min", events_sliding_10min_5min, """
+SELECT CAST((floor(epoch(ts) / 300) - j) * 300 AS BIGINT) AS window_start,
+       COUNT(*) AS n_events,
+       round(CAST(AVG(value) AS DOUBLE), 4) AS avg_value
+FROM events, (SELECT unnest([0, 1]) AS j)
+GROUP BY 1
+""")
+
+
+# ------------------------------------------------------------------
+# Sessionization: 30-minute inactivity gap, per-user session stats.
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = sessionize(_events(spark, sf_dir), "user_id", "ts", 1800)
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("session_id") + 1).alias("n_sessions"),
+    )
+
+
+register("events_sessionization", events_sessionization, """
+WITH g AS (
+    SELECT user_id, ts,
+           CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id, COUNT(*) AS n_events,
+       SUM(new_session) + 1 AS n_sessions
+FROM g
+GROUP BY user_id
+""")
+
+
+# ------------------------------------------------------------------
+# As-of join: each purchase event picks up the timestamp of the user's
+# most recent prior-or-equal click. Oracle uses DuckDB's native ASOF.
+def events_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    out = asof_join_backward(
+        purchases, clicks, ["user_id"], "ts", "ts", "click_ts", "last_click_ts"
+    )
+    gap = epoch_seconds("ts") - epoch_seconds("last_click_ts")
+    return out.select(
+        "event_id", "user_id", "ts", "last_click_ts",
+        round_portable(gap, 3).alias("gap_seconds"),
+    )
+
+
+register("events_asof_purchase_click", events_asof_purchase_click, """
+SELECT p.event_id, p.user_id, p.ts,
+       c.ts AS last_click_ts,
+       round(CAST(epoch(p.ts) - epoch(c.ts) AS DOUBLE), 3) AS gap_seconds
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""")

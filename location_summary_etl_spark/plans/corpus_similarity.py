@@ -1,1 +1,125 @@
-"""Corpus module: filled in as operators land."""
+"""Similarity-search corpus: ANN queries over the embeddings table.
+
+All three backends (expression brute force, sign-LSH bucketed, pandas
+matmul) are oracle-checked against the same DuckDB SQL where the
+semantics are SQL-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from location_summary_etl_spark.functions.scalars import round_portable
+from location_summary_etl_spark.functions.vectors import l2_norm
+from location_summary_etl_spark.operators.similarity import (
+    LSH_SIGN_BITS,
+    brute_force_topk,
+    lsh_bucket_topk,
+    pandas_cosine_topk,
+)
+from location_summary_etl_spark.plans.corpus import register
+from location_summary_etl_spark.sources.registry import load_table
+
+QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return brute_force_topk(_emb(spark, sf_dir), QUERY_IDS, k=5)
+
+
+_IDS = ", ".join(str(i) for i in QUERY_IDS)
+
+_BRUTE_SQL = f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id IN ({_IDS})),
+scored AS (
+    SELECT q.query_id, e.vec_id,
+           round(CAST(list_dot_product(q.qv, e.v) / (q.qn * e.nrm) AS DOUBLE), 6) AS cosine
+    FROM e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id AND e.nrm > 0 AND q.qn > 0
+)
+SELECT query_id, rank, vec_id, cosine FROM (
+    SELECT query_id, vec_id, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS INT) AS rank
+    FROM scored
+)
+WHERE rank <= 5
+"""
+
+register("ann_topk_bruteforce", ann_topk_bruteforce, _BRUTE_SQL)
+
+
+def ann_topk_bruteforce_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pandas_cosine_topk(_emb(spark, sf_dir), QUERY_IDS, k=5)
+
+
+# Same semantics, same oracle: the numpy backend must agree with the
+# expression backend after 6-decimal rounding.
+register("ann_topk_bruteforce_pandas", ann_topk_bruteforce_pandas, _BRUTE_SQL)
+
+
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_bucket_topk(_emb(spark, sf_dir), QUERY_IDS, k=3)
+
+
+_BUCKET = " + ".join(
+    f"CASE WHEN v[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END"
+    for i in range(LSH_SIGN_BITS)
+)
+
+register("ann_topk_lsh", ann_topk_lsh, f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+b AS (SELECT vec_id, v, nrm, CAST({_BUCKET} AS INT) AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket FROM b WHERE vec_id IN ({_IDS})),
+scored AS (
+    SELECT q.query_id, c.vec_id,
+           round(CAST(list_dot_product(q.qv, c.v) / (q.qn * c.nrm) AS DOUBLE), 6) AS cosine
+    FROM b c JOIN q USING (bucket)
+    WHERE c.vec_id <> q.query_id AND c.nrm > 0 AND q.qn > 0
+)
+SELECT query_id, rank, vec_id, cosine FROM (
+    SELECT query_id, vec_id, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS INT) AS rank
+    FROM scored
+)
+WHERE rank <= 3
+""")
+
+
+def embedding_label_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    return (
+        emb.select(F.col("label"), l2_norm(v).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            round_portable(F.avg("nrm"), 6).alias("avg_norm"),
+        )
+    )
+
+
+register("embedding_label_norms", embedding_label_norms, """
+SELECT label, COUNT(*) AS n_vectors,
+       round(CAST(AVG(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[])))) AS DOUBLE), 6) AS avg_norm
+FROM embeddings
+GROUP BY label
+""")

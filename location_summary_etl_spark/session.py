@@ -48,6 +48,10 @@ def get_session(app_name: str = "location-summary-etl-spark",
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # events.parquet stores TIMESTAMP(NANOS), which the Spark parquet
+        # reader rejects; read as raw nanos and convert in the registry
+        # (sources/registry.py POST_TRANSFORMS) with integer arithmetic.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _F = T.FloatType()
@@ -61,8 +62,12 @@ TABLES: dict[str, T.StructType] = {
         ("l_discount", _D), ("l_tax", _D), ("l_returnflag", _S),
         ("l_linestatus", _S), ("l_shipdate", _TS),
     ),
+    # ts is physically TIMESTAMP(NANOS) in parquet; with
+    # spark.sql.legacy.parquet.nanosAsLong it scans as LongType and the
+    # post-transform below restores TIMESTAMP_NTZ (DuckDB truncates the
+    # same file to microseconds, so both engines see identical instants).
     "events": _schema(
-        ("event_id", _L), ("ts", _TS), ("user_id", _L), ("event_type", _S),
+        ("event_id", _L), ("ts", _L), ("user_id", _L), ("event_type", _S),
         ("value", _D), ("props", _S),
     ),
     "documents": _schema(
@@ -78,6 +83,20 @@ TABLES: dict[str, T.StructType] = {
 # realistic scale (region/nation are bounded by geography, not data
 # volume).  Join planners in this package consult this set.
 BROADCAST_TABLES = {"region", "nation", "supplier"}
+
+
+def _events_ts_to_ntz(df: DataFrame) -> DataFrame:
+    # nanos -> micros with integer `div` (a double division would lose
+    # precision above 2^53), then micros -> TIMESTAMP -> NTZ (identity
+    # wall-clock under the pinned UTC session).
+    return df.withColumn(
+        "ts",
+        F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+    )
+
+
+# Applied after the scan + schema assertion; keyed by table name.
+POST_TRANSFORMS = {"events": _events_ts_to_ntz}
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -98,6 +117,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
         want = {f.name: f.dataType for f in TABLES[name].fields}
         if got != want:
             raise ValueError(f"schema drift for {name}: {got} != {want}")
+    if name in POST_TRANSFORMS:
+        df = POST_TRANSFORMS[name](df)
     return df
 
 

@@ -1,0 +1,98 @@
+"""Structured Streaming jobs (extension -- the reference is batch-only,
+SURVEY §2.D).
+
+Same event-time semantics as the batch formulations in
+``operators/windows.py``, expressed with the native streaming
+primitives: ``readStream`` -> ``withWatermark`` -> windowed agg /
+``applyInPandasWithState`` -> sink. Tests drive these with the parquet
+events table as a bounded stream (``processAllAvailable`` drains it
+synchronously), which exercises exactly the operators a Kafka-backed
+deployment would run.
+
+Watermarks bound state: a 30-minute watermark means window state older
+than (max event time - 30 min) is evicted, so state size tracks the
+window span, not the stream length -- the property that keeps these
+jobs viable on an unbounded 100 TB/day stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from location_summary_etl_spark.sources.registry import table_path
+
+# Streaming reads need an explicit schema (no inference): the physical
+# parquet schema, with ts as raw nanos (see sources/registry.py).
+EVENTS_PHYSICAL_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded parquet-backed stream of the events table with ts
+    restored to a (timezone-aware, UTC session) timestamp."""
+    # FileStreamSource needs a directory; filter to the events file.
+    raw = (
+        spark.readStream.schema(EVENTS_PHYSICAL_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts_stream(events: DataFrame,
+                           window: str = "10 minutes",
+                           watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked tumbling-window counts per event type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+def session_stats_stream(events: DataFrame,
+                         gap: str = "30 minutes") -> DataFrame:
+    """Native streaming session windows (gap-based), per user."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drain a bounded stream into an in-memory table; return the
+    result as a batch DataFrame (test/driver harness)."""
+    q = (
+        stream_df.writeStream.outputMode("complete" if _has_agg(stream_df) else "append")
+        .format("memory").queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def _has_agg(df: DataFrame) -> bool:
+    return "Aggregate" in df._jdf.queryExecution().analyzed().toString()

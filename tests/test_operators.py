@@ -1,0 +1,122 @@
+"""Unit tests on tiny literal DataFrames for the edge cases FIXTURES.md
+calls out (null handling, min==max, ties, empty inputs, strict/inclusive
+as-of semantics, writer idempotence)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from location_summary_etl_spark.operators.asof import asof_join_backward
+from location_summary_etl_spark.operators.dedup import exact_dedup
+from location_summary_etl_spark.operators.multimodal import (
+    attach_fake_media,
+    decode_media,
+)
+from location_summary_etl_spark.operators.normalize import minmax_score
+from location_summary_etl_spark.operators.snapshot import (
+    latest_snapshot_join,
+    latest_snapshot_window,
+)
+from location_summary_etl_spark.operators.windows import sessionize
+from location_summary_etl_spark.sources.writers import write_summary
+
+
+def test_asof_inclusive_and_strict(spark):
+    probe = spark.createDataFrame(
+        [(1, 10, "p1"), (1, 20, "p2"), (2, 5, "p3")],
+        ["k", "t", "tag"],
+    )
+    base = spark.createDataFrame(
+        [(1, 10, "b@10"), (1, 15, "b@15"), (2, 7, "b@7")],
+        ["k", "t", "val"],
+    )
+    out = {
+        r["tag"]: r["matched"]
+        for r in asof_join_backward(probe, base, ["k"], "t", "t", "val",
+                                    "matched").collect()
+    }
+    # inclusive: probe at t=10 sees the base row at t=10
+    assert out == {"p1": "b@10", "p2": "b@15", "p3": None}
+
+    strict = {
+        r["tag"]: r["matched"]
+        for r in asof_join_backward(probe, base, ["k"], "t", "t", "val",
+                                    "matched", strict=True).collect()
+    }
+    # strict: the equal-timestamp base row no longer matches
+    assert strict == {"p1": None, "p2": "b@15", "p3": None}
+
+
+def test_sessionize_gap_boundary(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(seconds=1800)),   # exactly the gap: same session
+        (1, base + dt.timedelta(seconds=1800 + 1801)),  # > gap: new session
+        (2, base),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = sessionize(df, "user_id", "ts", 1800).collect()
+    sessions = {(r["user_id"], r["ts"]): r["session_id"] for r in out}
+    assert sessions[(1, rows[0][1])] == 0
+    assert sessions[(1, rows[1][1])] == 0
+    assert sessions[(1, rows[2][1])] == 1
+    assert sessions[(2, rows[3][1])] == 0
+
+
+def test_minmax_single_group_and_negatives(spark):
+    df = spark.createDataFrame([(1, -10.0), (2, 0.0), (3, 10.0)], ["id", "v"])
+    got = {r["id"]: r["s"] for r in minmax_score(df, "v", "s").collect()}
+    assert got == {1: 0.0, 2: 50.0, 3: 100.0}
+
+
+def test_latest_snapshot_formulations_agree_on_ties(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-02", "a"), (1, "2024-01-02", "b"), (1, "2024-01-01", "c"),
+         (2, "2024-05-05", "d")],
+        ["k", "d", "payload"],
+    )
+    a = sorted(map(str, latest_snapshot_window(df, ["k"], "d").collect()))
+    b = sorted(map(str, latest_snapshot_join(df, ["k"], "d").collect()))
+    assert a == b
+    assert len(a) == 3  # both ties kept + group 2
+
+
+def test_exact_dedup_multi_column(spark):
+    df = spark.createDataFrame(
+        [(1, "x", "en"), (2, "x", "en"), (3, "x", "de")],
+        ["id", "text", "lang"],
+    )
+    out = {r["keep_id"]: r["n_copies"]
+           for r in exact_dedup(df, ["text", "lang"], "id").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_multimodal_decode_batch_shape(spark):
+    docs = spark.createDataFrame([(1, "hello world"), (2, "")],
+                                 ["doc_id", "text"])
+    media = attach_fake_media(docs)
+    decoded = {r["doc_id"]: r for r in decode_media(media).collect()}
+    assert decoded[1]["n_pixels"] == decoded[1]["width"] * decoded[1]["height"]
+    assert decoded[1]["mean_byte"] > 0
+    assert decoded[2]["mean_byte"] == 0.0  # empty payload
+    try:
+        decode_media(media, backend="pil")
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError:
+        pass
+
+
+def test_writer_partition_overwrite_idempotent(spark, tmp_path):
+    path = str(tmp_path / "summary")
+    df1 = spark.createDataFrame([("2024-01-01", 1), ("2024-01-02", 2)],
+                                ["snap", "v"])
+    write_summary(df1, path, partition_by=["snap"])
+    # Re-write one partition with new data: only that partition changes.
+    df2 = spark.createDataFrame([("2024-01-02", 99)], ["snap", "v"])
+    write_summary(df2, path, partition_by=["snap"])
+    # partition columns come back type-inferred (DATE here)
+    got = {(str(r["snap"]), r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {("2024-01-01", 1), ("2024-01-02", 99)}

@@ -1,0 +1,57 @@
+"""Structured Streaming: drive the parquet-backed bounded stream through
+watermarked tumbling windows and session windows, and cross-check the
+tumbling counts against the batch formulation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from location_summary_etl_spark.operators.windows import tumbling_bucket
+from location_summary_etl_spark.sources.registry import load_table
+from location_summary_etl_spark.streaming.jobs import (
+    read_events_stream,
+    run_to_memory,
+    session_stats_stream,
+    tumbling_counts_stream,
+)
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    result = run_to_memory(
+        tumbling_counts_stream(stream, "10 minutes"), "tumbling_out"
+    )
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in result.collect()
+    }
+    assert got, "stream produced no windows"
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ws", tumbling_bucket("ts", 600))
+        .groupBy("ws", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    want = {
+        (r["ws"], r["event_type"]): r["n"] for r in batch.collect()
+    }
+    got_epoch = {
+        (int(k[0].timestamp()), k[1]): v for k, v in got.items()
+    }
+    assert got_epoch == want
+
+
+def test_streaming_session_windows(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    result = run_to_memory(
+        session_stats_stream(stream, "30 minutes"), "session_out"
+    )
+    rows = result.collect()
+    assert rows
+    # session windows must be non-degenerate and event counts positive
+    assert all(r["session_end"] >= r["session_start"] for r in rows)
+    assert all(r["n_events"] > 0 for r in rows)
+    # total events across sessions == table size
+    total = sum(r["n_events"] for r in rows)
+    assert total == load_table(spark, sf_dir, "events").count()
