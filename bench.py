@@ -1,0 +1,95 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <scale factor>, ...}
+
+Each query executes fully via the noop sink (no collect/driver
+serialization in the measurement).  A DuckDB wall-clock per oracle is
+included for the 2x-of-DuckDB target (BASELINE.md) when
+SPARK_GRAFT_BENCH_DUCKDB=1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "flagship_nation_summary",
+    "pricing_summary",
+    "latest_order_per_customer",
+    "lineitem_derived_columns",
+    "top_orders_per_nation",
+    "customer_order_recency",
+    "region_nation_rollup",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "text_token_stats",
+    "text_fingerprints",
+    "ann_topk_bruteforce_pandas",
+    "events_tumbling_10min",
+    "events_sessionization",
+    "events_asof_purchase_click",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as contract
+    from location_summary_etl_spark.session import get_session
+
+    spark = get_session(app_name="bench")
+    qs = contract.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # Warm the JVM/codegen paths once so per-query numbers measure the
+    # plan, not session startup.
+    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf),
+    }
+
+    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB") == "1":
+        import duckdb
+
+        from location_summary_etl_spark.sources.registry import TABLES, table_path
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'"
+            )
+        oracles = contract.oracle_sql()
+        dtimes: dict[str, float] = {}
+        for name in names:
+            if name not in oracles:
+                continue
+            t0 = time.perf_counter()
+            con.execute(oracles[name]).fetchall()
+            dtimes[name] = round(time.perf_counter() - t0, 3)
+        out["duckdb"] = dtimes
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -82,12 +82,15 @@ def _feature_hashes(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     3-grams keep signatures discriminative, which is what bounds LSH
     bucket sizes (and therefore the join fan-out) at corpus scale.
     """
+    # Hash BEFORE the distinct: the dedup shuffle then carries (id, h)
+    # longs instead of shingle strings. md5 collisions merge shingles
+    # identically in Spark and the DuckDB oracle, so parity holds.
     return (
         docs.select(
             id_col, F.explode(word_ngrams(text_col, SHINGLE_NGRAM)).alias("tok")
         )
+        .select(id_col, portable_hash32("tok").alias("h"))
         .distinct()
-        .withColumn("h", portable_hash32("tok"))
     )
 
 
