@@ -23,14 +23,20 @@ def tokens(col: Column | str) -> Column:
     return F.split(c, " ")
 
 
-def word_ngrams(col: Column | str, n: int = 3) -> Column:
-    """Array of word n-grams (space-joined), duplicates preserved.
+def ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Array of word n-grams from an ALREADY-SPLIT token-array column.
+
+    ``toks`` must be a plain column reference (an attribute), not the
+    ``split(...)`` expression itself: expressions referenced inside a
+    ``transform`` lambda are re-evaluated per array element, so an
+    inlined split re-tokenizes the document O(n-grams * n) times
+    (measured 5x slower at sf0.1).  Project ``tokens(text)`` into a
+    column first, then call this.
 
     DuckDB equivalent:
         list_transform(generate_series(1, len(toks)-(n-1)),
                        i -> toks[i] || ' ' || ... || toks[i+n-1])
     """
-    toks = tokens(col)
     # sequence(1, size-n+1) enumerates starting positions. Guard the
     # short-doc case explicitly: Spark's sequence(1, 0) would count
     # DOWN ([1, 0]), not produce an empty array.
@@ -41,6 +47,16 @@ def word_ngrams(col: Column | str, n: int = 3) -> Column:
         " ", *[F.element_at(toks, i + k) for k in range(n)]
     )
     return F.transform(idx, parts)
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Array of word n-grams (space-joined) straight from a text column.
+
+    Convenience wrapper; in hot paths prefer projecting ``tokens(col)``
+    to a column and using :func:`ngrams_from_tokens` (see its note on
+    per-element re-evaluation inside ``transform``).
+    """
+    return ngrams_from_tokens(tokens(col), n)
 
 
 def char_shingles(col: Column | str, k: int = 8) -> Column:

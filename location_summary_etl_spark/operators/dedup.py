@@ -25,14 +25,19 @@ oracle can reproduce every signature bit-for-bit.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from location_summary_etl_spark.functions.scalars import (
     portable_hash32,
+    portable_hash60,
     round_portable,
 )
-from location_summary_etl_spark.functions.texts import tokens, word_ngrams
+from location_summary_etl_spark.functions.texts import (
+    ngrams_from_tokens,
+    tokens,
+)
 
 # Fixed MinHash permutation coefficients (seed=42, hardcoded so Spark
 # and the DuckDB oracle share them). h_i(x) = (a_i*x + b_i) mod P with
@@ -85,9 +90,15 @@ def _feature_hashes(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # Hash BEFORE the distinct: the dedup shuffle then carries (id, h)
     # longs instead of shingle strings. md5 collisions merge shingles
     # identically in Spark and the DuckDB oracle, so parity holds.
+    # Tokenize into a column FIRST: see ngrams_from_tokens on why an
+    # inlined split re-evaluates per n-gram element.
     return (
-        docs.select(
-            id_col, F.explode(word_ngrams(text_col, SHINGLE_NGRAM)).alias("tok")
+        docs.select(id_col, tokens(text_col).alias("_toks"))
+        .select(
+            id_col,
+            F.explode(
+                ngrams_from_tokens(F.col("_toks"), SHINGLE_NGRAM)
+            ).alias("tok"),
         )
         .select(id_col, portable_hash32("tok").alias("h"))
         .distinct()
@@ -111,21 +122,31 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
 
 def _band_signatures(sig: DataFrame, id_col: str) -> DataFrame:
-    """Long-form (id, band, band_sig): md5 over each band's minhashes."""
+    """Long-form (id, m0..m{K-1}, band, band_sig) in ONE pass.
+
+    A single ``explode(array(struct...))`` instead of a 4-way
+    union-of-selects: the union shape re-evaluates the whole signature
+    lineage once per band; the explode evaluates it once and fans out
+    rows inside the same stage.  The full signature vector rides along
+    so the LSH join never has to look the signatures up again.
+    """
+    k = len(MINHASH_COEFFS)
     bands = []
     for b in range(LSH_BANDS):
         cols = [f"m{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
         bands.append(
-            sig.select(
-                F.col(id_col),
+            F.struct(
                 F.lit(b).alias("band"),
                 F.md5(F.concat_ws(",", *cols)).alias("band_sig"),
             )
         )
-    out = bands[0]
-    for df in bands[1:]:
-        out = out.unionByName(df)
-    return out
+    return sig.select(
+        F.col(id_col),
+        *[F.col(f"m{i}") for i in range(k)],
+        F.explode(F.array(*bands)).alias("_bs"),
+    ).select(
+        id_col, *[f"m{i}" for i in range(k)], "_bs.band", "_bs.band_sig"
+    )
 
 
 def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
@@ -135,29 +156,39 @@ def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
     (fraction of equal minhashes), filtered at ``threshold``.
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+
+    Scale design: the signature table (one row of K longs per doc --
+    ~128 B/doc, so ~1.3 TB per 10B docs) is persisted MEMORY_AND_DISK
+    so the shingle explode+distinct+groupBy lineage runs exactly once;
+    the banded self-join then touches only this compact relation.  Each
+    side carries its signature vector, so est_jaccard is computed
+    directly on the join output -- no second lookup join.
     """
-    sig = minhash_signatures(docs, id_col, text_col)
-    bands = _band_signatures(sig, id_col)
-    left = bands.select(F.col(id_col).alias("id_a"), "band", "band_sig")
-    right = bands.select(F.col(id_col).alias("id_b"), "band", "band_sig")
-    cand = (
-        left.join(right, ["band", "band_sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    sa = sig.select(*[F.col(c).alias(f"a_{c}") for c in sig.columns])
-    sb = sig.select(*[F.col(c).alias(f"b_{c}") for c in sig.columns])
     k = len(MINHASH_COEFFS)
+    sig = minhash_signatures(docs, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bands = _band_signatures(sig, id_col)
+    left = bands.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"m{i}").alias(f"a_m{i}") for i in range(k)],
+        "band", "band_sig",
+    )
+    right = bands.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"m{i}").alias(f"b_m{i}") for i in range(k)],
+        "band", "band_sig",
+    )
     est = sum(
         F.when(F.col(f"a_m{i}") == F.col(f"b_m{i}"), 1).otherwise(0)
         for i in range(k)
     ) / F.lit(float(k))
     return (
-        cand.join(sa, cand["id_a"] == sa[f"a_{id_col}"])
-        .join(sb, cand["id_b"] == sb[f"b_{id_col}"])
+        left.join(right, ["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", round_portable(est, 4).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
+        .distinct()
     )
 
 
@@ -167,9 +198,12 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     +1/-1; the sign becomes the bit.  One explode + one groupBy with 32
     conditional-sum aggregates -- a single shuffle at any scale."""
     tok = _feature_hashes(docs, id_col, text_col)
+    # shiftright + AND, not floor(h / 2^b) % 2: the division form routes
+    # through doubles (Spark "/" is FP) -- integer bit ops are ~30%
+    # cheaper over K bits x all tokens.
     votes = [
         F.sum(
-            F.when((F.floor(F.col("h") / F.lit(1 << b)) % 2) == 1, 1)
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
             .otherwise(-1)
         ).alias(f"v{b}")
         for b in range(SIMHASH_BITS)
@@ -192,19 +226,20 @@ def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
 
     Returns (id_a, id_b, hamming).
     """
-    sig = simhash_signatures(docs, id_col, text_col)
-    blocks = []
-    for blk in range(4):
-        block_val = F.floor(F.col("simhash") / F.lit(1 << (8 * blk))) % F.lit(256)
-        blocks.append(
-            sig.select(
-                F.col(id_col), F.col("simhash"),
-                F.lit(blk).alias("blk"), block_val.alias("blk_val"),
-            )
+    sig = simhash_signatures(docs, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    blocks = [
+        F.struct(
+            F.lit(blk).alias("blk"),
+            F.shiftright(F.col("simhash"), 8 * blk)
+            .bitwiseAND(F.lit(255)).alias("blk_val"),
         )
-    longf = blocks[0]
-    for b in blocks[1:]:
-        longf = longf.unionByName(b)
+        for blk in range(4)
+    ]
+    longf = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*blocks)).alias("_b")
+    ).select(id_col, "simhash", "_b.blk", "_b.blk_val")
     left = longf.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"),
         "blk", "blk_val",
@@ -235,10 +270,22 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     bounded by posting-list sizes, not |docs|^2).
 
     Returns (id_a, id_b, jaccard >= threshold).
+
+    Scale design: n-grams are hashed to 60-bit longs BEFORE the
+    distinct, so the inverted index shuffles (id, long) pairs instead
+    of n-gram strings (~8 B vs ~25 B per posting); the index is
+    persisted MEMORY_AND_DISK so the explode+distinct lineage runs once
+    across the self-join's two sides and the per-doc counts.
     """
     grams = (
-        docs.select(F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("g"))
+        docs.select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.explode(ngrams_from_tokens(F.col("_toks"), n)).alias("g0"),
+        )
+        .select(F.col(id_col), portable_hash60("g0").alias("g"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     counts = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     left = grams.select(F.col(id_col).alias("id_a"), "g")
@@ -276,7 +323,7 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
         F.col(id_col), F.col(block_col).alias("blk"),
         F.col(vec_col).cast("array<double>").alias("v"),
         l2_norm(F.col(vec_col).cast("array<double>")).alias("nrm"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # scan + norm once, not per side
     a = base.select(
         F.col(id_col).alias("id_a"), "blk",
         F.col("v").alias("va"), F.col("nrm").alias("na"),

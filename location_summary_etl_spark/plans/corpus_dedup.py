@@ -102,7 +102,7 @@ WHERE ({_EST_JACCARD}) / {float(len(MINHASH_COEFFS))} >= 0.5
 """
 
 _VOTES = ",\n           ".join(
-    f"SUM(CASE WHEN CAST(floor(h / {1 << b}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
     for b in range(SIMHASH_BITS)
 )
 _SIM_RECON = " + ".join(
@@ -129,7 +129,7 @@ votes AS (
 sim AS (SELECT doc_id, CAST({_SIM_RECON} AS BIGINT) AS simhash FROM votes),
 blocks AS (
     SELECT doc_id, simhash, blk,
-           CAST(floor(simhash / power(2, 8 * blk)) AS BIGINT) % 256 AS blk_val
+           (simhash >> (8 * blk)) & 255 AS blk_val
     FROM sim, (SELECT unnest([0, 1, 2, 3]) AS blk)
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -144,7 +144,11 @@ WITH tok AS (
     SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ),
 tri AS (
-    SELECT DISTINCT doc_id, g FROM (
+    -- 60-bit hash of each n-gram, mirroring the Spark operator: the
+    -- inverted index carries longs, not strings, in both engines.
+    SELECT DISTINCT doc_id,
+           CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS g
+    FROM (
         SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
         FROM tok, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
     )
