@@ -40,16 +40,25 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id",
     a deterministic stand-in for fastText-style quality classifiers,
     with the same plan shape (narrow projection, no shuffle at all).
     """
-    toks = tokens(text_col)
+    # Tokenize ONCE into a column; the dozen downstream expressions then
+    # reference the materialized array instead of each re-running split
+    # (see functions.texts.ngrams_from_tokens on per-expression
+    # re-evaluation).
+    base = docs.select(
+        F.col(id_col),
+        F.length(text_col).alias("_chars"),
+        tokens(text_col).alias("_toks"),
+    )
+    toks = F.col("_toks")
     n_tokens = F.size(toks)
     n_unique = F.size(F.array_distinct(toks))
     stop_hits = sum(_count_in_array(toks, w) for w in STOPWORDS)
-    avg_len = (F.length(text_col) - (n_tokens - 1)) / n_tokens
+    avg_len = (F.col("_chars") - (n_tokens - 1)) / n_tokens
     quality = (
         F.lit(50.0) * n_unique / n_tokens
         + F.lit(50.0) * F.least(n_tokens, F.lit(200)) / F.lit(200.0)
     )
-    return docs.select(
+    return base.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
         n_unique.alias("n_unique_tokens"),
@@ -64,11 +73,15 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """Character-trigram language heuristic: fraction of the doc's
     trigrams that hit the English profile; >= 2% -> 'en'."""
-    tris = char_shingles(text_col, 3)
+    base = docs.select(
+        F.col(id_col), F.col("lang"),
+        char_shingles(text_col, 3).alias("_tris"),  # build shingles once
+    )
+    tris = F.col("_tris")
     hits = sum(_count_in_array(tris, t) for t in EN_TRIGRAMS)
     n = F.size(tris)
     conf = F.when(n > 0, hits / n).otherwise(F.lit(0.0))
-    return docs.select(
+    return base.select(
         F.col(id_col),
         F.col("lang").alias("declared_lang"),
         round_portable(conf, 4).alias("en_confidence"),
@@ -110,8 +123,11 @@ def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
         char_shingles(text_col, k),
         lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
     )
-    return docs.select(
+    # Project the hash array once; array_min and array_distinct then
+    # read the same materialized array instead of re-hashing every
+    # shingle a second time (md5 is the dominant cost here).
+    return docs.select(F.col(id_col), hashes.alias("_h")).select(
         F.col(id_col),
-        F.array_min(hashes).alias("fingerprint"),
-        F.size(F.array_distinct(hashes)).alias("n_distinct_shingles"),
+        F.array_min(F.col("_h")).alias("fingerprint"),
+        F.size(F.array_distinct(F.col("_h"))).alias("n_distinct_shingles"),
     )

@@ -56,6 +56,7 @@ def _ensure_loaded() -> None:
     register("flagship_nation_summary", flagship_nation_summary, FLAGSHIP_ORACLE_SQL)
     from location_summary_etl_spark.plans import (  # noqa: F401
         corpus_reference,
+        corpus_extras,
         corpus_dedup,
         corpus_text,
         corpus_similarity,
