@@ -90,3 +90,115 @@ def decode_media(media_df: DataFrame, backend: str = "fake") -> DataFrame:
             })
 
     return media_df.mapInPandas(decode, DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id bigint, payload binary, media struct<media_type: string, "
+    "width: int, height: int, n_bytes: bigint, sha: string>"
+)
+
+
+def resize_media(media_df: DataFrame, width: int, height: int,
+                 backend: str = "fake") -> DataFrame:
+    """Resize every payload to ``width x height`` via Arrow-batched
+    ``mapInPandas``, rewriting the metadata struct to match.
+
+    The fake backend tiles/truncates the byte buffer to width*height
+    bytes -- deterministic, so tests can assert exact output sizes; a
+    real backend would decode, resample, and re-encode in its place
+    (same schema in, same schema out, so pipelines compose either way).
+    """
+    if backend != "fake":
+        raise NotImplementedError(
+            f"resize backend {backend!r}: codec libraries are not "
+            "available in this environment"
+        )
+
+    def resize(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        target = width * height
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_payloads, out_meta = [], []
+            for p, m in zip(pdf["payload"], pdf["media"]):
+                buf = np.frombuffer(p, dtype=np.uint8)
+                resized = np.resize(buf, target) if len(buf) else np.zeros(
+                    target, dtype=np.uint8
+                )
+                raw = resized.tobytes()
+                out_payloads.append(raw)
+                out_meta.append({
+                    "media_type": m["media_type"],
+                    "width": width, "height": height,
+                    "n_bytes": len(raw),
+                    "sha": hashlib.sha256(raw).hexdigest(),
+                })
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "payload": out_payloads,
+                "media": out_meta,
+            })
+
+    return media_df.mapInPandas(resize, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_no int, frame_offset bigint, frame_bytes bigint, "
+    "frame_mean double"
+)
+
+
+def frame_sample(media_df: DataFrame, n_frames: int = 4,
+                 backend: str = "fake") -> DataFrame:
+    """Sample ``n_frames`` evenly-spaced frames per payload (video-style
+    fan-out: one input row -> n output rows), via ``mapInPandas``.
+
+    The fake backend slices the byte buffer into equal frame windows
+    and emits per-frame byte statistics; a real backend would seek and
+    decode actual frames with the same (doc_id, frame_no) fan-out
+    shape.  Fan-out happens inside the Arrow batch -- no explode
+    shuffle, no driver involvement.
+    """
+    if backend != "fake":
+        raise NotImplementedError(
+            f"frame-sample backend {backend!r}: codec libraries are not "
+            "available in this environment"
+        )
+
+    def sample(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, fnos, offs, nbytes, means = [], [], [], [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(p, dtype=np.uint8)
+                if len(buf) == 0:
+                    continue
+                span = max(len(buf) // n_frames, 1)
+                for f in range(n_frames):
+                    off = f * span
+                    if off >= len(buf):
+                        break
+                    window = buf[off:off + span]
+                    ids.append(did)
+                    fnos.append(f)
+                    offs.append(off)
+                    nbytes.append(len(window))
+                    means.append(float(window.mean()))
+            yield pd.DataFrame({
+                "doc_id": np.array(ids, dtype=np.int64),
+                "frame_no": np.array(fnos, dtype=np.int32),
+                "frame_offset": np.array(offs, dtype=np.int64),
+                "frame_bytes": np.array(nbytes, dtype=np.int64),
+                "frame_mean": np.array(means, dtype=np.float64),
+            })
+
+    return media_df.mapInPandas(sample, FRAME_SCHEMA)

@@ -15,6 +15,8 @@ from location_summary_etl_spark.functions.scalars import round_portable
 from location_summary_etl_spark.operators.multimodal import (
     attach_fake_media,
     decode_media,
+    frame_sample,
+    resize_media,
 )
 from location_summary_etl_spark.plans.corpus import register
 from location_summary_etl_spark.sources.registry import load_table
@@ -58,3 +60,36 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # rows-only: the decode runs through mapInPandas (non-SQL-expressible).
 register("multimodal_decode_features", multimodal_decode_features, None)
+
+
+def multimodal_resize_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize every payload to 32x24, then aggregate the rewritten
+    metadata -- proves the resized struct/payload round-trips through
+    downstream relational ops."""
+    resized = resize_media(
+        _media(spark, sf_dir).select("doc_id", "payload", "media"), 32, 24
+    )
+    return resized.groupBy(F.col("media.media_type").alias("media_type")).agg(
+        F.count("*").alias("n_media"),
+        F.sum(F.col("media.n_bytes")).alias("total_bytes"),
+        F.countDistinct(F.col("media.sha")).alias("n_distinct_payloads"),
+    )
+
+
+register("multimodal_resize_inventory", multimodal_resize_inventory, None)
+
+
+def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample 4 frames per payload (1->n fan-out inside the Arrow
+    batch) and aggregate per frame position."""
+    frames = frame_sample(
+        _media(spark, sf_dir).select("doc_id", "payload"), n_frames=4
+    )
+    return frames.groupBy("frame_no").agg(
+        F.count("*").alias("n_frames"),
+        F.sum("frame_bytes").alias("total_bytes"),
+        round_portable(F.avg("frame_mean"), 4).alias("avg_frame_mean"),
+    )
+
+
+register("multimodal_frame_stats", multimodal_frame_stats, None)

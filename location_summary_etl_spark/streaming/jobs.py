@@ -80,11 +80,65 @@ def session_stats_stream(events: DataFrame,
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+USER_STATS_SCHEMA = (
+    "user_id bigint, n_events bigint, total_value double, max_value double"
+)
+
+
+def user_running_stats_stream(events: DataFrame,
+                              watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, sum, max) over the whole stream.
+
+    This is the escape hatch for aggregation logic the built-in windowed
+    aggs can't express (here deliberately simple so the test can verify
+    it against a batch groupBy).  State per key is a 3-tuple of scalars;
+    the state store shuffles by user_id once and each micro-batch folds
+    its rows into the existing state -- O(|keys|) state, O(batch) work,
+    the shape that survives an unbounded stream.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = max(mx, float(pdf["value"].max()))
+        state.update((n, total, mx))
+        yield pd.DataFrame({
+            "user_id": [user_id], "n_events": [n],
+            "total_value": [total], "max_value": [mx],
+        })
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=USER_STATS_SCHEMA,
+            stateStructType="n bigint, total double, mx double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str,
+                  mode: str | None = None) -> DataFrame:
     """Drain a bounded stream into an in-memory table; return the
-    result as a batch DataFrame (test/driver harness)."""
+    result as a batch DataFrame (test/driver harness).  ``mode``
+    overrides the inferred output mode (stateful ops require
+    'update')."""
+    if mode is None:
+        mode = "complete" if _has_agg(stream_df) else "append"
     q = (
-        stream_df.writeStream.outputMode("complete" if _has_agg(stream_df) else "append")
+        stream_df.writeStream.outputMode(mode)
         .format("memory").queryName(name).start()
     )
     try:

@@ -1,0 +1,100 @@
+"""Physical-plan regression tests: the scale properties SURVEY.md §4
+promises (predicate pushdown, column pruning, broadcast dimension
+joins, partial aggregation, whole-stage codegen, no cartesian
+products) asserted on the actual Catalyst output, so a plan
+regression fails CI rather than surfacing as a 100x slowdown at
+cluster scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as contract
+
+
+def plan_of(spark, name: str, sf_dir: str, mode: str = "formatted") -> str:
+    df = contract.queries()[name](spark, sf_dir)
+    return spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_dim_filters_are_pushed_to_parquet(spark, sf_dir):
+    plan = plan_of(spark, "segment_customers_in_region", sf_dir)
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan, "customer filter not pushed"
+    assert "EqualTo(r_name,ASIA)" in plan, "region filter not pushed"
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir):
+    plan = plan_of(spark, "segment_customers_in_region", sf_dir, mode="simple")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_column_pruning_reaches_the_scan(spark, sf_dir):
+    # lineitem has 10 columns; the derived-columns query needs 7.
+    plan = plan_of(spark, "lineitem_derived_columns", sf_dir)
+    scan_schemas = [
+        line for line in plan.splitlines() if line.startswith("ReadSchema")
+    ]
+    assert scan_schemas, "no parquet scan found"
+    for line in scan_schemas:
+        assert "l_comment" not in line and "l_shipmode" not in line, (
+            "unused lineitem columns read at the scan: " + line
+        )
+
+
+def test_aggregate_is_partial_then_final(spark, sf_dir):
+    # Two HashAggregate nodes around the exchange = map-side combine:
+    # the shuffle carries one row per (partition, group), not per row.
+    plan = plan_of(spark, "pricing_summary", sf_dir)
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_is_broadcast_not_shuffled_cartesian(spark, sf_dir):
+    plan = plan_of(spark, "orders_price_banded", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_relational_corpus_has_no_cartesian_products(spark, sf_dir):
+    # Every oracle-paired relational query must be free of shuffled
+    # cartesian products; pair generators (dedup/similarity) are
+    # equi-joins on band/bucket/block keys so they are covered too.
+    for name in contract.queries():
+        if name.startswith("multimodal"):
+            continue  # mapInPandas plans, no joins
+        plan = plan_of(spark, name, sf_dir, mode="simple")
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian"
+
+
+def test_flagship_stays_in_whole_stage_codegen(spark, sf_dir):
+    # codegen mode reports the compiled subtrees even before AQE
+    # finalizes the adaptive plan (simple mode hides them until then).
+    plan = plan_of(spark, "flagship_nation_summary", sf_dir, mode="codegen")
+    assert "WholeStageCodegen" in plan
+    simple = plan_of(spark, "flagship_nation_summary", sf_dir, mode="simple")
+    assert "BatchEvalPython" not in simple, "row-at-a-time Python UDF in plan"
+
+
+def test_no_python_udfs_in_relational_corpus(spark, sf_dir):
+    # Everything except the designated Arrow paths must stay JVM-side.
+    arrow_ok = {"ann_topk_bruteforce_pandas", "multimodal_decode_features",
+                "multimodal_resize_inventory", "multimodal_frame_stats"}
+    for name in contract.queries():
+        if name in arrow_ok:
+            continue
+        plan = plan_of(spark, name, sf_dir, mode="simple")
+        assert "BatchEvalPython" not in plan, f"{name} uses a Python UDF"
+        assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF"
+
+
+@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_simhash_pairs",
+                                  "dedup_ngram_jaccard"])
+def test_dedup_self_joins_are_equi_joins(spark, sf_dir, name):
+    plan = plan_of(spark, name, sf_dir, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -13,6 +13,7 @@ from location_summary_etl_spark.streaming.jobs import (
     run_to_memory,
     session_stats_stream,
     tumbling_counts_stream,
+    user_running_stats_stream,
 )
 
 
@@ -55,3 +56,35 @@ def test_streaming_session_windows(spark, sf_dir):
     # total events across sessions == table size
     total = sum(r["n_events"] for r in rows)
     assert total == load_table(spark, sf_dir, "events").count()
+
+
+def test_streaming_stateful_user_stats_matches_batch(spark, sf_dir):
+    """applyInPandasWithState running per-user stats == batch groupBy.
+
+    In update mode each micro-batch emits the keys it touched; the
+    final state per user is the row from the last batch that updated
+    it (n_events is monotone, so max() selects it)."""
+    stream = read_events_stream(spark, sf_dir)
+    result = run_to_memory(
+        user_running_stats_stream(stream), "user_stats_out", mode="update"
+    )
+    got = {}
+    for r in result.collect():
+        prev = got.get(r["user_id"])
+        if prev is None or r["n_events"] > prev[0]:
+            got[r["user_id"]] = (
+                r["n_events"], round(r["total_value"], 6), round(r["max_value"], 6)
+            )
+    assert got
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"),
+             F.max("value").alias("m"))
+    )
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 6), round(r["m"], 6))
+        for r in batch.collect()
+    }
+    assert got == want
