@@ -26,6 +26,9 @@ HEADLINE = [
     "top_orders_per_nation",
     "customer_order_recency",
     "region_nation_rollup",
+    "orders_price_banded",
+    "customers_with_urgent_orders",
+    "text_bpe_token_counts",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
@@ -54,11 +57,22 @@ def main() -> None:
     # plan, not session startup.
     qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Two timed runs per query, cache cleared between them so every run
+    # recomputes from the parquet scans (operators may persist
+    # intermediate relations); report the min.  The min isolates the
+    # engine's cost from host-level scheduling noise, which on this box
+    # can inflate a single run arbitrarily.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     times: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(repeats):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
+        spark.catalog.clearCache()
 
     out = {
         "metric": "headline_queries_total_sec",

@@ -46,6 +46,11 @@ def get_session(app_name: str = "location-summary-etl-spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Codegen-heavy corpus (16-way minhash aggs, 32-bit vote sums):
+        # the JVM default 240m code cache fills after a dozen such
+        # queries, the JIT shuts off, and throughput collapses ~10x.
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # events.parquet stores TIMESTAMP(NANOS), which the Spark parquet
