@@ -123,6 +123,97 @@ def lsh_bucket_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
     return _rank_topk(scored, k)
 
 
+IVF_N_PROBE = 2
+CENTROID_SCALE = 9  # centroid components rounded to 9 decimals
+
+
+def ivf_centroids(emb: DataFrame, label_col: str = "label",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Per-label mean vector -- the IVF coarse quantizer's cell
+    centroids, derived deterministically from the data (a k-means
+    trainer would slot in here; the label column stands in for its
+    assignment, keeping the whole path reproducible and
+    oracle-checkable).
+
+    posexplode -> groupBy(label, pos) -> avg is one shuffle keyed on
+    (label, pos): at 100 TB the component-wise sums combine map-side,
+    so the shuffle carries |labels| x dim rows regardless of row count.
+    Components are rounded to ``CENTROID_SCALE`` decimals so Spark's
+    and DuckDB's float summation orders cannot produce diverging
+    centroids.
+
+    Returns (cl, cv, c_nrm).
+    """
+    flat = emb.select(
+        F.col(label_col).alias("cl"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"),
+    )
+    per_comp = flat.groupBy("cl", "i").agg(F.avg("x").alias("cx"))
+    return (
+        per_comp.groupBy("cl")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("_s"))
+        .select(
+            "cl",
+            F.transform(
+                "_s", lambda st: round_portable(st["cx"], CENTROID_SCALE)
+            ).alias("cv"),
+        )
+        .select("cl", "cv", l2_norm(F.col("cv")).alias("c_nrm"))
+    )
+
+
+def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
+             n_probe: int = IVF_N_PROBE, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             label_col: str = "label") -> DataFrame:
+    """IVF-style approximate top-k: rank the (tiny) centroid table per
+    query, search only the ``n_probe`` nearest cells.
+
+    Scale shape: the centroid table and the (query x probed-cell) list
+    are broadcast; candidates are restricted by an equi-join on the
+    cell id, so the scored volume is |probed cells' contents| x |Q|,
+    never |N| x |Q|.  This is the standard IVF bargain -- recall
+    bounded by n_probe/cells -- expressed entirely in DataFrame ops.
+    """
+    cent = ivf_centroids(emb, label_col, vec_col)
+    q = _with_norm(
+        emb.filter(F.col(id_col).isin(query_ids)), id_col, vec_col, "q"
+    ).withColumnRenamed("q_id", "query_id")
+    probe_scores = q.crossJoin(F.broadcast(cent)).select(
+        "query_id", "cl", "q_v", "q_nrm",
+        round_portable(
+            cosine(F.col("q_v"), F.col("cv"), F.col("q_nrm"), F.col("c_nrm")),
+            6,
+        ).alias("ccos"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("cl")
+    )
+    probes = (
+        probe_scores.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "cl", "q_v", "q_nrm")
+    )
+    v = F.col(vec_col).cast("array<double>")
+    c = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(label_col).alias("cl"),
+        v.alias("c_v"), l2_norm(v).alias("c_nrm"),
+    )
+    scored = (
+        c.join(F.broadcast(probes), "cl")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            round_portable(
+                cosine(F.col("q_v"), F.col("c_v"),
+                       F.col("q_nrm"), F.col("c_nrm")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine").isNotNull())
+    )
+    return _rank_topk(scored, k)
+
+
 def pandas_cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
                        id_col: str = "vec_id",
                        vec_col: str = "embedding") -> DataFrame:

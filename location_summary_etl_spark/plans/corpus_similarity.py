@@ -13,8 +13,11 @@ from pyspark.sql import functions as F
 from location_summary_etl_spark.functions.scalars import round_portable
 from location_summary_etl_spark.functions.vectors import l2_norm
 from location_summary_etl_spark.operators.similarity import (
+    CENTROID_SCALE,
+    IVF_N_PROBE,
     LSH_SIGN_BITS,
     brute_force_topk,
+    ivf_topk,
     lsh_bucket_topk,
     pandas_cosine_topk,
 )
@@ -100,6 +103,62 @@ SELECT query_id, rank, vec_id, cosine FROM (
     FROM scored
 )
 WHERE rank <= 3
+""")
+
+
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk(_emb(spark, sf_dir), QUERY_IDS, k=5, n_probe=IVF_N_PROBE)
+
+
+# The oracle reproduces the full IVF path: component-wise centroid
+# averages (rounded to CENTROID_SCALE so cross-engine summation order
+# cannot diverge), per-query centroid ranking, candidate restriction to
+# the n_probe nearest cells, exact cosine within them.
+register("ann_topk_ivf", ann_topk_ivf, f"""
+WITH e AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+flat AS (
+    SELECT label, i, v[i] AS x
+    FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         UNNEST(generate_series(1, len(v))) AS t(i)
+),
+cent AS (
+    SELECT label AS cl,
+           list(round(CAST(cx AS DOUBLE), {CENTROID_SCALE}) ORDER BY i) AS cv
+    FROM (SELECT label, i, AVG(x) AS cx FROM flat GROUP BY label, i)
+    GROUP BY label
+),
+centn AS (SELECT cl, cv, sqrt(list_dot_product(cv, cv)) AS c_nrm FROM cent),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id IN ({_IDS})),
+probe AS (
+    SELECT query_id, cl, qv, qn FROM (
+        SELECT q.query_id, c.cl, q.qv, q.qn,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(CAST(list_dot_product(q.qv, c.cv)
+                                       / (q.qn * c.c_nrm) AS DOUBLE), 6) DESC,
+                            c.cl) AS pr
+        FROM q CROSS JOIN centn c
+        WHERE q.qn > 0 AND c.c_nrm > 0
+    ) WHERE pr <= {IVF_N_PROBE}
+),
+scored AS (
+    SELECT p.query_id, e.vec_id,
+           round(CAST(list_dot_product(p.qv, e.v) / (p.qn * e.nrm) AS DOUBLE), 6) AS cosine
+    FROM e JOIN probe p ON e.label = p.cl
+    WHERE e.vec_id <> p.query_id AND e.nrm > 0
+)
+SELECT query_id, rank, vec_id, cosine FROM (
+    SELECT query_id, vec_id, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS INT) AS rank
+    FROM scored
+)
+WHERE rank <= 5
 """)
 
 

@@ -38,3 +38,26 @@ def write_summary(df: DataFrame, path: str, mode: str = "overwrite_partitions",
         w.parquet(path)
     else:
         raise ValueError(f"unknown write mode {mode!r}")
+
+
+def write_bucketed(df: DataFrame, table: str, path: str, bucket_by: str,
+                   n_buckets: int = 32,
+                   sort_by: str | None = None) -> None:
+    """Write ``df`` as an external bucketed table (hash-bucketed on
+    ``bucket_by`` into ``n_buckets`` files per partition).
+
+    Bucketing is the co-located-join lever at 100 TB: two tables
+    bucketed the same way join with ZERO shuffle (Catalyst sees the
+    matching ``HashPartitioning`` from the bucket spec -- asserted in
+    tests/test_operators.py), and bucket pruning serves point lookups
+    on the bucket key.  Requires ``saveAsTable`` (the bucket spec lives
+    in the catalog, not the parquet footer).
+    """
+    w = (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, bucket_by)
+    )
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.saveAsTable(table)

@@ -19,8 +19,12 @@ from location_summary_etl_spark.operators.snapshot import (
     latest_snapshot_join,
     latest_snapshot_window,
 )
+from location_summary_etl_spark.operators.skew import salted_join
 from location_summary_etl_spark.operators.windows import sessionize
-from location_summary_etl_spark.sources.writers import write_summary
+from location_summary_etl_spark.sources.writers import (
+    write_bucketed,
+    write_summary,
+)
 
 
 def test_asof_inclusive_and_strict(spark):
@@ -120,3 +124,44 @@ def test_writer_partition_overwrite_idempotent(spark, tmp_path):
     # partition columns come back type-inferred (DATE here)
     got = {(str(r["snap"]), r["v"]) for r in spark.read.parquet(path).collect()}
     assert got == {("2024-01-01", 1), ("2024-01-02", 99)}
+
+
+def test_salted_join_matches_plain_join(spark):
+    # Heavily skewed fact: 90% of rows share key 1.
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(90)] + [(2, i) for i in range(10)],
+        ["k", "v"],
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "unused")],
+                                ["k", "name"])
+    plain = {(r["k"], r["v"], r["name"])
+             for r in fact.join(dim, "k").collect()}
+    salted = {(r["k"], r["v"], r["name"])
+              for r in salted_join(fact, dim, "k", n_salts=4).collect()}
+    assert salted == plain
+    # left join keeps unmatched fact rows exactly once
+    fact2 = fact.union(spark.createDataFrame([(9, 0)], ["k", "v"]))
+    left = {(r["k"], r["v"], r["name"])
+            for r in salted_join(fact2, dim, "k", n_salts=4, how="left").collect()}
+    assert (9, 0, None) in left and len(left) == 101
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    orders = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a"))
+    items = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b"))
+    write_bucketed(orders, "t_orders_b", str(tmp_path / "o"), "k", 8)
+    write_bucketed(items, "t_items_b", str(tmp_path / "i"), "k", 8)
+    try:
+        left = spark.table("t_orders_b")
+        right = spark.table("t_items_b")
+        # Force the shuffle-join path so bucketing is what removes it.
+        joined = left.hint("merge").join(right, "k")
+        plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils \
+            .explainString(joined._jdf.queryExecution(), "simple")
+        assert "Exchange" not in plan, "bucketed join still shuffles:\n" + plan
+        assert joined.count() == 1000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_items_b")
