@@ -8,11 +8,19 @@ NPEs on empty input.
 
 Two formulations:
 
-* :func:`minmax_score` -- **in-plan**: the 1-row grand-total aggregate
-  is broadcast-cross-joined into the expression.  One lineage, no
-  driver round-trip, safe on empty input; the aggregate is a map-side
-  partial + 1-row final, essentially free at any scale.  This is the
-  100 TB default.
+Three formulations:
+
+* :func:`minmax_score` -- **in-plan broadcast**: the 1-row grand-total
+  aggregate is broadcast-cross-joined into the expression.  No driver
+  round-trip, safe on empty input -- but the input lineage is
+  evaluated twice (once under the aggregate, once on the probe side),
+  so use it when ``df`` is a cheap scan.
+* :func:`minmax_score_window` -- **single-lineage**: min/max via an
+  empty-partition window, so the upstream plan runs exactly once.
+  The window gathers all rows into one partition -- only correct when
+  ``df`` is already aggregate-sized (per-group summaries: |groups|
+  rows).  This is the right default for score-over-aggregate shapes
+  like the flagship.
 * :func:`minmax_score_collect` -- reference-parity collect-then-literal
   (documented for completeness; guards the empty/NPE case the
   reference would hit).
@@ -23,7 +31,7 @@ zero -> score NULL, never a crash.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -39,6 +47,17 @@ def minmax_score(df: DataFrame, col: str, out_col: str) -> DataFrame:
         df.join(F.broadcast(bounds))
         .withColumn(out_col, _score_expr(F.col(col), F.col("__mn"), F.col("__mx")))
         .drop("__mn", "__mx")
+    )
+
+
+def minmax_score_window(df: DataFrame, col: str, out_col: str) -> DataFrame:
+    """Single-lineage variant: global min/max via an empty-partition
+    window.  ``df`` must be aggregate-sized (all rows land in one
+    partition for the window pass)."""
+    w = Window.partitionBy()
+    return df.withColumn(
+        out_col,
+        _score_expr(F.col(col), F.min(col).over(w), F.max(col).over(w)),
     )
 
 

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from location_summary_etl_spark.functions.scalars import round_portable
 from location_summary_etl_spark.operators.aggregates import multi_avg
-from location_summary_etl_spark.operators.normalize import minmax_score
+from location_summary_etl_spark.operators.normalize import minmax_score_window
 from location_summary_etl_spark.operators.snapshot import (
     global_latest_filter,
     latest_snapshot_window,
@@ -175,7 +175,8 @@ LEFT JOIN (
 def nation_balance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     bal = customer.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("avg_bal"))
-    return minmax_score(bal, "avg_bal", "bal_score").select(
+    # Window form: bal is aggregate-sized; keeps the customer scan single.
+    return minmax_score_window(bal, "avg_bal", "bal_score").select(
         "c_nationkey",
         round_portable("avg_bal", 2).alias("avg_bal"),
         round_portable("bal_score", 2).alias("bal_score"),

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from location_summary_etl_spark.functions.scalars import round_portable
-from location_summary_etl_spark.operators.normalize import minmax_score
+from location_summary_etl_spark.operators.normalize import minmax_score_window
 from location_summary_etl_spark.operators.snapshot import (
     latest_snapshot_join,
     latest_snapshot_window,
@@ -66,8 +66,11 @@ def flagship_nation_summary(spark: SparkSession, sf_dir: str,
         F.avg("c_acctbal").alias("avg_acctbal")
     )
 
-    # B8: in-plan min-max score over the nation-grain averages.
-    scored = minmax_score(per_nation, "avg_order_total", "price_score")
+    # B8: min-max score over the nation-grain averages.  Window form:
+    # per_nation is aggregate-sized (|nations| rows), and the window
+    # keeps the expensive orders->customer lineage single -- the
+    # broadcast-bounds form would re-evaluate it under the bounds agg.
+    scored = minmax_score_window(per_nation, "avg_order_total", "price_score")
 
     # B13: audit snapshot date -- global max order date, in-plan.
     snap = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("snapshot_date"))

@@ -14,7 +14,10 @@ from location_summary_etl_spark.operators.multimodal import (
     attach_fake_media,
     decode_media,
 )
-from location_summary_etl_spark.operators.normalize import minmax_score
+from location_summary_etl_spark.operators.normalize import (
+    minmax_score,
+    minmax_score_window,
+)
 from location_summary_etl_spark.operators.snapshot import (
     latest_snapshot_join,
     latest_snapshot_window,
@@ -72,8 +75,15 @@ def test_sessionize_gap_boundary(spark):
 
 def test_minmax_single_group_and_negatives(spark):
     df = spark.createDataFrame([(1, -10.0), (2, 0.0), (3, 10.0)], ["id", "v"])
-    got = {r["id"]: r["s"] for r in minmax_score(df, "v", "s").collect()}
-    assert got == {1: 0.0, 2: 50.0, 3: 100.0}
+    want = {1: 0.0, 2: 50.0, 3: 100.0}
+    for fn in (minmax_score, minmax_score_window):
+        got = {r["id"]: r["s"] for r in fn(df, "v", "s").collect()}
+        assert got == want, fn.__name__
+    # max == min -> NULL score, both formulations
+    flat = spark.createDataFrame([(1, 5.0), (2, 5.0)], ["id", "v"])
+    for fn in (minmax_score, minmax_score_window):
+        got = {r["id"]: r["s"] for r in fn(flat, "v", "s").collect()}
+        assert got == {1: None, 2: None}, fn.__name__
 
 
 def test_latest_snapshot_formulations_agree_on_ties(spark):
