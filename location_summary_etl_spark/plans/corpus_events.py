@@ -49,6 +49,38 @@ GROUP BY event_type
 """)
 
 
+# Schema'd JSON parsing: from_json with an explicit struct schema
+# parses the document ONCE into a typed column (get_json_object
+# re-parses the string per extracted path -- the wrong shape when a
+# pipeline pulls several fields).  Distribution of the parsed field.
+def events_json_schema_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    parsed = ev.withColumn(
+        "p", F.from_json("props", "k INT")
+    )
+    return (
+        # floor-div, not cast(x/10 as int): DuckDB's INT cast rounds
+        # where Spark's truncates, so both sides use explicit floor.
+        parsed.withColumn("k_decile", F.floor(F.col("p.k") / 10).cast("int"))
+        .groupBy("k_decile")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(F.col("p.k")).alias("min_k"),
+            F.max(F.col("p.k")).alias("max_k"),
+        )
+    )
+
+
+register("events_json_schema_parse", events_json_schema_parse, """
+SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INT) / 10.0) AS INT) AS k_decile,
+       COUNT(*) AS n_events,
+       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events
+GROUP BY 1
+""")
+
+
 # ------------------------------------------------------------------
 # Tumbling 10-minute windows (portable epoch bucketing).
 def events_tumbling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -127,3 +127,38 @@ def register_views(spark: SparkSession, sf_dir: str,
     """Register every registry table as a temp view for spark.sql()."""
     for name in names or TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# Text formats a warehouse drop zone typically lands (the reference's
+# only source is a warehouse connector; file-format breadth is ours).
+_TEXT_FORMATS = {"csv", "json"}
+
+
+def load_table_any_format(spark: SparkSession, path: str, name: str,
+                          fmt: str = "parquet") -> DataFrame:
+    """Read a registry table from ``path`` in ``fmt`` (parquet / csv /
+    json) with the registry schema applied EXPLICITLY -- text formats
+    never go through ``inferSchema`` (inference is a full extra pass
+    over the data and types drift run-to-run; at 100 TB both are
+    disqualifying).  Parquet additionally gets the registry assertion;
+    csv/json are cast by position-free column name.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; registry has {sorted(TABLES)}")
+    schema = TABLES[name]
+    if fmt == "parquet":
+        df = spark.read.parquet(path)
+        got = {f.name: f.dataType for f in df.schema.fields}
+        want = {f.name: f.dataType for f in schema.fields}
+        if got != want:
+            raise ValueError(f"schema drift for {name}: {got} != {want}")
+    elif fmt in _TEXT_FORMATS:
+        reader = spark.read.schema(schema)
+        if fmt == "csv":
+            reader = reader.option("header", "true")
+        df = reader.format(fmt).load(path)
+    else:
+        raise ValueError(f"unsupported format {fmt!r}")
+    if name in POST_TRANSFORMS:
+        df = POST_TRANSFORMS[name](df)
+    return df

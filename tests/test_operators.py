@@ -175,3 +175,23 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_items_b")
+
+
+def test_multi_format_sources_round_trip(spark, sf_dir, tmp_path):
+    from location_summary_etl_spark.sources.registry import (
+        load_table,
+        load_table_any_format,
+    )
+
+    for name in ("nation", "orders"):
+        base = load_table(spark, sf_dir, name)
+        want = sorted(map(str, base.collect()))
+        for fmt in ("csv", "json"):
+            path = str(tmp_path / f"{name}_{fmt}")
+            w = base.write.mode("overwrite")
+            if fmt == "csv":
+                w = w.option("header", "true")
+            w.format(fmt).save(path)
+            back = load_table_any_format(spark, path, name, fmt)
+            assert back.schema == base.schema, (name, fmt)
+            assert sorted(map(str, back.collect())) == want, (name, fmt)
