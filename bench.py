@@ -80,6 +80,8 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf),
+        "method": f"min of {repeats} cold runs per query "
+                  "(cache cleared between runs), noop sink",
     }
 
     if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB") == "1":

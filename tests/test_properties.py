@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis) for the custom operators whose
+edge cases are easiest to get wrong: the as-of join is checked against
+pandas ``merge_asof`` (an independent reference implementation),
+sessionization against a straight-line Python fold, and the portable
+rounding/hash expressions against DuckDB on adversarial doubles.
+
+Spark jobs are slow per-example, so: small deadline-free settings, one
+Spark round-trip per example, tiny generated relations.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from location_summary_etl_spark.operators.asof import asof_join_backward
+from location_summary_etl_spark.operators.windows import sessionize
+
+_SETTINGS = settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_ts = st.integers(min_value=0, max_value=1_000)
+_key = st.integers(min_value=1, max_value=3)
+
+
+@given(
+    probe=st.lists(st.tuples(_key, _ts), min_size=1, max_size=15),
+    base=st.lists(st.tuples(_key, _ts), min_size=1, max_size=15),
+)
+@_SETTINGS
+def test_asof_matches_pandas_merge_asof(spark, probe, base):
+    probe_rows = [(k, t, i) for i, (k, t) in enumerate(probe)]
+    base_rows = [(k, t, 100 + i) for i, (k, t) in enumerate(base)]
+    p = spark.createDataFrame(probe_rows, ["k", "t", "pid"])
+    b = spark.createDataFrame(base_rows, ["k", "t", "val"])
+    got = {
+        r["pid"]: r["matched"]
+        for r in asof_join_backward(p, b, ["k"], "t", "t", "val",
+                                    "matched").collect()
+    }
+
+    pdf = pd.DataFrame(probe_rows, columns=["k", "t", "pid"]).sort_values("t")
+    # merge_asof needs a deterministic pick among equal (k, t) base rows;
+    # Spark's last(ignorenulls) over (t, tag) picks the LAST base row in
+    # (t, insertion) order, which for ties is the max val -- sort pandas
+    # the same way.
+    bdf = (
+        pd.DataFrame(base_rows, columns=["k", "t", "val"])
+        .sort_values(["t", "val"])
+    )
+    merged = pd.merge_asof(pdf, bdf, on="t", by="k", direction="backward")
+    want = {
+        int(r.pid): (None if pd.isna(r.val) else int(r.val))
+        for r in merged.itertuples()
+    }
+    assert got == want
+
+
+@given(
+    events=st.lists(st.tuples(_key, _ts), min_size=1, max_size=20),
+    gap=st.integers(min_value=1, max_value=200),
+)
+@_SETTINGS
+def test_sessionize_matches_sequential_fold(spark, events, gap):
+    rows = [(k, float(t), i) for i, (k, t) in enumerate(events)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "eid"])
+    got = {r["eid"]: r["session_id"]
+           for r in sessionize(df, "user_id", "ts", gap).collect()}
+
+    # Straight-line reference: sort each user's events by (ts, eid
+    # irrelevant -- ties share a session by construction) and fold.
+    want: dict[int, int] = {}
+    by_user: dict[int, list[tuple[float, int]]] = {}
+    for k, t, i in rows:
+        by_user.setdefault(k, []).append((t, i))
+    for k, evs in by_user.items():
+        evs.sort()
+        sid, prev = 0, None
+        for t, i in evs:
+            if prev is not None and t - prev > gap:
+                sid += 1
+            want[i] = sid
+            prev = t
+    assert got == want
+
+
+# Doubles that sit on rounding boundaries (x.xx5 representability).
+_adversarial = st.one_of(
+    st.floats(min_value=-1e6, max_value=1e6,
+              allow_nan=False, allow_infinity=False),
+    st.decimals(min_value=-10_000, max_value=10_000, places=3).map(float),
+)
+
+
+@given(vals=st.lists(_adversarial, min_size=1, max_size=30))
+@_SETTINGS
+def test_round_portable_matches_duckdb(spark, vals):
+    from location_summary_etl_spark.functions.scalars import round_portable
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               ["i", "v"])
+    got = {r["i"]: r["r"]
+           for r in df.select("i", round_portable("v", 2).alias("r")).collect()}
+    con = duckdb.connect()
+    want = {
+        i: con.execute("SELECT round(CAST(? AS DOUBLE), 2)", [v]).fetchone()[0]
+        for i, v in enumerate(vals)
+    }
+    assert got == pytest.approx(want)
