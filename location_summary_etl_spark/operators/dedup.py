@@ -77,8 +77,9 @@ def exact_dedup(df: DataFrame, content_cols: list[str],
 SHINGLE_NGRAM = 3  # word n-gram size for MinHash/SimHash features
 
 
-def _feature_hashes(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, distinct word-3gram shingle, h32) exploded relation -- the
+def _feature_hashes(docs: DataFrame, id_col: str, text_col: str,
+                    distinct: bool = True) -> DataFrame:
+    """(id, word-3gram shingle hash h32) exploded relation -- the
     inverted index MinHash and SimHash are built from.
 
     Shingles, not unigrams: with a small vocabulary, unigram token
@@ -86,13 +87,18 @@ def _feature_hashes(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     signature collide and the candidate-pair output quadratic. Word
     3-grams keep signatures discriminative, which is what bounds LSH
     bucket sizes (and therefore the join fan-out) at corpus scale.
+
+    ``distinct=False`` skips the dedup shuffle entirely -- correct for
+    consumers whose aggregate is duplicate-insensitive (MIN for
+    MinHash); SimHash's one-vote-per-distinct-token semantics needs
+    ``distinct=True``.
     """
-    # Hash BEFORE the distinct: the dedup shuffle then carries (id, h)
-    # longs instead of shingle strings. md5 collisions merge shingles
-    # identically in Spark and the DuckDB oracle, so parity holds.
+    # Hash BEFORE any shuffle: the relation carries (id, h) longs, not
+    # shingle strings. md5 collisions merge shingles identically in
+    # Spark and the DuckDB oracle, so parity holds.
     # Tokenize into a column FIRST: see ngrams_from_tokens on why an
     # inlined split re-evaluates per n-gram element.
-    return (
+    out = (
         docs.select(id_col, tokens(text_col).alias("_toks"))
         .select(
             id_col,
@@ -101,18 +107,20 @@ def _feature_hashes(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).alias("tok"),
         )
         .select(id_col, portable_hash32("tok").alias("h"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """One row per doc: m0..m{K-1} permutation min-hashes.
 
-    The explode -> groupBy(min) is a partial aggregate: each partition
-    emits one candidate min per doc before the shuffle.
+    One shuffle total: MIN is duplicate-insensitive, so the shingle
+    relation skips its distinct pass (the map-side partial min
+    collapses repeats anyway), and the explode -> groupBy(min) shuffle
+    carries one candidate min per (partition, doc).
     """
-    tok = _feature_hashes(docs, id_col, text_col)
+    tok = _feature_hashes(docs, id_col, text_col, distinct=False)
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME))
         .alias(f"m{i}")

@@ -28,3 +28,22 @@ def test_flagship_join_formulation_matches_window(spark, sf_dir):
     a = flagship_nation_summary(spark, sf_dir, use_window=True)
     b = flagship_nation_summary(spark, sf_dir, use_window=False)
     assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
+
+
+def test_cli_flagship_writes_partitioned_summary(spark, sf_dir, tmp_path):
+    from location_summary_etl_spark.__main__ import main
+
+    out = str(tmp_path / "summary")
+    assert main(["flagship", "--sf-dir", sf_dir, "--out", out]) == 0
+    back = spark.read.parquet(out)
+    assert back.count() == 25
+    assert "snapshot_date" in back.columns
+    # idempotent rerun: same partition replaced, no duplicates
+    assert main(["flagship", "--sf-dir", sf_dir, "--out", out]) == 0
+    assert spark.read.parquet(out).count() == 25
+
+
+def test_cli_unknown_query_is_an_error():
+    from location_summary_etl_spark.__main__ import main
+
+    assert main(["run", "no_such_query"]) == 2
