@@ -243,6 +243,45 @@ register("orders_approx_stats", orders_approx_stats, None)
 BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
+# --------------------------------------------------------------------
+# Analytic window functions (running frames + lag) -- the window-family
+# members ranking (top_orders_per_nation) doesn't cover.  One shuffle
+# on the partition key; the running frame is computed in the sorted
+# pass, no self-join.
+def customer_order_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        orders.filter(F.col("o_custkey") % 100 == 0)  # thin, deterministic slice
+        .select(
+            "o_custkey", "o_orderkey",
+            round_portable(F.sum("o_totalprice").over(running), 2)
+            .alias("running_total"),
+            F.row_number().over(w).alias("order_seq"),
+            round_portable(
+                F.col("o_totalprice")
+                - F.lag("o_totalprice", 1).over(w), 2
+            ).alias("delta_vs_prev"),
+        )
+    )
+
+
+register("customer_order_running_totals", customer_order_running_totals, """
+SELECT o_custkey, o_orderkey,
+       round(CAST(SUM(o_totalprice) OVER w_run AS DOUBLE), 2) AS running_total,
+       CAST(ROW_NUMBER() OVER w AS INT) AS order_seq,
+       round(CAST(o_totalprice - LAG(o_totalprice, 1) OVER w AS DOUBLE), 2) AS delta_vs_prev
+FROM orders
+WHERE o_custkey % 100 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""")
+
+
 def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pieces = F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)

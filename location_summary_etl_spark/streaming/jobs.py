@@ -129,6 +129,19 @@ def user_running_stats_stream(events: DataFrame,
     )
 
 
+def dedup_events_stream(events: DataFrame,
+                        watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup on event_id: dropDuplicates scoped by a
+    watermark, so the dedup state retains only ids newer than
+    (max event time - watermark) instead of growing with the stream --
+    the standard at-least-once -> effectively-once repair on an
+    unbounded ingest."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   mode: str | None = None) -> DataFrame:
     """Drain a bounded stream into an in-memory table; return the

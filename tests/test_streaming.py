@@ -88,3 +88,33 @@ def test_streaming_stateful_user_stats_matches_batch(spark, sf_dir):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_drops_replayed_events(spark, sf_dir, tmp_path):
+    """A replayed (duplicated) bounded stream dedups back to the
+    original id set via dropDuplicatesWithinWatermark."""
+    import pyspark.sql.functions as SF
+
+    from location_summary_etl_spark.streaming.jobs import dedup_events_stream
+
+    # Build a doubled copy of a slice of events in stream-readable form.
+    src = (
+        load_table(spark, sf_dir, "events")
+        .filter(SF.col("event_id") % 10 == 0)
+        # watermarks require TIMESTAMP (tz-aware); registry ts is NTZ
+        .select("event_id", SF.col("ts").cast("timestamp").alias("ts"),
+                "user_id", "event_type", "value")
+    )
+    doubled = src.unionByName(src)
+    path = str(tmp_path / "replayed")
+    doubled.write.mode("overwrite").parquet(path)
+    n_unique = src.count()
+
+    stream = (
+        spark.readStream.schema(doubled.schema).parquet(path)
+    )
+    result = run_to_memory(dedup_events_stream(stream), "dedup_out",
+                           mode="append")
+    ids = [r["event_id"] for r in result.collect()]
+    assert len(ids) == n_unique
+    assert len(set(ids)) == n_unique
