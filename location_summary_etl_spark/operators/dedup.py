@@ -98,8 +98,11 @@ def _feature_hashes(docs: DataFrame, id_col: str, text_col: str,
     # Spark and the DuckDB oracle, so parity holds.
     # Tokenize into a column FIRST: see ngrams_from_tokens on why an
     # inlined split re-evaluates per n-gram element.
+    from location_summary_etl_spark.session import ensure_parallelism
+
     out = (
-        docs.select(id_col, tokens(text_col).alias("_toks"))
+        ensure_parallelism(docs)
+        .select(id_col, tokens(text_col).alias("_toks"))
         .select(
             id_col,
             F.explode(
@@ -285,8 +288,11 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     persisted MEMORY_AND_DISK so the explode+distinct lineage runs once
     across the self-join's two sides and the per-doc counts.
     """
+    from location_summary_etl_spark.session import ensure_parallelism
+
     grams = (
-        docs.select(F.col(id_col), tokens(text_col).alias("_toks"))
+        ensure_parallelism(docs)
+        .select(F.col(id_col), tokens(text_col).alias("_toks"))
         .select(
             F.col(id_col),
             F.explode(ngrams_from_tokens(F.col("_toks"), n)).alias("g0"),
@@ -326,7 +332,9 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
     Returns (id_a, id_b, cosine >= threshold).
     """
     from location_summary_etl_spark.functions.vectors import cosine, l2_norm
+    from location_summary_etl_spark.session import ensure_parallelism
 
+    emb = ensure_parallelism(emb)
     base = emb.select(
         F.col(id_col), F.col(block_col).alias("blk"),
         F.col(vec_col).cast("array<double>").alias("v"),

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from location_summary_etl_spark.functions.scalars import round_portable
 from location_summary_etl_spark.functions.vectors import cosine, l2_norm
+from location_summary_etl_spark.session import ensure_parallelism
 
 LSH_SIGN_BITS = 6  # leading dims used as axis-aligned hyperplanes
 
@@ -60,6 +61,7 @@ def brute_force_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
 
     The query side is a broadcast of |Q| rows; scoring is map-only.
     """
+    emb = ensure_parallelism(emb)  # 1-partition small scans -> all cores
     q = _with_norm(
         emb.filter(F.col(id_col).isin(query_ids)), id_col, vec_col, "q"
     ).withColumnRenamed("q_id", "query_id")
@@ -97,6 +99,7 @@ def lsh_bucket_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
     hash-partitioned by bucket once and each query probes one
     partition, instead of scanning the full table per query.
     """
+    emb = ensure_parallelism(emb)  # 1-partition small scans -> all cores
     q = (
         _with_norm(emb.filter(F.col(id_col).isin(query_ids)),
                    id_col, vec_col, "q")
@@ -175,6 +178,7 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     never |N| x |Q|.  This is the standard IVF bargain -- recall
     bounded by n_probe/cells -- expressed entirely in DataFrame ops.
     """
+    emb = ensure_parallelism(emb)  # 1-partition small scans -> all cores
     cent = ivf_centroids(emb, label_col, vec_col)
     q = _with_norm(
         emb.filter(F.col(id_col).isin(query_ids)), id_col, vec_col, "q"
@@ -224,6 +228,7 @@ def pandas_cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     semantics as :func:`brute_force_topk`; this is the 100 TB
     throughput path when |Q| is in the hundreds+.
     """
+    emb = ensure_parallelism(emb)  # 1-partition small scans -> all cores
     import numpy as np
 
     rows = (

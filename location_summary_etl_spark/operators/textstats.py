@@ -44,7 +44,9 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id",
     # reference the materialized array instead of each re-running split
     # (see functions.texts.ngrams_from_tokens on per-expression
     # re-evaluation).
-    base = docs.select(
+    from location_summary_etl_spark.session import ensure_parallelism
+
+    base = ensure_parallelism(docs).select(
         F.col(id_col),
         F.length(text_col).alias("_chars"),
         tokens(text_col).alias("_toks"),
@@ -73,7 +75,9 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """Character-trigram language heuristic: fraction of the doc's
     trigrams that hit the English profile; >= 2% -> 'en'."""
-    base = docs.select(
+    from location_summary_etl_spark.session import ensure_parallelism
+
+    base = ensure_parallelism(docs).select(
         F.col(id_col), F.col("lang"),
         char_shingles(text_col, 3).alias("_tris"),  # build shingles once
     )
@@ -97,8 +101,11 @@ def vocab_top_tokens(docs: DataFrame, text_col: str = "text",
     top-k is a single-partition sort of |vocab| rows, not |tokens|."""
     from pyspark.sql import Window
 
+    from location_summary_etl_spark.session import ensure_parallelism
+
     df_counts = (
-        docs.select(F.explode(tokens(text_col)).alias("tok"))
+        ensure_parallelism(docs)
+        .select(F.explode(tokens(text_col)).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("n"))
     )
@@ -123,10 +130,12 @@ def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
         char_shingles(text_col, k),
         lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
     )
+    from location_summary_etl_spark.session import ensure_parallelism
+
     # Project the hash array once; array_min and array_distinct then
     # read the same materialized array instead of re-hashing every
     # shingle a second time (md5 is the dominant cost here).
-    return docs.select(F.col(id_col), hashes.alias("_h")).select(
+    return ensure_parallelism(docs).select(F.col(id_col), hashes.alias("_h")).select(
         F.col(id_col),
         F.array_min(F.col("_h")).alias("fingerprint"),
         F.size(F.array_distinct(F.col("_h"))).alias("n_distinct_shingles"),

@@ -27,6 +27,25 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def ensure_parallelism(df, min_partitions: int | None = None):
+    """Round-robin repartition a narrow relation whose scan parallelism
+    is below the session's core count, BEFORE CPU-heavy per-row work
+    (shingling, hashing, vector math) is chained onto it.
+
+    Why: a small parquet file with one row group scans as ONE partition,
+    so everything fused into that scan stage runs on one core no matter
+    how wide the machine is (measured: the whole dedup shingle pipeline
+    on 1/32 cores at sf0.1).  At production scale inputs arrive in many
+    splittable files, ``getNumPartitions() >= cores`` holds, and this is
+    a no-op -- the repartition only fires in exactly the
+    small-input/wide-machine regime where its tiny shuffle is worth it.
+    """
+    n = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def get_session(app_name: str = "location-summary-etl-spark",
                 master: str | None = None,
                 shuffle_partitions: int | None = None,
