@@ -77,10 +77,22 @@ def exact_dedup(df: DataFrame, content_cols: list[str],
 SHINGLE_NGRAM = 3  # word n-gram size for MinHash/SimHash features
 
 
-def _feature_hashes(docs: DataFrame, id_col: str, text_col: str,
-                    distinct: bool = True) -> DataFrame:
-    """(id, word-3gram shingle hash h32) exploded relation -- the
-    inverted index MinHash and SimHash are built from.
+def _tokenized(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, _toks token-array) -- tokenize once into a projected column
+    (see ngrams_from_tokens on why an inlined split re-evaluates per
+    n-gram element)."""
+    from location_summary_etl_spark.session import ensure_parallelism
+
+    return ensure_parallelism(docs).select(
+        id_col, tokens(text_col).alias("_toks")
+    )
+
+
+def _posting_hashes(docs: DataFrame, id_col: str, text_col: str,
+                    n: int = SHINGLE_NGRAM, bits: int = 32,
+                    distinct: bool = False) -> DataFrame:
+    """(id, gram hash h) posting relation: one row per word-n-gram
+    shingle occurrence, hashed to an md5-prefix long.
 
     Shingles, not unigrams: with a small vocabulary, unigram token
     *sets* are near-identical across unrelated docs, which makes every
@@ -88,42 +100,48 @@ def _feature_hashes(docs: DataFrame, id_col: str, text_col: str,
     3-grams keep signatures discriminative, which is what bounds LSH
     bucket sizes (and therefore the join fan-out) at corpus scale.
 
-    ``distinct=False`` skips the dedup shuffle entirely -- correct for
-    consumers whose aggregate is duplicate-insensitive (MIN for
-    MinHash); SimHash's one-vote-per-distinct-token semantics needs
-    ``distinct=True``.
-    """
-    # Hash BEFORE any shuffle: the relation carries (id, h) longs, not
-    # shingle strings. md5 collisions merge shingles identically in
-    # Spark and the DuckDB oracle, so parity holds.
-    # Tokenize into a column FIRST: see ngrams_from_tokens on why an
-    # inlined split re-evaluates per n-gram element.
-    from location_summary_etl_spark.session import ensure_parallelism
+    ``distinct=True`` wraps the gram array in ``array_distinct`` BEFORE
+    the explode: duplicates only ever occur *within* a doc, so per-doc
+    set semantics costs zero shuffles at any corpus size.
 
-    out = (
-        ensure_parallelism(docs)
-        .select(id_col, tokens(text_col).alias("_toks"))
-        .select(
-            id_col,
-            F.explode(
-                ngrams_from_tokens(F.col("_toks"), SHINGLE_NGRAM)
-            ).alias("tok"),
-        )
-        .select(id_col, portable_hash32("tok").alias("h"))
+    Two hard-won plan-shape rules (each measured ~6x at sf0.1):
+
+    - The hash runs AFTER the explode, on a scalar column, where md5
+      is whole-stage-codegen'd; hashing inside an array ``transform``
+      lambda evaluates interpreted per element.
+    - The gram expression is INLINED into ``explode``: exploding a
+      projected alias triggers InferFiltersFromGenerate, whose
+      ``size(..) > 0`` filter gets alias-substituted through the
+      projections by predicate pushdown and re-executes the entire
+      shingle transform (with the tokenizing split re-inlined per
+      element) against every input row.  Non-attribute generator
+      inputs are exempt from the rule.
+
+    The relation carries longs, not shingle strings, so downstream
+    shuffles move numbers; md5 collisions merge shingles identically
+    in Spark and the DuckDB oracle.
+    """
+    grams = ngrams_from_tokens(F.col("_toks"), n)
+    if distinct:
+        grams = F.array_distinct(grams)
+    hashf = portable_hash32 if bits == 32 else portable_hash60
+    return (
+        _tokenized(docs, id_col, text_col)
+        .select(F.col(id_col), F.explode(grams).alias("_g0"))
+        .select(F.col(id_col), hashf("_g0").alias("h"))
     )
-    return out.distinct() if distinct else out
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """One row per doc: m0..m{K-1} permutation min-hashes.
 
-    One shuffle total: MIN is duplicate-insensitive, so the shingle
-    relation skips its distinct pass (the map-side partial min
-    collapses repeats anyway), and the explode -> groupBy(min) shuffle
-    carries one candidate min per (partition, doc).
+    One narrow shuffle total: MIN is duplicate-insensitive, so the
+    posting relation skips any distinct pass (map-side partial min
+    collapses repeats), and the groupBy shuffle carries one 16-long
+    partial row per (partition, doc).
     """
-    tok = _feature_hashes(docs, id_col, text_col, distinct=False)
+    tok = _posting_hashes(docs, id_col, text_col, distinct=False)
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME))
         .alias(f"m{i}")
@@ -205,10 +223,16 @@ def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
 
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
-    """32-bit SimHash per doc: for each bit, distinct tokens vote
-    +1/-1; the sign becomes the bit.  One explode + one groupBy with 32
-    conditional-sum aggregates -- a single shuffle at any scale."""
-    tok = _feature_hashes(docs, id_col, text_col)
+    """32-bit SimHash per doc: for each bit, distinct shingles vote
+    +1/-1; the sign becomes the bit.
+
+    The one-vote-per-distinct-shingle set is ``array_distinct`` on the
+    doc's gram array, computed MAP-SIDE (duplicates only ever occur
+    within a doc -- no distinct shuffle); the 32 vote tallies are
+    codegen'd scalar aggregates over the exploded distinct set, one
+    narrow groupBy shuffle of 32-int partials.
+    """
+    tok = _posting_hashes(docs, id_col, text_col, distinct=True)
     # shiftright + AND, not floor(h / 2^b) % 2: the division form routes
     # through doubles (Spark "/" is FP) -- integer bit ops are ~30%
     # cheaper over K bits x all tokens.
@@ -282,42 +306,57 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
 
     Returns (id_a, id_b, jaccard >= threshold).
 
-    Scale design: n-grams are hashed to 60-bit longs BEFORE the
-    distinct, so the inverted index shuffles (id, long) pairs instead
-    of n-gram strings (~8 B vs ~25 B per posting); the index is
-    persisted MEMORY_AND_DISK so the explode+distinct lineage runs once
-    across the self-join's two sides and the per-doc counts.
+    Scale design: the per-doc distinct gram set and its size are
+    computed MAP-SIDE (``array_distinct``/``size`` on the gram array --
+    duplicates only occur within a doc), so there is no distinct
+    shuffle and no per-doc count aggregation.  Each posting row of the
+    inverted index carries its doc's count, so Jaccard is computable
+    directly on the pair aggregate with no lookup joins.  Grams are
+    hashed to 60-bit longs post-explode (codegen -- see
+    _posting_hashes), so postings shuffle ~16 B, never n-gram strings;
+    the posting relation is persisted MEMORY_AND_DISK so the
+    shingle+hash lineage runs once across the self-join's two sides.
     """
-    from location_summary_etl_spark.session import ensure_parallelism
-
-    grams = (
-        ensure_parallelism(docs)
-        .select(F.col(id_col), tokens(text_col).alias("_toks"))
+    # The count is zipped INTO the generator input (element, n) pairs:
+    # a neighbouring size(...) projection would be re-evaluated per
+    # exploded OUTPUT row (measured 15x slower), and a projected-alias
+    # array triggers InferFiltersFromGenerate (see _posting_hashes).
+    # The 3 per-doc evaluations of the gram array inside arrays_zip/
+    # array_repeat are map-side and O(grams), invisible next to either.
+    dgrams = F.array_distinct(ngrams_from_tokens(F.col("_toks"), n))
+    packed = F.explode(
+        F.arrays_zip(dgrams, F.array_repeat(F.size(dgrams), F.size(dgrams)))
+    )
+    postings = (
+        _tokenized(docs, id_col, text_col)
+        .select(F.col(id_col), packed.alias("_z"))
         .select(
             F.col(id_col),
-            F.explode(ngrams_from_tokens(F.col("_toks"), n)).alias("g0"),
+            portable_hash60(F.col("_z")["0"]).alias("g"),
+            F.col("_z")["1"].alias("n_grams"),
         )
-        .select(F.col(id_col), portable_hash60("g0").alias("g"))
-        .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    counts = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
-    left = grams.select(F.col(id_col).alias("id_a"), "g")
-    right = grams.select(F.col(id_col).alias("id_b"), "g")
+    left = postings.select(
+        F.col(id_col).alias("id_a"), "g", F.col("n_grams").alias("na")
+    )
+    right = postings.select(
+        F.col(id_col).alias("id_b"), "g", F.col("n_grams").alias("nb")
+    )
     shared = (
         left.join(right, "g")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("shared"))
+        .agg(
+            F.count("*").alias("shared"),
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
+        )
     )
-    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"))
-    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"))
     jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
-    return (
-        shared.join(ca, "id_a").join(cb, "id_b")
-        .select("id_a", "id_b", round_portable(jac, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return shared.select(
+        "id_a", "id_b", round_portable(jac, 4).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",

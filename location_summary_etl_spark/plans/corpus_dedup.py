@@ -33,7 +33,7 @@ from location_summary_etl_spark.sources.registry import load_table
 # constants.
 
 # Word-3gram shingles (SHINGLE_NGRAM) -- must mirror
-# operators.dedup._feature_hashes exactly.
+# operators.dedup._gram_hash_arrays exactly.
 _TOKENS_CTE = """
 words AS (
     SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -144,12 +144,13 @@ WITH tok AS (
     SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ),
 tri AS (
-    -- 60-bit hash of each n-gram, mirroring the Spark operator: the
-    -- inverted index carries longs, not strings, in both engines.
-    SELECT DISTINCT doc_id,
-           CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS g
+    -- Distinct on the gram STRING, then a 60-bit hash, mirroring the
+    -- Spark operator exactly (array_distinct on grams map-side, hash
+    -- post-explode): the inverted index carries longs in both engines.
+    SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS g
     FROM (
-        SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+        SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
         FROM tok, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
     )
 ),
