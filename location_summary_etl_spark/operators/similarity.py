@@ -238,7 +238,11 @@ def pandas_cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     )
     qids = np.array([r[0] for r in rows], dtype=np.int64)
     qm = np.array([r[1] for r in rows], dtype=np.float64)
-    qn = np.linalg.norm(qm, axis=1)
+    # Sequential-fold norm (see the dimension loop in score()).
+    qn2 = np.zeros(len(qids))
+    for d in range(qm.shape[1]):
+        qn2 += qm[:, d] * qm[:, d]
+    qn = np.sqrt(qn2)
     spark = emb.sparkSession
     bq = spark.sparkContext.broadcast((qids, qm, qn))
 
@@ -251,8 +255,17 @@ def pandas_cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
                 continue
             vids = pdf[id_col].to_numpy(dtype=np.int64)
             vm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            vn = np.linalg.norm(vm, axis=1)
-            dots = vm @ qm.T  # (batch, Q) -- one BLAS call per batch
+            # Dimension loop, not matmul: each pair's sum is then the
+            # same sequential left fold as the expression backend and
+            # DuckDB's list_dot_product, so cosines are bit-exact
+            # across backends (BLAS pairwise reordering is ulp-off).
+            n_dim = vm.shape[1]
+            dots = np.zeros((len(vids), len(qids)))
+            vn2 = np.zeros(len(vids))
+            for d in range(n_dim):
+                dots += np.outer(vm[:, d], qm[:, d])
+                vn2 += vm[:, d] * vm[:, d]
+            vn = np.sqrt(vn2)
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = dots / np.outer(vn, qn)
             n_b, n_q = cos.shape

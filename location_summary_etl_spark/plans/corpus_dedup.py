@@ -17,7 +17,7 @@ from location_summary_etl_spark.operators.dedup import (
     MINHASH_COEFFS,
     MINHASH_PRIME,
     SIMHASH_BITS,
-    embedding_near_dups,
+    embedding_near_dups_pandas,
     exact_dedup,
     minhash_near_dups,
     minhash_signatures,
@@ -33,7 +33,7 @@ from location_summary_etl_spark.sources.registry import load_table
 # constants.
 
 # Word-3gram shingles (SHINGLE_NGRAM) -- must mirror
-# operators.dedup._gram_hash_arrays exactly.
+# operators.dedup._posting_hashes exactly.
 _TOKENS_CTE = """
 words AS (
     SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -220,7 +220,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_near_dups(
+    # The numpy block backend: bit-exact with embedding_near_dups and
+    # the oracle (sequential-fold accumulation), ~5x faster per block.
+    return embedding_near_dups_pandas(
         load_table(spark, sf_dir, "embeddings"), threshold=0.4
     )
 

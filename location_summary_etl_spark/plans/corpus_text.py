@@ -105,16 +105,16 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("text_fingerprints", text_fingerprints, """
-WITH t AS (
+-- Docs shorter than k chars have no shingles and are dropped, same as
+-- the other shingle-based operators (explode semantics in Spark).
+WITH s AS (
     SELECT doc_id,
-           list_transform(
-               list_transform(generate_series(1, greatest(length(text) - 7, 0)),
-                              i -> substr(text, CAST(i AS INT), 8)),
-               s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hashes
-    FROM documents
+           CAST('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 1, 8)
+                AS BIGINT) AS h
+    FROM documents, UNNEST(generate_series(1, length(text) - 7)) AS t(i)
 )
 SELECT doc_id,
-       list_min(hashes) AS fingerprint,
-       len(list_distinct(hashes)) AS n_distinct_shingles
-FROM t
+       MIN(h) AS fingerprint,
+       CAST(COUNT(DISTINCT h) AS INT) AS n_distinct_shingles
+FROM s GROUP BY doc_id
 """)

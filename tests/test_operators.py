@@ -195,3 +195,35 @@ def test_multi_format_sources_round_trip(spark, sf_dir, tmp_path):
             back = load_table_any_format(spark, path, name, fmt)
             assert back.schema == base.schema, (name, fmt)
             assert sorted(map(str, back.collect())) == want, (name, fmt)
+
+
+def test_embedding_near_dup_backends_bit_identical(spark):
+    """The numpy block backend must reproduce the expression backend's
+    cosines EXACTLY (same sequential fold), including the zero-norm
+    drop and the id_a < id_b orientation."""
+    from location_summary_etl_spark.operators.dedup import (
+        embedding_near_dups,
+        embedding_near_dups_pandas,
+    )
+
+    rows = [
+        (1, [1.0, 2.0, 3.0, 0.5], 0),
+        (2, [1.0, 2.1, 2.9, 0.4], 0),
+        (3, [-1.0, 2.0, -3.0, 10.0], 0),
+        (4, [0.0, 0.0, 0.0, 0.0], 0),   # zero norm -> dropped
+        (5, [1.0, 2.0, 3.0, 0.5], 1),   # other block
+        (6, [1.0, 2.0, 3.0, 0.51], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got_expr = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dups(emb, threshold=-1.0).collect()
+    }
+    got_np = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dups_pandas(emb, threshold=-1.0).collect()
+    }
+    assert got_expr == got_np  # exact float equality, not approx
+    assert (1, 4) not in got_np and len(got_np) == 4
