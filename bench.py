@@ -57,12 +57,12 @@ def main() -> None:
     # plan, not session startup.
     qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # Two timed runs per query, cache cleared between them so every run
+    # Three timed runs per query, cache cleared between them so every run
     # recomputes from the parquet scans (operators may persist
     # intermediate relations); report the min.  The min isolates the
     # engine's cost from host-level scheduling noise, which on this box
     # can inflate a single run arbitrarily.
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     times: dict[str, float] = {}
     for name in names:
         best = float("inf")

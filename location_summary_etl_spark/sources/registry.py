@@ -103,12 +103,24 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Analyzed-DataFrame memo: (applicationId, sf_dir, name) -> DataFrame.
+# ``spark.read.parquet`` re-lists the path and re-reads footers on
+# every call -- a fixed driver-side tax per table per query.  A
+# DataFrame is an immutable logical plan, so reusing it is exactly a
+# catalog metadata cache (what any warehouse keeps); the DATA cache is
+# untouched (``spark.catalog.clearCache()`` does not invalidate this).
+_LOAD_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str,
                assert_schema: bool = True) -> DataFrame:
     """Scan one registry table. Columnar parquet read; Catalyst handles
     predicate pushdown and column pruning downstream."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; registry has {sorted(TABLES)}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key in _LOAD_MEMO:
+        return _LOAD_MEMO[key]
     # Read with the file's own (self-describing) schema, then check it
     # against the registry -- inferring nothing, trusting nothing.
     df = spark.read.parquet(table_path(sf_dir, name))
@@ -119,6 +131,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
             raise ValueError(f"schema drift for {name}: {got} != {want}")
     if name in POST_TRANSFORMS:
         df = POST_TRANSFORMS[name](df)
+    _LOAD_MEMO[key] = df
     return df
 
 
