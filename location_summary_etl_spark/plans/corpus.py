@@ -62,4 +62,5 @@ def _ensure_loaded() -> None:
         corpus_similarity,
         corpus_events,
         corpus_multimodal,
+        corpus_pipeline,
     )

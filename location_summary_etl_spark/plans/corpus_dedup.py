@@ -83,7 +83,11 @@ _EST_JACCARD = " + ".join(
     for i in range(len(MINHASH_COEFFS))
 )
 
-MINHASH_NEAR_DUP_SQL = f"""
+def minhash_near_dup_sql(threshold: float) -> str:
+    """Oracle SQL for minhash_near_dups at ``threshold`` (est Jaccard
+    is k/16 -- exact in doubles, so rounded-vs-raw comparison cannot
+    straddle the threshold in either engine)."""
+    return f"""
 WITH {_TOKENS_CTE}, {_SIG_CTE},
 bands AS (
 {_band_select('x')}
@@ -98,8 +102,11 @@ SELECT id_a, id_b,
 FROM cand
 JOIN sig sa ON cand.id_a = sa.doc_id
 JOIN sig sb ON cand.id_b = sb.doc_id
-WHERE ({_EST_JACCARD}) / {float(len(MINHASH_COEFFS))} >= 0.5
+WHERE ({_EST_JACCARD}) / {float(len(MINHASH_COEFFS))} >= {threshold}
 """
+
+
+MINHASH_NEAR_DUP_SQL = minhash_near_dup_sql(0.5)
 
 _VOTES = ",\n           ".join(
     f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"

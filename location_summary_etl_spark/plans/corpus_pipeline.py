@@ -1,0 +1,170 @@
+"""Dataset-assembly corpus: the composite queries a training-data
+pipeline runs between raw corpus and tokens -- interval joins over
+event streams, deterministic train/val splitting, sequence packing,
+and the end-to-end cleaning pipeline that chains language ID, quality
+scoring, exact dedup, and MinHash near-dup removal.
+
+These exercise operator COMPOSITION: each stage is an operator that is
+also oracle-gated on its own (corpus_text / corpus_dedup), and the
+pipeline query proves the lineages compose into one Catalyst plan with
+no driver-side materialization between stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from location_summary_etl_spark.functions.texts import STOPWORDS
+from location_summary_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dups,
+)
+from location_summary_etl_spark.operators.packing import (
+    hash_split,
+    hash_split_sql,
+    pack_sequences,
+    pack_sequences_sql,
+)
+from location_summary_etl_spark.operators.textstats import (
+    EN_TRIGRAMS,
+    lang_id,
+    token_stats,
+)
+from location_summary_etl_spark.plans.corpus import register
+from location_summary_etl_spark.plans.corpus_dedup import minhash_near_dup_sql
+from location_summary_etl_spark.sources.registry import load_table
+
+QUALITY_MIN = 38.0     # 0-100 quality floor for corpus_clean
+NEAR_DUP_EST = 0.8     # MinHash est-Jaccard above which the higher id drops
+
+
+# ------------------------------------------------- interval join (events)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per purchase: how many views the same user made in the 10
+    minutes before it (interval/band join -- §2.D 'absent' join kind).
+
+    Shape at scale: equi-join on user_id (shuffle by user) with the
+    time band as a residual predicate; per-user event counts bound the
+    fan-out, never |events|^2.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts").alias("p_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    j = purchases.join(
+        views,
+        (purchases["user_id"] == views["v_user"])
+        & (views["v_ts"] >= purchases["p_ts"] - F.expr("INTERVAL 10 MINUTES"))
+        & (views["v_ts"] < purchases["p_ts"]),
+        "left",
+    )
+    return j.groupBy("event_id", "user_id").agg(
+        F.count("v_ts").alias("n_views_10m")
+    )
+
+
+EVENTS_INTERVAL_JOIN_SQL = """
+SELECT p.event_id, p.user_id, COUNT(v.ts) AS n_views_10m
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL 10 MINUTE
+ AND v.ts < p.ts
+GROUP BY p.event_id, p.user_id
+"""
+
+
+# ------------------------------------------------------- split / packing
+def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hash_split(load_table(spark, sf_dir, "documents"))
+
+
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------- cleaning pipeline
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving (doc_id, quality_score) after the four cleaning gates:
+
+    1. language: trigram heuristic says English;
+    2. quality: score >= QUALITY_MIN;
+    3. exact dedup: doc is its content-digest group's canonical
+       (lowest) id;
+    4. near-dup: doc is not the higher id of any MinHash pair with
+       est Jaccard >= NEAR_DUP_EST.
+
+    All four gates stay in one lineage: two semi joins, one anti join,
+    no collect between stages.  Each input relation is itself an
+    oracle-gated operator (corpus_text / corpus_dedup).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lang_ok = lang_id(docs).filter(F.col("lang_guess") == "en").select("doc_id")
+    quality = token_stats(docs).filter(
+        F.col("quality_score") >= QUALITY_MIN
+    ).select("doc_id", "quality_score")
+    canonical = exact_dedup(docs, ["text"], "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    drop = minhash_near_dups(docs, threshold=NEAR_DUP_EST).select(
+        F.col("id_b").alias("doc_id")
+    )
+    return (
+        quality
+        .join(lang_ok, "doc_id", "left_semi")
+        .join(canonical, "doc_id", "left_semi")
+        .join(drop, "doc_id", "left_anti")
+    )
+
+
+_STOP_HITS = " + ".join(
+    f"len(list_filter(toks, x -> x = '{w}'))" for w in STOPWORDS
+)
+_TRI_HITS = " + ".join(
+    f"len(list_filter(tris, x -> x = '{t}'))" for t in EN_TRIGRAMS
+)
+
+CORPUS_CLEAN_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+),
+quality AS (
+    SELECT doc_id,
+           round(CAST(50.0 * len(list_distinct(toks)) / len(toks)
+                 + 50.0 * least(len(toks), 200) / 200.0 AS DOUBLE), 2)
+               AS quality_score
+    FROM toks
+),
+tri AS (
+    SELECT doc_id,
+           list_transform(generate_series(1, greatest(length(text) - 2, 0)),
+                          i -> substr(text, CAST(i AS INT), 3)) AS tris
+    FROM documents
+),
+lang_ok AS (
+    SELECT doc_id FROM tri
+    WHERE len(tris) > 0
+      AND CAST(({_TRI_HITS}) AS DOUBLE) / len(tris) >= 0.02
+),
+canonical AS (
+    SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+nd AS (
+    SELECT DISTINCT id_b FROM ({minhash_near_dup_sql(NEAR_DUP_EST)}) t
+)
+SELECT q.doc_id, q.quality_score
+FROM quality q
+WHERE q.quality_score >= {QUALITY_MIN}
+  AND q.doc_id IN (SELECT doc_id FROM lang_ok)
+  AND q.doc_id IN (SELECT doc_id FROM canonical)
+  AND q.doc_id NOT IN (SELECT id_b FROM nd)
+"""
+
+register("events_interval_join", events_interval_join, EVENTS_INTERVAL_JOIN_SQL)
+register("corpus_train_val_split", corpus_train_val_split, hash_split_sql())
+register("corpus_pack_sequences", corpus_pack_sequences, pack_sequences_sql())
+register("corpus_clean", corpus_clean, CORPUS_CLEAN_SQL)

@@ -227,3 +227,42 @@ def test_embedding_near_dup_backends_bit_identical(spark):
     }
     assert got_expr == got_np  # exact float equality, not approx
     assert (1, 4) not in got_np and len(got_np) == 4
+
+
+def test_hash_split_stability_and_ratio(spark):
+    """A doc's split must not depend on the rest of the corpus, and the
+    bucket must be the documented md5-prefix hash mod 100."""
+    from location_summary_etl_spark.operators.packing import hash_split
+
+    full = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(200)], "doc_id long, text string"
+    )
+    half = full.filter(F.col("doc_id") < 100)
+    sf = {r.doc_id: (r.bucket, r.split) for r in hash_split(full).collect()}
+    sh = {r.doc_id: (r.bucket, r.split) for r in hash_split(half).collect()}
+    assert all(sf[k] == sh[k] for k in sh)  # corpus-independent
+    trains = sum(1 for b, s in sf.values() if s == "train")
+    assert 150 < trains < 200  # ~90% of 200, hash-balanced
+    assert all((b < 90) == (s == "train") for b, s in sf.values())
+
+
+def test_pack_sequences_offsets_contiguous(spark):
+    """Within a shard, offsets are the prefix sums in id order and the
+    pack span covers exactly the doc's token range."""
+    from location_summary_etl_spark.operators.packing import pack_sequences
+
+    rows = [
+        (1, "a b c", "s1"),       # 3 toks, start 0
+        (2, "d e", "s1"),         # 2 toks, start 3
+        (3, "f g h i j", "s1"),   # 5 toks, start 5 -> crosses pack at 8
+        (10, "x y", "s2"),        # other shard restarts at 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.doc_id: r.asDict()
+           for r in pack_sequences(df, seq_len=4).collect()}
+    assert got[1]["start_offset"] == 0 and got[1]["pack_first"] == 0
+    assert got[2]["start_offset"] == 3
+    assert got[2]["pack_first"] == 0 and got[2]["pack_last"] == 1
+    assert got[3]["start_offset"] == 5
+    assert got[3]["pack_first"] == 1 and got[3]["pack_last"] == 2
+    assert got[10]["start_offset"] == 0 and got[10]["shard"] == "s2"
