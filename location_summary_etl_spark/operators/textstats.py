@@ -98,21 +98,28 @@ def vocab_top_tokens(docs: DataFrame, text_col: str = "text",
                      k: int = 20) -> DataFrame:
     """Global top-k tokens by document frequency (ties broken by token
     text).  The explode->groupBy is partial-aggregated map-side; the
-    top-k is a single-partition sort of |vocab| rows, not |tokens|."""
+    top-k is ``orderBy().limit(k)`` -> TakeOrderedAndProject, i.e. each
+    partition keeps its local top-k and the driver merges k-row heaps --
+    no partition ever holds more than k vocab rows (vs a global-window
+    row_number, which funnels the whole vocabulary through ONE
+    partition).  The rank is then re-derived over just the k survivors.
+    """
     from pyspark.sql import Window
 
     from location_summary_etl_spark.session import ensure_parallelism
 
-    df_counts = (
+    topk = (
         ensure_parallelism(docs)
         .select(F.explode(tokens(text_col)).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(k)
     )
+    # Window over <= k rows (post-limit), not the vocabulary.
     w = Window.orderBy(F.col("n").desc(), F.col("tok"))
     return (
-        df_counts.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
+        topk.withColumn("rk", F.row_number().over(w))
         .select("rk", "tok", "n")
     )
 

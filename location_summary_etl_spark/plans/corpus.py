@@ -63,4 +63,5 @@ def _ensure_loaded() -> None:
         corpus_events,
         corpus_multimodal,
         corpus_pipeline,
+        corpus_analytics,
     )
