@@ -7,8 +7,11 @@ Prints ONE JSON line:
 
 Each query executes fully via the noop sink (no collect/driver
 serialization in the measurement).  A DuckDB wall-clock per oracle is
-included for the 2x-of-DuckDB target (BASELINE.md) when
-SPARK_GRAFT_BENCH_DUCKDB=1.
+included for the 2x-of-DuckDB target (BASELINE.md) unless
+SPARK_GRAFT_BENCH_DUCKDB=0, plus ``spark_job_floor_sec`` -- the
+measured cost of an empty Spark job (scheduling + noop commit), i.e.
+the fixed overhead every sub-second query pays at bench scale that
+amortizes away at cluster scale.
 """
 
 from __future__ import annotations
@@ -74,17 +77,25 @@ def main() -> None:
         times[name] = round(best, 3)
         spark.catalog.clearCache()
 
+    # Fixed per-job cost: an empty query through the same noop sink.
+    floor = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        spark.range(1).write.format("noop").mode("overwrite").save()
+        floor = min(floor, time.perf_counter() - t0)
+
     out = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
         "sf": float(sf),
+        "spark_job_floor_sec": round(floor, 3),
         "method": f"min of {repeats} cold runs per query "
                   "(cache cleared between runs), noop sink",
     }
 
-    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB") == "1":
+    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0":
         import duckdb
 
         from location_summary_etl_spark.sources.registry import TABLES, table_path
