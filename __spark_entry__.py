@@ -17,6 +17,7 @@ from location_summary_etl_spark.plans.flagship import flagship_nation_summary
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    corpus._pin_session_semantics(spark)
     return flagship_nation_summary(spark, "/root/testdata/sf0.001")
 
 

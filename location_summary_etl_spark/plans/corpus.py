@@ -34,9 +34,35 @@ def register(name: str, fn: Callable[[SparkSession, str], DataFrame],
     _REGISTRY[name] = (fn, sql)
 
 
+def _pin_session_semantics(spark: SparkSession) -> None:
+    """Pin the runtime confs our query semantics assume on a session we
+    did not build (the driver passes its own).  UTC makes event-time
+    bucketing/windowing match the DuckDB oracle on naive timestamps;
+    Arrow keeps the pandas-UDF paths on the vectorized transfer.  Both
+    are runtime SQL confs -- safe to set post-construction."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # events.parquet stores TIMESTAMP(NANOS), which the vanilla parquet
+    # reader REJECTS (PARQUET_TYPE_ILLEGAL) -- without this, a bare
+    # session cannot scan the events table at all.  The registry
+    # converts the raw nanos to timestamps with integer arithmetic
+    # (sources/registry.py POST_TRANSFORMS).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def _pinned(fn: Callable[[SparkSession, str], DataFrame]
+            ) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _pin_session_semantics(spark)
+        return fn(spark, sf_dir)
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_loaded()
-    return {name: fn for name, (fn, _sql) in _REGISTRY.items()}
+    return {name: _pinned(fn) for name, (fn, _sql) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -103,13 +103,19 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-# Analyzed-DataFrame memo: (applicationId, sf_dir, name) -> DataFrame.
+# Analyzed-DataFrame memo: (session, appId, sf_dir, name) -> DataFrame.
 # ``spark.read.parquet`` re-lists the path and re-reads footers on
 # every call -- a fixed driver-side tax per table per query.  A
 # DataFrame is an immutable logical plan, so reusing it is exactly a
 # catalog metadata cache (what any warehouse keeps); the DATA cache is
 # untouched (``spark.catalog.clearCache()`` does not invalidate this).
-_LOAD_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+# The SESSION must be part of the key: ``spark.newSession()`` shares
+# the applicationId but owns a separate catalog, and a DataFrame built
+# on one session registers temp views into THAT session -- reusing it
+# across sessions silently strands views in the wrong catalog.  id()
+# is stable here because the memoized DataFrame holds a reference to
+# its session, keeping it alive.
+_LOAD_MEMO: dict[tuple[int, str, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str,
@@ -118,7 +124,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str,
     predicate pushdown and column pruning downstream."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; registry has {sorted(TABLES)}")
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    key = (id(spark), spark.sparkContext.applicationId, sf_dir, name)
     if key in _LOAD_MEMO:
         return _LOAD_MEMO[key]
     # Read with the file's own (self-describing) schema, then check it
