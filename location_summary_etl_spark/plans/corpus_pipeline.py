@@ -20,6 +20,7 @@ from location_summary_etl_spark.operators.dedup import (
     exact_dedup,
     minhash_near_dups,
 )
+from location_summary_etl_spark.operators.graph import connected_components
 from location_summary_etl_spark.operators.packing import (
     hash_split,
     hash_split_sql,
@@ -121,6 +122,40 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------- dedup clustering
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every doc's near-dup cluster id = min doc_id of its transitive
+    MinHash-pair component (self if no near-dups).  Iterative min-label
+    propagation (operators/graph.py) -- the one corpus algorithm that
+    is a driver-side loop of DataFrame rounds rather than a single
+    plan; the oracle is the equivalent recursive-CTE closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(docs, threshold=0.5)
+    return connected_components(
+        docs, pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+pairs AS (SELECT id_a, id_b FROM ({minhash_near_dup_sql(0.5)}) t),
+edges(a, b) AS (
+    SELECT id_a, id_b FROM pairs
+    UNION ALL
+    SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT d.doc_id,
+       LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster_id
+FROM documents d LEFT JOIN reach r ON d.doc_id = r.a
+GROUP BY d.doc_id
+"""
+
+
 _STOP_HITS = " + ".join(
     f"len(list_filter(toks, x -> x = '{w}'))" for w in STOPWORDS
 )
@@ -168,3 +203,4 @@ register("events_interval_join", events_interval_join, EVENTS_INTERVAL_JOIN_SQL)
 register("corpus_train_val_split", corpus_train_val_split, hash_split_sql())
 register("corpus_pack_sequences", corpus_pack_sequences, pack_sequences_sql())
 register("corpus_clean", corpus_clean, CORPUS_CLEAN_SQL)
+register("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_SQL)

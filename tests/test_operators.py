@@ -266,3 +266,18 @@ def test_pack_sequences_offsets_contiguous(spark):
     assert got[3]["start_offset"] == 5
     assert got[3]["pack_first"] == 1 and got[3]["pack_last"] == 2
     assert got[10]["start_offset"] == 0 and got[10]["shard"] == "s2"
+
+
+def test_connected_components_chain_and_isolated(spark):
+    """A 4-chain (diameter > 1 round), a 2-cycle, and an isolated
+    vertex: labels converge to the component minimum for all three."""
+    from location_summary_etl_spark.operators.graph import connected_components
+
+    vertices = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]],
+                                     "id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10)], "a long, b long"
+    )
+    got = {r.id: r.cluster_id
+           for r in connected_components(vertices, edges, "id", "a", "b").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
