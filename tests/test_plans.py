@@ -98,3 +98,28 @@ def test_dedup_self_joins_are_equi_joins(spark, sf_dir, name):
     plan = plan_of(spark, name, sf_dir, mode="simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_partitioned_sink_readback_prunes_partitions(spark, sf_dir, tmp_path):
+    """A filter on the partition key of our partitioned sink output must
+    become a PartitionFilter (directory pruning), not a data filter --
+    at 100 TB this is the difference between listing one day's files
+    and scanning the lake."""
+    from pyspark.sql import functions as F
+
+    from location_summary_etl_spark.sources.writers import write_summary
+
+    path = str(tmp_path / "part_summary")
+    df = spark.createDataFrame(
+        [("2024-01-01", i) for i in range(5)]
+        + [("2024-01-02", i) for i in range(5)],
+        ["snap", "v"],
+    )
+    write_summary(df, path, partition_by=["snap"])
+    back = spark.read.parquet(path).filter(F.col("snap") == "2024-01-02")
+    plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted"
+    )
+    m = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert m and "snap" in m[0], f"partition filter not pruned: {plan}"
+    assert back.count() == 5
