@@ -46,6 +46,29 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     return df
 
 
+def filter_behind_barrier(df, cond):
+    """Filter on expensive DERIVED columns without re-evaluating them.
+
+    ``df.filter(cond)`` where ``cond`` references computed columns lets
+    PushDownPredicates substitute the full defining expressions into
+    the scan as a duplicated data filter -- for array-building
+    expressions (tokenize, shingles) that re-runs the heavy work per
+    gate (measured 17x on corpus_clean's language gate: 9.5s vs 0.6s
+    at sf0.1).  A nondeterministic column in a projection blocks all
+    predicate pushdown through it, and the always-true guard keeps
+    ColumnPruning from deleting the column (which would re-enable the
+    pushdown).  Result rows are identical; only the plan shape changes.
+    """
+    from pyspark.sql import functions as F
+
+    b = "_pushdown_barrier"
+    return (
+        df.withColumn(b, F.rand(7))
+        .filter(cond & (F.col(b) >= F.lit(-1.0)))  # rand() in [0,1): always true
+        .drop(b)
+    )
+
+
 def get_session(app_name: str = "location-summary-etl-spark",
                 master: str | None = None,
                 shuffle_partitions: int | None = None,

@@ -281,3 +281,30 @@ def test_connected_components_chain_and_isolated(spark):
     got = {r.id: r.cluster_id
            for r in connected_components(vertices, edges, "id", "a", "b").collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_filter_behind_barrier_same_rows_no_scan_reeval(spark, tmp_path):
+    """filter_behind_barrier returns the same rows as a plain filter but
+    keeps the derived expression OUT of the scan's data filters (no
+    per-gate re-evaluation of the heavy expression)."""
+    from location_summary_etl_spark.session import filter_behind_barrier
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "w " * (i % 7 + 1)) for i in range(100)], "id long, text string"
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    derived = df.select(
+        "id", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    cond = F.col("n_toks") >= 5
+    plain = {r.id for r in derived.filter(cond).collect()}
+    behind = filter_behind_barrier(derived, cond)
+    assert {r.id for r in behind.collect()} == plain
+    plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        behind._jdf.queryExecution(), "formatted"
+    )
+    # split() must appear exactly once -- in the Project, never
+    # duplicated into the scan's data filters (the un-barriered plan
+    # shows it twice: once in DataFilters, once in the projection).
+    assert plan.count("split(") == 1, plan
