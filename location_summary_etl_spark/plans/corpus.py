@@ -90,4 +90,5 @@ def _ensure_loaded() -> None:
         corpus_multimodal,
         corpus_pipeline,
         corpus_analytics,
+        corpus_ranking,
     )
