@@ -9,7 +9,9 @@ dynamic partition overwrite); plain append is available for parity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_summary(df: DataFrame, path: str, mode: str = "overwrite_partitions",
@@ -38,6 +40,68 @@ def write_summary(df: DataFrame, path: str, mode: str = "overwrite_partitions",
         w.parquet(path)
     else:
         raise ValueError(f"unknown write mode {mode!r}")
+
+
+def sink_partition_values(spark: SparkSession, path: str,
+                          partition_col: str, cast_to: str | None = None) -> list:
+    """Distinct values of ``partition_col`` already present in a
+    partitioned parquet sink ([] if the sink does not exist yet).
+
+    Partition-column values come from directory names, so the scan's
+    ReadSchema is empty -- this reads file listings, not data, and its
+    cost is O(#files), independent of row count.  ``cast_to`` undoes
+    partition-type inference (a ``2024-01-01`` directory reads back as
+    DATE; cast it to the source column's dtype so comparisons are
+    same-typed)."""
+    try:
+        col = F.col(partition_col)
+        if cast_to:
+            col = col.cast(cast_to)
+        rows = spark.read.parquet(path).select(col.alias("p")).distinct().collect()
+    except AnalysisException:
+        return []
+    return [r["p"] for r in rows]
+
+
+def incremental_update(spark: SparkSession, source_df: DataFrame, path: str,
+                       partition_col: str,
+                       mode: str = "newer_than_max") -> DataFrame:
+    """Incrementally maintain a partitioned summary sink: write only the
+    partitions the sink is missing, as one idempotent dynamic-partition
+    overwrite.  Returns the delta DataFrame that was written.
+
+    - ``newer_than_max``: high-water-mark ingestion -- process source
+      rows whose partition value exceeds the sink's max.  O(1) state
+      (one scalar), the right default for append-only date-partitioned
+      feeds.  Late rows landing in an already-written partition are NOT
+      picked up (reprocess that partition explicitly: filter the source
+      to it and ``write_summary`` -- dynamic overwrite replaces exactly
+      it).
+    - ``missing_partitions``: backfill -- process partitions absent from
+      the sink, wherever the holes are.  State is the sink's partition
+      list (thousands of values at most, bounded by layout not rows),
+      applied as an ``isin`` filter.
+
+    At 100 TB the whole point is the filter lands on the SOURCE's
+    partition column: for a partitioned source it becomes a
+    PartitionFilter (directory pruning -- asserted in
+    tests/test_plans.py), so an incremental run lists one day's files
+    instead of scanning the lake.  Re-runs are no-ops: the delta is
+    empty once the sink is caught up, and a crashed run re-derives the
+    same delta (state lives in the sink layout, not a side channel).
+    """
+    src_type = dict(source_df.dtypes)[partition_col]
+    existing = sink_partition_values(spark, path, partition_col, cast_to=src_type)
+    if not existing:
+        delta = source_df
+    elif mode == "newer_than_max":
+        delta = source_df.filter(F.col(partition_col) > F.lit(max(existing)))
+    elif mode == "missing_partitions":
+        delta = source_df.filter(~F.col(partition_col).isin(existing))
+    else:
+        raise ValueError(f"unknown incremental mode {mode!r}")
+    write_summary(delta, path, partition_by=[partition_col])
+    return delta
 
 
 def write_bucketed(df: DataFrame, table: str, path: str, bucket_by: str,

@@ -136,6 +136,60 @@ def test_writer_partition_overwrite_idempotent(spark, tmp_path):
     assert got == {("2024-01-01", 1), ("2024-01-02", 99)}
 
 
+def test_incremental_update_high_water_mark(spark, tmp_path):
+    from location_summary_etl_spark.sources.writers import incremental_update
+
+    path = str(tmp_path / "inc")
+    src1 = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-02", 2)], ["snap", "v"]
+    )
+    d1 = incremental_update(spark, src1, path, "snap")
+    assert d1.count() == 2  # empty sink: everything is new
+    # Source grows by two days; only those are written.
+    src2 = src1.union(
+        spark.createDataFrame(
+            [("2024-01-03", 3), ("2024-01-04", 4)], ["snap", "v"]
+        )
+    )
+    d2 = incremental_update(spark, src2, path, "snap")
+    assert {r["snap"] for r in d2.select("snap").distinct().collect()} == {
+        "2024-01-03", "2024-01-04",
+    }
+    # Caught up: the re-run delta is empty and the sink is unchanged.
+    assert incremental_update(spark, src2, path, "snap").count() == 0
+    got = {(str(r["snap"]), r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {("2024-01-01", 1), ("2024-01-02", 2),
+                   ("2024-01-03", 3), ("2024-01-04", 4)}
+
+
+def test_incremental_update_backfills_missing_partitions(spark, tmp_path):
+    from location_summary_etl_spark.sources.writers import (
+        incremental_update,
+        write_summary,
+    )
+
+    path = str(tmp_path / "inc_holes")
+    # Sink has days 1 and 3 -- day 2 is a hole the high-water mark
+    # cannot see.
+    write_summary(
+        spark.createDataFrame(
+            [("2024-01-01", 1), ("2024-01-03", 3)], ["snap", "v"]
+        ),
+        path,
+        partition_by=["snap"],
+    )
+    src = spark.createDataFrame(
+        [("2024-01-01", 99), ("2024-01-02", 2), ("2024-01-03", 99)],
+        ["snap", "v"],
+    )
+    delta = incremental_update(spark, src, path, "snap",
+                               mode="missing_partitions")
+    assert [str(r["snap"]) for r in delta.collect()] == ["2024-01-02"]
+    # Existing partitions kept their original rows (not the 99s).
+    got = {(str(r["snap"]), r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {("2024-01-01", 1), ("2024-01-02", 2), ("2024-01-03", 3)}
+
+
 def test_salted_join_matches_plain_join(spark):
     # Heavily skewed fact: 90% of rows share key 1.
     fact = spark.createDataFrame(

@@ -123,3 +123,33 @@ def test_partitioned_sink_readback_prunes_partitions(spark, sf_dir, tmp_path):
     m = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert m and "snap" in m[0], f"partition filter not pruned: {plan}"
     assert back.count() == 5
+
+
+def test_incremental_delta_prunes_source_partitions(spark, tmp_path):
+    """incremental_update's high-water filter must reach the SOURCE
+    scan as a PartitionFilter when the source is date-partitioned --
+    the property that makes an incremental run list one day's files
+    instead of scanning the lake."""
+    from location_summary_etl_spark.sources.writers import (
+        incremental_update,
+        write_summary,
+    )
+
+    src_path = str(tmp_path / "src")
+    sink_path = str(tmp_path / "sink")
+    days = [("2024-01-0%d" % d, i) for d in (1, 2, 3) for i in range(4)]
+    write_summary(spark.createDataFrame(days, ["snap", "v"]),
+                  src_path, partition_by=["snap"])
+    src = spark.read.parquet(src_path)
+    # Seed the sink with day 1 only, then run incrementally.
+    write_summary(src.filter("snap = '2024-01-01'"), sink_path,
+                  partition_by=["snap"])
+    delta = incremental_update(spark, src, sink_path, "snap")
+    plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        delta._jdf.queryExecution(), "formatted"
+    )
+    pf = [l for l in plan.splitlines()
+          if "PartitionFilters" in l and "snap" in l and src_path in plan]
+    assert pf, f"high-water filter did not prune source partitions: {plan}"
+    assert {str(r["snap"]) for r in delta.select("snap").distinct().collect()} \
+        == {"2024-01-02", "2024-01-03"}
