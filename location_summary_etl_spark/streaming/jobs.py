@@ -142,6 +142,40 @@ def dedup_events_stream(events: DataFrame,
     )
 
 
+def purchase_view_join_stream(events: DataFrame,
+                              band: str = "10 minutes",
+                              watermark: str = "30 minutes") -> DataFrame:
+    """Stream-stream self-join: each purchase paired with the same
+    user's views in the ``band`` before it (the streaming form of the
+    batch ``events_interval_join``, corpus_pipeline.py).
+
+    Both sides carry a watermark and the join condition includes a
+    time RANGE on the two event-time columns -- that pair is what lets
+    Spark compute a state-eviction bound: a buffered view can be
+    dropped once the purchase-side watermark passes (v_ts + band), so
+    join state tracks the band + watermark span, not the stream
+    length.  Without the range condition, both sides buffer forever --
+    the difference between a job that runs for months and one that
+    OOMs in an hour on an unbounded ingest."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", watermark)
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        (purchases["user_id"] == views["v_user"])
+        & (views["v_ts"] >= purchases["p_ts"] - F.expr(f"INTERVAL {band}"))
+        & (views["v_ts"] < purchases["p_ts"]),
+        "inner",
+    ).select("event_id", "user_id", "p_ts", "v_ts")
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   mode: str | None = None) -> DataFrame:
     """Drain a bounded stream into an in-memory table; return the

@@ -136,6 +136,33 @@ def test_writer_partition_overwrite_idempotent(spark, tmp_path):
     assert got == {("2024-01-01", 1), ("2024-01-02", 99)}
 
 
+def test_scrub_pii_redacts_and_counts(spark):
+    from location_summary_etl_spark.functions.texts import pii_counts, scrub_pii
+
+    rows = [
+        (1, "mail bob.smith+x@corp.example.com or call +1 (302) 555-0142"),
+        (2, "ssn 123-45-6789 from host 192.168.0.17"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    counts = pii_counts("text")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            scrub_pii("text").alias("clean"),
+            *[c.alias(k) for k, c in counts.items()],
+        ).collect()
+    }
+    assert out[1]["clean"] == "mail <EMAIL> or call <PHONE>"
+    assert (out[1]["email"], out[1]["phone"]) == (1, 1)
+    assert out[2]["clean"] == "ssn <SSN> from host <IPV4>"
+    # specific kinds win over the broad phone pattern
+    assert (out[2]["ssn"], out[2]["ipv4"], out[2]["phone"]) == (1, 1, 0)
+    assert out[3]["clean"] == rows[2][1]
+    assert sum(out[3][k] for k in ("email", "phone", "ssn", "ipv4")) == 0
+
+
 def test_incremental_update_high_water_mark(spark, tmp_path):
     from location_summary_etl_spark.sources.writers import incremental_update
 

@@ -125,6 +125,48 @@ def test_partitioned_sink_readback_prunes_partitions(spark, sf_dir, tmp_path):
     assert back.count() == 5
 
 
+def test_runtime_bloom_filter_reaches_fact_scan(spark, sf_dir):
+    """Spark's runtime bloom-filter rule (on by default in our session)
+    must inject a might_contain semi-filter on the FACT side of a
+    shuffle join whose dim side carries a selective filter.  At bench
+    scale the 10 GiB application-side threshold suppresses it, so this
+    test lowers the thresholds to reproduce the 100 TB shape: lineitem
+    is then pre-filtered to urgent orders' keys BEFORE the join
+    exchange, cutting the shuffled bytes by the filter's selectivity."""
+    from pyspark.sql import functions as F
+
+    from location_summary_etl_spark.sources.registry import load_table
+
+    overrides = {
+        # force the shuffle join a 100 TB fact table would get
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+            "l_orderkey", "l_quantity", "o_totalprice"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        bloom = [l for l in plan.splitlines()
+                 if "might_contain" in l and "l_orderkey" in l]
+        assert bloom, f"no runtime bloom filter on the fact scan: {plan}"
+        assert j.count() > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_incremental_delta_prunes_source_partitions(spark, tmp_path):
     """incremental_update's high-water filter must reach the SOURCE
     scan as a PartitionFilter when the source is date-partitioned --

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from location_summary_etl_spark.operators.windows import tumbling_bucket
 from location_summary_etl_spark.sources.registry import load_table
 from location_summary_etl_spark.streaming.jobs import (
+    purchase_view_join_stream,
     read_events_stream,
     run_to_memory,
     session_stats_stream,
@@ -118,3 +119,32 @@ def test_streaming_dedup_drops_replayed_events(spark, sf_dir, tmp_path):
     ids = [r["event_id"] for r in result.collect()]
     assert len(ids) == n_unique
     assert len(set(ids)) == n_unique
+
+
+def test_streaming_join_matches_batch_interval_join(spark, sf_dir):
+    """Stream-stream purchase/view band join == the batch inner join
+    with the identical condition (pair-for-pair)."""
+    stream = read_events_stream(spark, sf_dir)
+    result = run_to_memory(
+        purchase_view_join_stream(stream), "ss_join_out", mode="append"
+    )
+    got = {
+        (r["event_id"], r["v_ts"]) for r in result.collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    batch = purchases.join(
+        views,
+        (purchases["user_id"] == views["v_user"])
+        & (views["v_ts"] >= purchases["p_ts"] - F.expr("INTERVAL 10 MINUTES"))
+        & (views["v_ts"] < purchases["p_ts"]),
+    )
+    want = {(r["event_id"], r["v_ts"]) for r in batch.collect()}
+    assert got, "stream-stream join produced no pairs"
+    assert got == want
