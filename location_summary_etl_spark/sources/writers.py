@@ -104,6 +104,70 @@ def incremental_update(spark: SparkSession, source_df: DataFrame, path: str,
     return delta
 
 
+def write_sorted(df: DataFrame, path: str, sort_col: str,
+                 n_files: int | None = None) -> None:
+    """Write parquet range-clustered and sorted on ``sort_col``.
+
+    ``repartitionByRange`` gives every output file a disjoint value
+    range, and the within-partition sort gives every parquet ROW GROUP
+    inside a file disjoint min/max stats (asserted from the footers in
+    tests/test_operators.py).  A later range/point filter on
+    ``sort_col`` then skips whole files and row groups at scan time via
+    predicate pushdown -- the poor man's clustered index, and the main
+    data-skipping lever parquet offers at 100 TB.  The range exchange
+    samples the column to balance output sizes, so skew in ``sort_col``
+    spreads across files instead of hot-spotting one."""
+    n = n_files or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    (
+        df.repartitionByRange(int(n), F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def compact_partitions(spark: SparkSession, path: str, partition_col: str,
+                       files_per_partition: int = 1) -> None:
+    """Rewrite a partitioned sink so each partition holds at most
+    ``files_per_partition`` files.
+
+    Incremental appends leave a partition with one file per writing
+    task; at 100 TB the resulting millions of small files dominate
+    scan cost (open/seek per file, tiny row groups, NameNode/listing
+    pressure).  Compaction is one shuffle keyed on (partition, salt):
+    every row of a partition lands in at most ``files_per_partition``
+    tasks.  Spark cannot overwrite a path it is reading, so this uses
+    the standard rewrite-then-swap: write the compacted layout to a
+    sibling directory, then atomically rename it over the original via
+    the Hadoop FileSystem API (atomic on local/HDFS; on S3 a rename is
+    a copy -- front it with a catalog/manifest there).  Readers see
+    either the old layout or the new one, with a brief window where a
+    new listing fails between delete and rename.  Run it on cold
+    partitions (the high-water mark never rewrites them again)."""
+    df = spark.read.parquet(path)
+    keys = [F.col(partition_col)]
+    if files_per_partition > 1:
+        # row-level salt (NOT a function of the partition value, which
+        # would be constant within a partition): spread each partition
+        # across exactly k shuffle groups.
+        keys.append(F.spark_partition_id() % files_per_partition)
+    tmp = path.rstrip("/") + "__compacting"
+    (
+        df.repartition(*keys)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(tmp)
+    )
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    src = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = dst.getFileSystem(hconf)
+    fs.delete(dst, True)
+    if not fs.rename(src, dst):
+        raise IOError(f"compaction swap failed: rename {tmp} -> {path}")
+
+
 def write_bucketed(df: DataFrame, table: str, path: str, bucket_by: str,
                    n_buckets: int = 32,
                    sort_by: str | None = None) -> None:

@@ -217,6 +217,60 @@ def test_incremental_update_backfills_missing_partitions(spark, tmp_path):
     assert got == {("2024-01-01", 1), ("2024-01-02", 2), ("2024-01-03", 3)}
 
 
+def test_write_sorted_gives_disjoint_rowgroup_ranges(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from location_summary_etl_spark.sources.writers import write_sorted
+
+    path = str(tmp_path / "sorted")
+    df = spark.range(0, 20_000).selectExpr(
+        "id", "cast(id * 37 % 20011 as bigint) as k", "id * 2.5 as v"
+    )
+    write_sorted(df, path, "k", n_files=4)
+    # Every row group's [min, max] on k must be disjoint from every
+    # other's -- the property parquet predicate pushdown skips on.
+    ranges = []
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        k_idx = md.schema.names.index("k")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(k_idx).statistics
+            ranges.append((st.min, st.max))
+    assert len(ranges) >= 4
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo, f"overlapping row-group ranges: {ranges}"
+    # content survives the re-layout
+    assert spark.read.parquet(path).count() == 20_000
+
+
+def test_compact_partitions_shrinks_file_count(spark, tmp_path):
+    import glob
+
+    from location_summary_etl_spark.sources.writers import compact_partitions
+
+    path = str(tmp_path / "compact")
+    df = spark.createDataFrame(
+        [("2024-01-0%d" % (i % 3 + 1), i) for i in range(300)], ["snap", "v"]
+    )
+    # simulate many small incremental appends: 8 writer tasks per day
+    df.repartition(8).write.partitionBy("snap").parquet(path)
+    n_before = len(glob.glob(path + "/snap=*/*.parquet"))
+    assert n_before > 3  # more than one file per partition
+    before = {(str(r["snap"]), r["v"]) for r in spark.read.parquet(path).collect()}
+    compact_partitions(spark, path, "snap")
+    files = glob.glob(path + "/snap=*/*.parquet")
+    per_dir: dict[str, int] = {}
+    for f in files:
+        d = f.rsplit("/", 2)[1]
+        per_dir[d] = per_dir.get(d, 0) + 1
+    assert per_dir and all(n == 1 for n in per_dir.values()), per_dir
+    after = {(str(r["snap"]), r["v"]) for r in spark.read.parquet(path).collect()}
+    assert after == before
+
+
 def test_salted_join_matches_plain_join(spark):
     # Heavily skewed fact: 90% of rows share key 1.
     fact = spark.createDataFrame(
