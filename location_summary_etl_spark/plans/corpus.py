@@ -91,4 +91,5 @@ def _ensure_loaded() -> None:
         corpus_pipeline,
         corpus_analytics,
         corpus_ranking,
+        corpus_behavior,
     )

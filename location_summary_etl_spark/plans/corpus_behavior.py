@@ -1,0 +1,185 @@
+"""Behavioral / pipeline-health corpus: funnel analysis, cohort
+retention, trailing time-range windows, and a data-quality audit.
+
+These are the event-analytics shapes a training-data pipeline runs
+next to its ETL (the reference has no event tooling at all -- SURVEY
+§2.D); each is oracle-paired with DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from location_summary_etl_spark.functions.scalars import round_portable
+from location_summary_etl_spark.operators.windows import epoch_seconds
+from location_summary_etl_spark.plans.corpus import register
+from location_summary_etl_spark.sources.registry import load_table
+
+
+# ------------------------------------------------------------------
+# Funnel: view -> click -> purchase, ORDER-constrained (a click only
+# counts after the user's first view; a purchase only after that
+# click).  Three aggregations and two joins, every one keyed on
+# user_id: the first groupBy's exchange establishes the partitioning
+# and AQE reuses it for the rest of the chain, so the funnel costs one
+# logical shuffle of the events table at 100 TB, not five.
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left").join(p, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_view"),
+            F.count("t_click").alias("n_view_click"),
+            F.count("t_purchase").alias("n_view_click_purchase"),
+        )
+    )
+
+
+register("events_funnel", events_funnel, """
+WITH v AS (
+    SELECT user_id, MIN(ts) AS t_view
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, MIN(e.ts) AS t_click
+    FROM events e JOIN v USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts >= v.t_view
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS t_purchase
+    FROM events e JOIN c USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+    GROUP BY e.user_id
+)
+SELECT COUNT(*) AS n_view,
+       COUNT(c.t_click) AS n_view_click,
+       COUNT(p.t_purchase) AS n_view_click_purchase
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+""")
+
+
+# ------------------------------------------------------------------
+# Cohort retention: customers grouped by first-order month, distinct
+# actives per (cohort, month offset).  The month index is the portable
+# year*12+month integer (months_between() has engine-specific
+# fractional semantics).  Both aggregations shuffle on o_custkey.
+def customer_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long").alias("m"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    return (
+        o.join(first, "o_custkey")
+        .groupBy(
+            F.col("m0").alias("cohort_month"),
+            (F.col("m") - F.col("m0")).alias("month_offset"),
+        )
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+    )
+
+
+register("customer_cohort_retention", customer_cohort_retention, """
+WITH o AS (
+    SELECT o_custkey,
+           CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m
+    FROM orders
+),
+first AS (SELECT o_custkey, MIN(m) AS m0 FROM o GROUP BY o_custkey)
+SELECT first.m0 AS cohort_month,
+       o.m - first.m0 AS month_offset,
+       COUNT(DISTINCT o.o_custkey) AS n_customers
+FROM o JOIN first USING (o_custkey)
+GROUP BY 1, 2
+""")
+
+
+# ------------------------------------------------------------------
+# Trailing time-RANGE window: per event, the count/sum of the SAME
+# user's events in the trailing 10 minutes.  Spark's rangeBetween
+# needs a numeric order key, so both engines order by fractional epoch
+# seconds (microsecond timestamps are exact in a double).  One window
+# spec -> one exchange + one sort for both aggregates.
+def events_rolling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_seconds("ts"))
+        .rangeBetween(-600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        round_portable(F.sum("value").over(w), 3).alias("sum_trailing"),
+    )
+
+
+register("events_rolling_10min", events_rolling_10min, """
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER w AS n_trailing,
+       round(CAST(SUM(value) OVER w AS DOUBLE), 3) AS sum_trailing
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+""")
+
+
+# ------------------------------------------------------------------
+# Data-quality audit: the invariant checks a pipeline runs before
+# promoting a snapshot -- key uniqueness, referential integrity
+# (orders -> customer), null counts.  Three independent single-row
+# aggregates cross-joined (each side is one row, so the joins are
+# broadcast nested loops of 1x1 -- free).  The anti join is the
+# distributed formulation of NOT EXISTS.
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    base = o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("o_totalprice").isNull(), 1)).alias("n_null_totalprice"),
+        F.count(F.when(F.col("o_orderdate").isNull(), 1)).alias("n_null_orderdate"),
+    )
+    dups = (
+        o.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.count(F.lit(1)).alias("n_dup_orderkeys"))
+    )
+    orphans = (
+        o.join(cust, o["o_custkey"] == cust["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphan_orders"))
+    )
+    return base.crossJoin(dups).crossJoin(orphans)
+
+
+register("data_quality_audit", data_quality_audit, """
+SELECT (SELECT COUNT(*) FROM orders) AS n_orders,
+       (SELECT COUNT(*) FROM orders WHERE o_totalprice IS NULL) AS n_null_totalprice,
+       (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL) AS n_null_orderdate,
+       (SELECT COUNT(*) FROM (
+            SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+        )) AS n_dup_orderkeys,
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+       ) AS n_orphan_orders
+""")
