@@ -183,3 +183,108 @@ SELECT (SELECT COUNT(*) FROM orders) AS n_orders,
         WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
        ) AS n_orphan_orders
 """)
+
+
+# ------------------------------------------------------------------
+# Gaps-and-islands: collapse each user's consecutive runs of the same
+# event_type into (run_start, run_end, run_len) rows -- the classic
+# row_number() difference trick (rn over user minus rn over
+# (user, type) is constant within a run).  Both row_numbers share the
+# (user_id, ts) sort order, so Catalyst evaluates them in ONE
+# exchange + sort; ties broken by event_id for determinism.
+def events_state_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = ev.select(
+        "user_id", "event_type", "ts",
+        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("grp"),
+    )
+    return (
+        runs.groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("ts").alias("run_start"),
+            F.max("ts").alias("run_end"),
+        )
+        .drop("grp")
+    )
+
+
+register("events_state_runs", events_state_runs, """
+WITH r AS (
+    SELECT user_id, event_type, ts,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+           AS grp
+    FROM events
+)
+SELECT user_id, event_type,
+       COUNT(*) AS run_len,
+       MIN(ts) AS run_start,
+       MAX(ts) AS run_end
+FROM r
+GROUP BY user_id, event_type, grp
+""")
+
+
+# ------------------------------------------------------------------
+# Forward fill (ignore-nulls carry-forward): annotate every event with
+# the user's most recent purchase value as of that event.  The
+# pipeline shape behind feature snapshots and sensor backfill;
+# last(col, ignorenulls=True) over a running frame is Spark's
+# LOCF.  One exchange + sort.
+def events_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "event_id", "user_id", "ts",
+        round_portable(F.last(pv, ignorenulls=True).over(w), 3)
+        .alias("last_purchase_value"),
+    )
+
+
+register("events_forward_fill", events_forward_fill, """
+SELECT event_id, user_id, ts,
+       round(CAST(last_value(
+           CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS
+       ) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 3)
+       AS last_purchase_value
+FROM events
+""")
+
+
+# ------------------------------------------------------------------
+# Multiset set-ops: EXCEPT ALL / INTERSECT ALL keep duplicate
+# cardinality (bag semantics), unlike the distinct-ifying EXCEPT /
+# INTERSECT already in the corpus.  Both arms tagged and unioned so
+# the pair verifies as one result.
+def orderdate_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_orderdate")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_orderdate")
+    return (
+        a.exceptAll(b).withColumn("op", F.lit("except_all"))
+        .unionAll(a.intersectAll(b).withColumn("op", F.lit("intersect_all")))
+    )
+
+
+register("orderdate_multiset_ops", orderdate_multiset_ops, """
+SELECT o_orderdate, 'except_all' AS op FROM (
+    SELECT o_orderdate FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_orderdate FROM orders WHERE o_orderstatus = 'F'
+)
+UNION ALL
+SELECT o_orderdate, 'intersect_all' AS op FROM (
+    SELECT o_orderdate FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_orderdate FROM orders WHERE o_orderstatus = 'F'
+)
+""")

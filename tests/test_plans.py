@@ -195,3 +195,24 @@ def test_incremental_delta_prunes_source_partitions(spark, tmp_path):
     assert pf, f"high-water filter did not prune source partitions: {plan}"
     assert {str(r["snap"]) for r in delta.select("snap").distinct().collect()} \
         == {"2024-01-02", "2024-01-03"}
+
+
+def test_state_runs_is_single_exchange(spark, sf_dir):
+    """events_state_runs layers two row_numbers (windows keyed on
+    user_id and (user_id, event_type)) plus a grouped aggregation --
+    all satisfiable by ONE hash partitioning on user_id, because a
+    subset-keyed HashPartitioning satisfies the wider clustered
+    distributions.  More than one Exchange means Catalyst stopped
+    reusing the partitioning and the query re-shuffles the events
+    table at 100 TB."""
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        df = contract.queries()["events_state_runs"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_exchange = sum(
+            1 for line in plan.splitlines() if "Exchange" in line
+        )
+        assert n_exchange == 1, f"expected 1 shuffle, got {n_exchange}:\n{plan}"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
