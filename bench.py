@@ -41,6 +41,8 @@ HEADLINE = [
     "events_tumbling_10min",
     "events_sessionization",
     "events_asof_purchase_click",
+    "events_funnel",
+    "events_state_runs",
 ]
 
 
