@@ -92,4 +92,5 @@ def _ensure_loaded() -> None:
         corpus_analytics,
         corpus_ranking,
         corpus_behavior,
+        corpus_starjoin,
     )

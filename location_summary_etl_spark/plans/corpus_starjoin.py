@@ -1,0 +1,304 @@
+"""Composite star-join analytics: multi-fact join pipelines in the
+classic TPC-H shapes (Q3 / Q5 / Q10 adapted to this star schema), plus
+statistical aggregates and struct-argmax greatest-per-group.
+
+The reference's widest plan is a chain of two-table equi-joins over
+pre-aggregated per-location frames (/root/reference/src/main/scala/
+App.scala:217-232).  These queries exercise what that shape becomes at
+warehouse scale: several large facts joined *before* aggregation, where
+join order and build-side choice dominate the runtime.
+
+Scale notes (100 TB):
+
+- **Dimension-first pruning.**  ``region_local_supplier_volume``
+  applies the region -> nation broadcast chain to ``customer`` *before*
+  the customer |><| orders shuffle, so the expensive fact-fact joins see
+  only ~1/5 of customers.  Catalyst cannot infer this reorder (the
+  filter rides a join, not a predicate), so expressing it is part of
+  the query design.
+- **Fact-fact joins shuffle on their key; everything else broadcasts.**
+  orders |><| lineitem is the one unavoidable co-partitioning
+  (bucketed layouts remove it -- sources/writers.py); nation / region /
+  supplier ride broadcast hash joins with zero shuffle.
+- **Top-k never sorts globally.**  ``orderBy().limit(k)`` compiles to
+  TakeOrderedAndProject: per-partition heaps of k rows, merged on the
+  driver -- O(n) work, no full-sort exchange.  Ties at the boundary are
+  broken by unique keys so the result SET is deterministic (the oracle
+  hash is order-insensitive but the LIMIT cut must agree).
+- **Struct-argmax.**  ``max(struct(orderingcols..., payload))`` is a
+  plain partial+final aggregate -- greatest-per-group with NO window
+  (no sort, no per-group state beyond one struct), the cheapest of the
+  three argmax formulations in operators/snapshot.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from location_summary_etl_spark.functions.scalars import round_portable
+from location_summary_etl_spark.plans.corpus import register
+from location_summary_etl_spark.sources.registry import load_table
+
+
+def _revenue() -> F.Column:
+    # built lazily: Column construction needs an active SparkContext
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# ------------------------------------------------------ Q3: shipping priority
+Q3_CUTOFF = "1998-01-01"
+Q3_SEGMENT = "BUILDING"
+
+
+def order_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 open orders by outstanding revenue (TPC-H Q3 shape):
+    BUILDING-segment customers, orders placed before the cutoff with
+    lineitems still shipping after it.  customer |><| orders shuffles on
+    custkey (AQE may demote to broadcast at small scale), the result
+    |><| lineitem on orderkey; revenue aggregates per order and a
+    TakeOrdered heap keeps 10 -- no global sort."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit(Q3_CUTOFF).cast("timestamp_ntz")
+    return (
+        customer.filter(F.col("c_mktsegment") == Q3_SEGMENT)
+        .select("c_custkey")
+        .join(
+            orders.filter(F.col("o_orderdate") < cutoff)
+            .select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            lineitem.filter(F.col("l_shipdate") > cutoff)
+            .select("l_orderkey", "l_extendedprice", "l_discount"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(round_portable(F.sum(_revenue()), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey, o_orderdate,
+       round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+  AND l_shipdate  > TIMESTAMP '{Q3_CUTOFF}'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# ------------------------------------------- Q5: local supplier volume
+Q5_REGION = "EUROPE"
+Q5_FROM, Q5_TO = "1996-01-01", "1998-01-01"
+
+
+def region_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per nation where customer and supplier share the nation
+    (TPC-H Q5 shape), one region, two-year window.  The broadcast
+    nation |><| region chain prunes ``customer`` to the region's nations
+    BEFORE the fact joins; the customer-nation = supplier-nation
+    constraint is enforced by joining supplier on (suppkey, nationkey)
+    -- a second broadcast, never a shuffle."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    region_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == Q5_REGION)),
+        nation["n_regionkey"] == region["r_regionkey"],
+    ).select("n_nationkey", "n_name")
+
+    pruned_customers = customer.select("c_custkey", "c_nationkey").join(
+        F.broadcast(region_nations),
+        customer["c_nationkey"] == region_nations["n_nationkey"],
+    )
+
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit(Q5_FROM).cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit(Q5_TO).cast("timestamp_ntz"))
+        )
+        .select("o_orderkey", "o_custkey")
+        .join(pruned_customers, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(round_portable(F.sum(_revenue()), 2).alias("revenue"))
+    )
+
+
+Q5_SQL = f"""
+SELECT n_name,
+       round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q5_FROM}'
+  AND o_orderdate <  TIMESTAMP '{Q5_TO}'
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------- Q10: returned-item losers
+Q10_FROM, Q10_TO = "1997-10-01", "1998-01-01"
+
+
+def returned_item_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by revenue on RETURNED items for one order
+    quarter (TPC-H Q10 shape).  lineitem is pre-filtered to
+    l_returnflag='R' at the scan (pushed filter), orders to the
+    quarter; the join runs on the reduced sets.  nation broadcasts;
+    the per-customer aggregate then TakeOrdered(20) by revenue with
+    the unique custkey breaking boundary ties."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(Q10_FROM).cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit(Q10_TO).cast("timestamp_ntz"))
+            ).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(round_portable(F.sum(_revenue()), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{Q10_FROM}'
+  AND o_orderdate <  TIMESTAMP '{Q10_TO}'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# -------------------------------------- statistical aggregates per segment
+def segment_order_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates per market segment: sample stddev of
+    order totals, customer-balance/order-total correlation and sample
+    covariance, urgent-order share via conditional count.  All are
+    single-pass partial+final aggregates (Welford-style merge states),
+    so the shuffle carries one state row per (partition, segment) at
+    any scale -- the same profile as a plain sum."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        customer.select("c_custkey", "c_mktsegment", "c_acctbal"),
+        orders["o_custkey"] == customer["c_custkey"],
+    )
+    n_urgent = F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1))
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        round_portable(F.stddev_samp("o_totalprice"), 4).alias("stddev_price"),
+        round_portable(F.corr("c_acctbal", "o_totalprice"), 6).alias("corr_bal_price"),
+        round_portable(F.covar_samp("c_acctbal", "o_totalprice"), 2).alias("covar_bal_price"),
+        round_portable(n_urgent / F.count("*"), 6).alias("urgent_share"),
+    )
+
+
+SEGMENT_STATS_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       round(CAST(stddev_samp(o_totalprice) AS DOUBLE), 4) AS stddev_price,
+       round(CAST(corr(c_acctbal, o_totalprice) AS DOUBLE), 6) AS corr_bal_price,
+       round(CAST(covar_samp(c_acctbal, o_totalprice) AS DOUBLE), 2) AS covar_bal_price,
+       round(CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                  AS DOUBLE) / COUNT(*), 6) AS urgent_share
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ----------------------------------- struct-argmax greatest-per-group
+def nation_top_balance_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Richest customer per nation via struct-argmax:
+    ``max(struct(c_acctbal, c_custkey, c_name))`` picks the row with
+    the greatest balance (custkey breaks ties deterministically) in ONE
+    aggregate -- no window, no sort, no self-join; the shuffle carries
+    one 3-field struct per nation per map partition.  Third formulation
+    of the reference's greatest-n-per-group (operators/snapshot.py has
+    the join and window forms; /root/reference/src/main/scala/
+    App.scala:41-48 is the join form)."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    best = (
+        customer.groupBy("c_nationkey")
+        .agg(F.max(F.struct("c_acctbal", "c_custkey", "c_name")).alias("top"))
+        .select(
+            "c_nationkey",
+            F.col("top.c_custkey").alias("c_custkey"),
+            F.col("top.c_name").alias("c_name"),
+            F.col("top.c_acctbal").alias("c_acctbal"),
+        )
+    )
+    return best.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        best["c_nationkey"] == nation["n_nationkey"],
+    ).select("n_name", "c_custkey", "c_name", "c_acctbal")
+
+
+NATION_TOP_BALANCE_SQL = """
+SELECT n_name, c_custkey, c_name, c_acctbal
+FROM (
+    SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+           row_number() OVER (PARTITION BY c_nationkey
+                              ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+    FROM customer
+) t
+JOIN nation ON c_nationkey = n_nationkey
+WHERE rn = 1
+"""
+
+
+register("order_shipping_priority", order_shipping_priority, Q3_SQL)
+register("region_local_supplier_volume", region_local_supplier_volume, Q5_SQL)
+register("returned_item_top_customers", returned_item_top_customers, Q10_SQL)
+register("segment_order_statistics", segment_order_statistics, SEGMENT_STATS_SQL)
+register("nation_top_balance_customer", nation_top_balance_customer, NATION_TOP_BALANCE_SQL)
