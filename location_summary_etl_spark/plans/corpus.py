@@ -93,4 +93,5 @@ def _ensure_loaded() -> None:
         corpus_ranking,
         corpus_behavior,
         corpus_starjoin,
+        corpus_pandas,
     )

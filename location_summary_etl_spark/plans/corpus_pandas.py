@@ -1,0 +1,144 @@
+"""Grouped pandas API surface: ``cogroup().applyInPandas`` and
+grouped-map ``applyInPandas`` with sequential (order-dependent) state.
+
+The reference never leaves built-in expressions (its only imports are
+``org.apache.spark.sql.functions`` -- /root/reference/src/main/scala/
+App.scala:4), and neither does our core corpus.  These two queries
+cover the remaining escape hatch an LLM-data pipeline needs: per-entity
+imperative logic over one or two co-partitioned inputs, Arrow-batched
+(never row-at-a-time).
+
+Scale notes (100 TB):
+
+- **Cogroup = two shuffles, total.**  Each side exchanges once on the
+  key, then each key's two frames meet in ONE Python worker call.  The
+  equivalent join-then-regroup formulation shuffles the *joined* fanout
+  (|orders_k| x |events_k| rows per key); cogroup moves each input
+  exactly once.  Skewed entities bound the per-call batch -- the frame
+  handed to Python is one key's rows, not a partition's.
+- **Sequential state stays vectorizable-adjacent.**  The EWMA fold is
+  inherently order-dependent (y_t = 0.7*y_{t-1} + 0.3*x_t), exactly
+  what built-in aggregates can't express without a closed form; per
+  group it is O(n) single-pass with O(1) state, so the cost profile
+  matches a window aggregate.  The fold arithmetic is written
+  identically to the DuckDB oracle's ``list_reduce`` lambda so both
+  engines produce the same IEEE doubles bit-for-bit before rounding.
+- Output schemas are declared as DDL strings at the operator boundary
+  -- the contract every ``applyInPandas`` caller must pin, since Arrow
+  will not infer them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from location_summary_etl_spark.plans.corpus import register
+from location_summary_etl_spark.sources.registry import load_table
+
+
+def _round_half_away(x: float, scale: int) -> float:
+    """numpy replica of functions.scalars.round_portable (C-library
+    half-away-from-zero on doubles == DuckDB round)."""
+    p = float(10 ** scale)
+    return float(np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p)
+
+
+# ------------------------------------------------- cogroup: entity profile
+COGROUP_SCHEMA = (
+    "user_id bigint, n_orders bigint, order_total double, "
+    "n_events bigint, event_value_total double"
+)
+
+
+def user_activity_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity activity profile from TWO fact tables at once:
+    orders (keyed by o_custkey) cogrouped with events (keyed by
+    user_id).  Keys present in either side appear (full-outer
+    semantics); each side's totals come from its own frame, so there is
+    no join fanout to re-aggregate away."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    events = load_table(spark, sf_dir, "events").select("user_id", "value")
+
+    def profile(key: tuple, o: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_orders": [len(o)],
+                "order_total": [_round_half_away(float(o["o_totalprice"].sum()), 2)],
+                "n_events": [len(e)],
+                "event_value_total": [_round_half_away(float(e["value"].sum()), 2)],
+            }
+        )
+
+    return (
+        orders.groupBy("o_custkey")
+        .cogroup(events.groupBy("user_id"))
+        .applyInPandas(profile, COGROUP_SCHEMA)
+    )
+
+
+COGROUP_SQL = """
+WITH o AS (
+    SELECT o_custkey AS k, COUNT(*) AS n_orders,
+           round(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS order_total
+    FROM orders GROUP BY 1
+),
+e AS (
+    SELECT user_id AS k, COUNT(*) AS n_events,
+           round(CAST(SUM(value) AS DOUBLE), 2) AS event_value_total
+    FROM events GROUP BY 1
+)
+SELECT COALESCE(o.k, e.k) AS user_id,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       COALESCE(o.order_total, 0.0) AS order_total,
+       COALESCE(e.n_events, 0) AS n_events,
+       COALESCE(e.event_value_total, 0.0) AS event_value_total
+FROM o FULL OUTER JOIN e ON o.k = e.k
+"""
+
+
+# ------------------------------------- grouped map: sequential EWMA fold
+EWMA_ALPHA = 0.3  # lambda below hard-codes 0.7/0.3: keep in sync
+EWMA_SCHEMA = "user_id bigint, n_events bigint, ewma_value double"
+
+
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final exponentially-weighted moving average of each user's event
+    values in (ts, event_id) order -- a sequential fold no built-in
+    aggregate expresses without a closed form.  One shuffle on user_id,
+    then an O(n)/O(1) scan per group in the Python worker."""
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf.sort_values(["ts", "event_id"])["value"].to_numpy()
+        acc = float(vals[0])
+        for x in vals[1:]:
+            # identical association to the oracle's list_reduce lambda
+            acc = acc * 0.7 + float(x) * 0.3
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(vals)],
+                "ewma_value": [_round_half_away(acc, 6)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandas(ewma, EWMA_SCHEMA)
+
+
+EWMA_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       round(CAST(list_reduce(list(value ORDER BY ts, event_id),
+                              (acc, x) -> acc * 0.7 + x * 0.3) AS DOUBLE), 6)
+           AS ewma_value
+FROM events
+GROUP BY user_id
+"""
+
+
+register("user_activity_cogroup", user_activity_cogroup, COGROUP_SQL)
+register("user_value_ewma", user_value_ewma, EWMA_SQL)
