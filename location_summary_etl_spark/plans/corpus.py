@@ -94,4 +94,5 @@ def _ensure_loaded() -> None:
         corpus_behavior,
         corpus_starjoin,
         corpus_pandas,
+        corpus_quantize,
     )

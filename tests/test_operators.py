@@ -443,3 +443,23 @@ def test_filter_behind_barrier_same_rows_no_scan_reeval(spark, tmp_path):
     # duplicated into the scan's data filters (the un-barriered plan
     # shows it twice: once in DataFilters, once in the projection).
     assert plan.count("split(") == 1, plan
+
+
+def test_int8_quantize_zero_vector_and_roundtrip(spark):
+    """All-zero vectors must quantize to scale 0 / zero codes (no
+    NaN from 0/0); nonzero vectors must hit |code| == 127 at the max
+    dimension and reconstruct within scale/2 per element."""
+    from location_summary_etl_spark.operators.quantize import int8_quantize
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [0.1, -0.2, 0.05])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in int8_quantize(df).collect()}
+    assert rows[1].qscale == 0.0
+    assert list(rows[1].q) == [0, 0, 0]
+    assert rows[1].q_l2sq == 0
+    assert max(abs(c) for c in rows[2].q) == 127
+    scale = rows[2].qscale
+    for x, c in zip(rows[2]._v, rows[2].q):
+        assert abs(x - c * scale) <= scale / 2 + 1e-12
