@@ -43,6 +43,10 @@ HEADLINE = [
     "events_asof_purchase_click",
     "events_funnel",
     "events_state_runs",
+    "region_local_supplier_volume",
+    "order_shipping_priority",
+    "user_value_ewma",
+    "ann_topk_quantized",
 ]
 
 

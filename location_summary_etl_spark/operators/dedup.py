@@ -150,34 +150,6 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     return tok.groupBy(id_col).agg(*aggs)
 
 
-def _band_signatures(sig: DataFrame, id_col: str) -> DataFrame:
-    """Long-form (id, m0..m{K-1}, band, band_sig) in ONE pass.
-
-    A single ``explode(array(struct...))`` instead of a 4-way
-    union-of-selects: the union shape re-evaluates the whole signature
-    lineage once per band; the explode evaluates it once and fans out
-    rows inside the same stage.  The full signature vector rides along
-    so the LSH join never has to look the signatures up again.
-    """
-    k = len(MINHASH_COEFFS)
-    bands = []
-    for b in range(LSH_BANDS):
-        cols = [f"m{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
-        bands.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *cols)).alias("band_sig"),
-            )
-        )
-    return sig.select(
-        F.col(id_col),
-        *[F.col(f"m{i}") for i in range(k)],
-        F.explode(F.array(*bands)).alias("_bs"),
-    ).select(
-        id_col, *[f"m{i}" for i in range(k)], "_bs.band", "_bs.band_sig"
-    )
-
-
 def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text",
                       threshold: float = 0.5) -> DataFrame:
@@ -186,36 +158,69 @@ def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.
 
-    Scale design: the signature table (one row of K longs per doc --
-    ~128 B/doc, so ~1.3 TB per 10B docs) is persisted MEMORY_AND_DISK
-    so the shingle explode+distinct+groupBy lineage runs exactly once;
-    the banded self-join then touches only this compact relation.  Each
-    side carries its signature vector, so est_jaccard is computed
-    directly on the join output -- no second lookup join.
+    Bucket-local pair generation, not a self-join: the banded rows
+    (one ``explode`` fans each doc's signature into its LSH_BANDS
+    buckets inside the signature stage) group ONCE by (band, band_sig)
+    and each bucket expands its own candidate pairs map-side with array
+    combinatorics -- ``transform(xs, (x,i) -> transform(slice(xs, i+2,
+    ...)))``.  vs the join formulation this removes a whole pass over
+    the signature relation (join = both sides shuffled + the signature
+    lineage persisted or recomputed) and needs no cache: one narrow
+    shuffle of (bucket, signature) rows, then pairs are born next to
+    their signatures, so est_jaccard is a ``zip_with`` on the spot.
+
+    At 100 TB each bucket's pair expansion is quadratic in its own
+    size only; discriminative band signatures (3-gram shingles, 4x32
+    bits) keep buckets tiny, and a degenerate mega-bucket (all-equal
+    boilerplate docs) is exactly the case to split out via exact dedup
+    FIRST -- the pipeline composition corpus_clean already does.
     """
     k = len(MINHASH_COEFFS)
-    sig = minhash_signatures(docs, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sig = minhash_signatures(docs, id_col, text_col)
+    sigv = sig.select(
+        F.col(id_col), F.array(*[f"m{i}" for i in range(k)]).alias("sig")
     )
-    bands = _band_signatures(sig, id_col)
-    left = bands.select(
-        F.col(id_col).alias("id_a"),
-        *[F.col(f"m{i}").alias(f"a_m{i}") for i in range(k)],
-        "band", "band_sig",
+    bands = []
+    for b in range(LSH_BANDS):
+        cols = [F.col("sig")[b * LSH_ROWS + r].cast("string")
+                for r in range(LSH_ROWS)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("band_sig"),
+            )
+        )
+    long_form = sigv.select(
+        id_col, "sig", F.explode(F.array(*bands)).alias("_bs")
+    ).select(id_col, "sig", "_bs.band", "_bs.band_sig")
+    bucketed = (
+        long_form.groupBy("band", "band_sig")
+        .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), "sig")).alias("xs"))
+        .filter(F.size("xs") >= 2)
     )
-    right = bands.select(
-        F.col(id_col).alias("id_b"),
-        *[F.col(f"m{i}").alias(f"b_m{i}") for i in range(k)],
-        "band", "band_sig",
+    pairs = bucketed.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "xs",
+                    lambda x, i: F.transform(
+                        F.slice("xs", i + 2, F.size("xs")),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
     )
-    est = sum(
-        F.when(F.col(f"a_m{i}") == F.col(f"b_m{i}"), 1).otherwise(0)
-        for i in range(k)
+    est = F.size(
+        F.filter(F.zip_with("p.a.sig", "p.b.sig", lambda x, y: x == y),
+                 lambda eq: eq)
     ) / F.lit(float(k))
     return (
-        left.join(right, ["band", "band_sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", round_portable(est, 4).alias("est_jaccard"))
+        pairs.select(
+            F.least("p.a.id", "p.b.id").alias("id_a"),
+            F.greatest("p.a.id", "p.b.id").alias("id_b"),
+            round_portable(est, 4).alias("est_jaccard"),
+        )
         .filter(F.col("est_jaccard") >= threshold)
         .distinct()
     )

@@ -78,47 +78,86 @@ def reconstruction_mse(qdf: DataFrame) -> Column:
     return F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x) / F.size("_v")
 
 
+def _np_quantize(vm):
+    """numpy replica of :func:`int8_quantize` on a (rows, dims) float64
+    matrix -> int64 codes.  Same arithmetic, element-for-element: the
+    max/divide/floor steps are single IEEE ops, so codes are identical
+    to the expression backend and the oracle."""
+    import numpy as np
+
+    mx = np.abs(vm).max(axis=1) if vm.size else np.zeros(len(vm))
+    scale = mx / 127.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        z = vm / scale[:, None]
+    q = np.sign(z) * np.floor(np.abs(z) + 0.5)
+    q = np.where(scale[:, None] == 0, 0.0, q)
+    return q.astype(np.int64), scale
+
+
 def quantized_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:
-    """Top-k neighbors by quantized cosine: integer dot product of int8
-    codes scaled into [-1, 1] by the exact integer L2 norms.
+    """Top-k neighbors by quantized cosine: integer dot products of
+    int8 codes scaled into [-1, 1] by the exact integer L2 norms.
 
-    Same broadcast-queries/map-only-scoring shape as
-    ``similarity.brute_force_topk``, but the candidate scan reads 1
-    byte/dim.  The integer dot is exact, so ranking noise comes only
-    from the two sqrt/divide steps -- computed identically in the
-    oracle, with vec_id breaking ties.
+    Arrow-batched numpy backend (the ``pandas_cosine_topk`` shape):
+    the quantized query matrix broadcasts, each candidate batch is
+    quantized and scored with ONE int64 matmul.  Integer arithmetic is
+    the parity lever -- exact dots/norms are order-independent, so
+    unlike the float path no sequential-fold discipline is needed and
+    the matmul can use any backend; only the final sqrt/divide are
+    floats, computed identically to the oracle.  (A higher-order
+    expression formulation is ~3x slower here: Catalyst evaluates
+    array lambdas interpreted, per element, per pair.)
+
+    At 100 TB the candidate scan reads 1 byte/dim -- this path exists
+    so the scan/shuffle cost rides the compressed representation.
     """
     emb = ensure_parallelism(emb)
-    qd = int8_quantize(emb, [id_col], vec_col).filter(F.col("q_l2sq") > 0)
-    queries = (
-        qd.filter(F.col(id_col).isin(query_ids))
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col("q").alias("qq"),
-            F.sqrt(F.col("q_l2sq").cast("double")).alias("q_nrm"),
-        )
+    import numpy as np
+
+    spark = emb.sparkSession
+    rows = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()  # |Q| rows by design
     )
-    cands = qd.select(
-        F.col(id_col).alias("vec_id"),
-        F.col("q").alias("cq"),
-        F.sqrt(F.col("q_l2sq").cast("double")).alias("c_nrm"),
-    )
-    dot = F.aggregate(
-        F.zip_with("qq", "cq", lambda x, y: (x.cast("bigint") * y.cast("bigint"))),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    scored = (
-        cands.join(F.broadcast(queries))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id", "vec_id",
-            round_portable(
-                dot.cast("double") / (F.col("q_nrm") * F.col("c_nrm")), 6
-            ).alias("qcosine"),
-        )
+    qids = np.array([r[0] for r in rows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    qq, _ = _np_quantize(qm)
+    qn = np.sqrt((qq * qq).sum(axis=1).astype(np.float64))
+    live = qn > 0
+    qids, qq, qn = qids[live], qq[live], qn[live]
+    bq = spark.sparkContext.broadcast((qids, qq, qn))
+
+    def score(batches):
+        import pandas as pd
+
+        qids, qq, qn = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vids = pdf[id_col].to_numpy(dtype=np.int64)
+            vm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cq, _ = _np_quantize(vm)
+            cn = np.sqrt((cq * cq).sum(axis=1).astype(np.float64))
+            dots = cq @ qq.T  # exact int64
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots.astype(np.float64) / (cn[:, None] * qn[None, :])
+            p = float(10 ** 6)
+            cos = np.sign(cos) * np.floor(np.abs(cos) * p + 0.5) / p
+            n_b, n_q = cos.shape
+            out = pd.DataFrame({
+                "query_id": np.repeat(qids, n_b),
+                "vec_id": np.tile(vids, n_q),
+                "qcosine": cos.T.reshape(-1),
+            })
+            out = out[np.isfinite(out["qcosine"])]
+            out = out[out["query_id"] != out["vec_id"]]
+            yield out
+
+    scored = emb.select(id_col, vec_col).mapInPandas(
+        score, "query_id bigint, vec_id bigint, qcosine double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("qcosine").desc(), F.col("vec_id")

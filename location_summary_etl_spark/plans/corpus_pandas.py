@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from location_summary_etl_spark.plans.corpus import register
+from location_summary_etl_spark.session import partition_for_grouped_python
 from location_summary_etl_spark.sources.registry import load_table
 
 
@@ -60,8 +61,14 @@ def user_activity_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id).  Keys present in either side appear (full-outer
     semantics); each side's totals come from its own frame, so there is
     no join fanout to re-aggregate away."""
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
-    events = load_table(spark, sf_dir, "events").select("user_id", "value")
+    orders = partition_for_grouped_python(
+        load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        "o_custkey",
+    )
+    events = partition_for_grouped_python(
+        load_table(spark, sf_dir, "events").select("user_id", "value"),
+        "user_id",
+    )
 
     def profile(key: tuple, o: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -111,7 +118,11 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     values in (ts, event_id) order -- a sequential fold no built-in
     aggregate expresses without a closed form.  One shuffle on user_id,
     then an O(n)/O(1) scan per group in the Python worker."""
-    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    events = partition_for_grouped_python(
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value"),
+        "user_id",
+    )
 
     def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
         vals = pdf.sort_values(["ts", "event_id"])["value"].to_numpy()

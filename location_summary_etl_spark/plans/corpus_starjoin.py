@@ -26,9 +26,11 @@ Scale notes (100 TB):
   broken by unique keys so the result SET is deterministic (the oracle
   hash is order-insensitive but the LIMIT cut must agree).
 - **Struct-argmax.**  ``max(struct(orderingcols..., payload))`` is a
-  plain partial+final aggregate -- greatest-per-group with NO window
-  (no sort, no per-group state beyond one struct), the cheapest of the
-  three argmax formulations in operators/snapshot.py.
+  plain partial+final aggregate -- greatest-per-group with no window
+  and no per-group state beyond one struct (SortAggregate locally,
+  since struct buffers aren't hash-aggregable, but the shuffle still
+  carries only one struct per group per partition -- the window form
+  shuffles every row).
 """
 
 from __future__ import annotations
@@ -261,11 +263,15 @@ def nation_top_balance_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Richest customer per nation via struct-argmax:
     ``max(struct(c_acctbal, c_custkey, c_name))`` picks the row with
     the greatest balance (custkey breaks ties deterministically) in ONE
-    aggregate -- no window, no sort, no self-join; the shuffle carries
-    one 3-field struct per nation per map partition.  Third formulation
-    of the reference's greatest-n-per-group (operators/snapshot.py has
-    the join and window forms; /root/reference/src/main/scala/
-    App.scala:41-48 is the join form)."""
+    partial+final aggregate.  Struct buffers compile to SortAggregate
+    (local per-partition sorts, no exchange for the partial), but the
+    decisive scale property holds: map-side combine means the shuffle
+    carries one 3-field struct per nation per map partition -- the
+    window formulation shuffles EVERY row to sort it.  Third
+    formulation of the reference's greatest-n-per-group
+    (operators/snapshot.py has the join and window forms;
+    /root/reference/src/main/scala/App.scala:41-48 is the join
+    form)."""
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     best = (

@@ -46,6 +46,25 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     return df
 
 
+def partition_for_grouped_python(df, *keys: str, min_partitions: int | None = None):
+    """Hash-partition by the grouping key at full core width before a
+    grouped-Python stage (``applyInPandas`` / ``cogroup``).
+
+    Grouped-Python stages are priced per GROUP call (pandas frame
+    construction dominates, ~1 ms/group), but AQE sizes the pre-stage
+    exchange by BYTES and coalesces a small shuffle down to a couple of
+    partitions -- serializing thousands of group calls onto two Python
+    workers (measured 1.6 s for 1500 no-op groups at sf0.1, vs ~0.1 s
+    spread wide).  An explicit keyed repartition is exempt from AQE
+    coalescing, already satisfies the stage's ClusteredDistribution
+    (no second exchange), and spreads the group calls across cores.
+    At production scale the exchange exceeds AQE's target size anyway
+    and this pins the same layout it would pick.
+    """
+    n = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *keys)
+
+
 def filter_behind_barrier(df, cond):
     """Filter on expensive DERIVED columns without re-evaluating them.
 

@@ -197,3 +197,45 @@ def run_to_memory(stream_df: DataFrame, name: str,
 
 def _has_agg(df: DataFrame) -> bool:
     return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+
+
+def foreach_batch_upsert(stream_df: DataFrame, target_path: str,
+                         checkpoint_dir: str,
+                         partition_cols: list[str]):
+    """Idempotent streaming upsert into a partitioned parquet table via
+    ``foreachBatch`` + dynamic partition overwrite.
+
+    Each micro-batch (update output mode: only the groups that changed)
+    overwrites exactly the partitions it touches, so a replayed batch
+    -- the at-least-once delivery case every checkpoint-recovery hits
+    -- rewrites the same partitions with the same content instead of
+    appending duplicates.  This is the exactly-once-effect pattern for
+    sinks with no transactional commit (plain parquet): idempotence by
+    keyed overwrite, the streaming analogue of
+    ``sources/writers.write_summary``.
+
+    CORRECTNESS REQUIREMENT: ``partition_cols`` must contain the FULL
+    grouping key of the aggregation.  Update mode emits only changed
+    groups; if a partition held several groups, overwriting it with
+    the changed subset would drop the unchanged ones.  One group per
+    partition makes overwrite == upsert.
+
+    Returns the started StreamingQuery (caller drains/stops it).
+    """
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        (
+            batch.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols)
+            .parquet(target_path)
+        )
+
+    return (
+        stream_df.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(upsert)
+        .start()
+    )

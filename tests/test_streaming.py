@@ -148,3 +148,46 @@ def test_streaming_join_matches_batch_interval_join(spark, sf_dir):
     want = {(r["event_id"], r["v_ts"]) for r in batch.collect()}
     assert got, "stream-stream join produced no pairs"
     assert got == want
+
+
+def test_streaming_foreach_batch_upsert_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch + dynamic partition overwrite: the parquet target
+    matches the batch aggregation, and replaying the whole stream into
+    the same target (fresh checkpoint = every batch redelivered) leaves
+    it unchanged -- no duplicate rows."""
+    from location_summary_etl_spark.streaming.jobs import foreach_batch_upsert
+
+    target = str(tmp_path / "target")
+
+    def run(checkpoint: str) -> None:
+        stream = read_events_stream(spark, sf_dir)
+        agg = tumbling_counts_stream(stream, "10 minutes").select(
+            F.col("window_start").cast("long").alias("ws"),
+            "event_type", "n_events",
+        )
+        q = foreach_batch_upsert(agg, target, checkpoint, ["ws", "event_type"])
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def snapshot() -> dict:
+        return {
+            (r["ws"], r["event_type"]): r["n_events"]
+            for r in spark.read.parquet(target).collect()
+        }
+
+    run(str(tmp_path / "ckpt1"))
+    got = snapshot()
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ws", tumbling_bucket("ts", 600))
+        .groupBy("ws", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    want = {(r["ws"], r["event_type"]): r["n"] for r in batch.collect()}
+    assert got == want
+
+    run(str(tmp_path / "ckpt2"))  # full redelivery into the same target
+    assert snapshot() == want
