@@ -183,3 +183,75 @@ FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts >= c.ts
 """)
+
+
+# ------------------------------------------------------------------
+# Variant-typed JSON (Spark 4): parse_json builds the binary variant
+# encoding ONCE; every downstream access is a typed navigation of that
+# encoding instead of a string re-parse.  At 100 TB this is the JSON
+# representation you want on the wire and in shuffle -- parse at the
+# ingest edge, navigate everywhere else.  Semantics (and the oracle)
+# match the string-path formulations above, which is the point: same
+# answers, scan-once encoding.
+def events_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            round_portable(F.avg("k"), 4).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+register("events_json_variant", events_json_variant, """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+       round(CAST(AVG(CAST(json_extract(props, '$.k') AS INT)) AS DOUBLE), 4)
+           AS avg_k,
+       MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+FROM events
+GROUP BY event_type
+""")
+
+
+# ------------------------------------------------------------------
+# Mergeable distinct-count sketches (Apache DataSketches HLL, built
+# into Spark 4).  The scale property under test is MERGEABILITY: the
+# per-type sketches are aggregated once, then the global row REUSES
+# those sketch states via hll_union_agg instead of rescanning events --
+# exactly how a 100 TB rollup tree (partition -> table -> corpus)
+# avoids recounting.  Sketch binaries are engine-specific, so this is
+# a designated rows-only entry (no DuckDB hash oracle); the pytest
+# unit asserts the estimates land within HLL error of exact counts.
+def events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    per_type = sk.select(
+        "event_type",
+        "n_events",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+    )
+    total = sk.agg(
+        F.hll_union_agg("sk").alias("sk"),
+        F.sum("n_events").alias("n_events"),
+    ).select(
+        F.lit("__all__").alias("event_type"),
+        "n_events",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+    )
+    return per_type.unionByName(total)
+
+
+register("events_sketch_rollup", events_sketch_rollup, None)

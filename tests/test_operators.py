@@ -463,3 +463,25 @@ def test_int8_quantize_zero_vector_and_roundtrip(spark):
     scale = rows[2].qscale
     for x, c in zip(rows[2]._v, rows[2].q):
         assert abs(x - c * scale) <= scale / 2 + 1e-12
+
+
+def test_sketch_rollup_estimates_near_exact(spark, sf_dir):
+    """HLL estimates (per type and the unioned global) must land within
+    HLL error (<2% at default lgK=12) of exact distinct counts, and the
+    global row must reuse the per-type sketches (union-merge), giving
+    the same estimate as sketching the whole column directly."""
+    from location_summary_etl_spark.plans.corpus_events import events_sketch_rollup
+    from location_summary_etl_spark.sources.registry import load_table
+
+    got = {r.event_type: r.approx_users
+           for r in events_sketch_rollup(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    exact = {r.event_type: r.n for r in
+             ev.groupBy("event_type").agg(
+                 F.countDistinct("user_id").alias("n")).collect()}
+    exact["__all__"] = ev.select("user_id").distinct().count()
+    for k, want in exact.items():
+        assert abs(got[k] - want) / want < 0.02, (k, got[k], want)
+    direct = ev.agg(F.hll_sketch_estimate(
+        F.hll_sketch_agg("user_id")).alias("e")).collect()[0].e
+    assert got["__all__"] == direct
