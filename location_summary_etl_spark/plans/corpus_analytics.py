@@ -205,3 +205,48 @@ register("orders_month_status_pivot", orders_month_status_pivot, ORDERS_PIVOT_SQ
 register("segment_price_quantiles", segment_price_quantiles, SEGMENT_QUANTILES_SQL)
 register("corpus_stratified_sample", corpus_stratified_sample, STRATIFIED_SAMPLE_SQL)
 register("events_user_gapfill", events_user_gapfill, EVENTS_GAPFILL_SQL)
+
+
+# ------------------------------------------------- unpivot / melt
+MELT_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def lineitem_melt_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long reshaping (the inverse of orders_month_status_pivot):
+    unpivot the four lineitem measures into (measure, value) rows, then
+    profile each measure per linestatus.  ``unpivot`` is a zero-shuffle
+    row expansion (each input row emits 4 value rows inside the scan
+    stage); the only exchange is the final aggregate's.  The melt
+    costs 4x the rows but 1/4 the row width -- at 100 TB you push the
+    aggregate's partial phase into the same stage, so the wide form
+    never materializes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_linestatus"],
+        values=MELT_MEASURES,
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return long.groupBy("l_linestatus", "measure").agg(
+        F.count("*").alias("n"),
+        round_portable(F.avg("value"), 6).alias("avg_value"),
+        round_portable(F.max("value"), 2).alias("max_value"),
+    )
+
+
+_MELT_ARMS = " UNION ALL ".join(
+    f"SELECT l_linestatus, '{m}' AS measure, {m} AS value FROM lineitem"
+    for m in MELT_MEASURES
+)
+
+LINEITEM_MELT_SQL = f"""
+WITH long AS ({_MELT_ARMS})
+SELECT l_linestatus, measure,
+       COUNT(*) AS n,
+       round(CAST(AVG(value) AS DOUBLE), 6) AS avg_value,
+       round(CAST(MAX(value) AS DOUBLE), 2) AS max_value
+FROM long
+GROUP BY l_linestatus, measure
+"""
+
+register("lineitem_melt_profile", lineitem_melt_profile, LINEITEM_MELT_SQL)

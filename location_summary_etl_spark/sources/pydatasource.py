@@ -1,0 +1,101 @@
+"""Custom Python Data Source (Spark 4 ``pyspark.sql.datasource``).
+
+The reference's entire ingestion surface is a warehouse connector fed
+by SQL strings (spark.read.format(SNOWFLAKE_SOURCE_NAME).option(
+"query", ...) -- /root/reference/src/main/scala/App.scala:22-50).
+This module is that concept expressed through Spark's native
+extensibility point: a DataSource subclass the engine plans like any
+relation -- named format, schema contract, explicit partitions, one
+reader task per partition.
+
+``SynthDocsDataSource`` generates a deterministic synthetic corpus
+(documents-table shape) for load tests and pipeline dry-runs at any
+scale without touching storage:
+
+    spark.dataSource.register(SynthDocsDataSource)
+    df = (spark.read.format("synthdocs")
+          .option("n_rows", 100000).option("n_partitions", 64).load())
+
+Scale design: partition count is an option (one generator task per
+partition, rows split evenly), content derives from md5(seed|doc_id)
+-- no RNG state, so any partition regenerates identically on retry
+(task re-execution safety) and the corpus is reproducible across
+cluster sizes.  Generation happens in the reader task (executor-side);
+the driver ships only the partition descriptors.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql import types as T
+
+_LANGS = ["en", "de", "fr", "es", "zh"]
+_SOURCES = ["web", "books", "wiki", "code"]
+_WORDS = [
+    "data", "spark", "query", "table", "join", "shuffle", "scan",
+    "plan", "batch", "stream", "vector", "token", "model", "train",
+]
+
+SYNTH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("n_chars", T.LongType()),
+])
+
+
+def _doc(doc_id: int, seed: str) -> tuple:
+    h = hashlib.md5(f"{seed}|{doc_id}".encode()).hexdigest()
+    n_words = 5 + int(h[:2], 16) % 60
+    words = [
+        _WORDS[int(h[2 * i % 30: 2 * i % 30 + 2], 16) % len(_WORDS)]
+        for i in range(n_words)
+    ]
+    text = " ".join(words)
+    return (
+        doc_id,
+        text,
+        _LANGS[int(h[8:10], 16) % len(_LANGS)],
+        _SOURCES[int(h[10:12], 16) % len(_SOURCES)],
+        len(text),
+    )
+
+
+@dataclass
+class _Range(InputPartition):
+    start: int
+    end: int
+
+
+class _SynthDocsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.n_partitions = int(options.get("n_partitions", 8))
+        self.seed = options.get("seed", "synthdocs-v1")
+
+    def partitions(self):
+        step = max(1, -(-self.n_rows // self.n_partitions))
+        return [
+            _Range(lo, min(lo + step, self.n_rows))
+            for lo in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition: _Range):
+        for doc_id in range(partition.start, partition.end):
+            yield _doc(doc_id, self.seed)
+
+
+class SynthDocsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthdocs"
+
+    def schema(self):
+        return SYNTH_SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return _SynthDocsReader(self.options)

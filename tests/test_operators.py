@@ -485,3 +485,30 @@ def test_sketch_rollup_estimates_near_exact(spark, sf_dir):
     direct = ev.agg(F.hll_sketch_estimate(
         F.hll_sketch_agg("user_id")).alias("e")).collect()[0].e
     assert got["__all__"] == direct
+
+
+def test_python_datasource_synthdocs(spark):
+    """The custom Python data source must plan as a partitioned scan:
+    requested row count, registry-compatible schema, one task per
+    requested partition, and bit-identical content across reads (task
+    retry / rerun safety)."""
+    from location_summary_etl_spark.sources.pydatasource import SynthDocsDataSource
+
+    spark.dataSource.register(SynthDocsDataSource)
+    df = (
+        spark.read.format("synthdocs")
+        .option("n_rows", 500).option("n_partitions", 8).load()
+    )
+    assert df.count() == 500
+    assert [f.name for f in df.schema.fields] == [
+        "doc_id", "text", "lang", "source", "n_chars"]
+    assert df.rdd.getNumPartitions() == 8
+    a = sorted(tuple(r) for r in df.collect())
+    b = sorted(tuple(r) for r in (
+        spark.read.format("synthdocs")
+        .option("n_rows", 500).option("n_partitions", 3).load().collect()
+    ))
+    assert a == b  # content independent of parallelism
+    assert len({r[0] for r in a}) == 500  # unique ids
+    # generated corpus must satisfy the documents-table invariants
+    assert all(r[4] == len(r[1]) for r in a)
