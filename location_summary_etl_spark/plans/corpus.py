@@ -95,4 +95,5 @@ def _ensure_loaded() -> None:
         corpus_starjoin,
         corpus_pandas,
         corpus_quantize,
+        corpus_subquery,
     )

@@ -1,0 +1,262 @@
+"""Correlated and nested subqueries: the Catalyst decorrelation corpus.
+
+The reference's only subqueries are *uncorrelated* scalar subqueries in
+WHERE (``dd.date = (SELECT max_date FROM ...)``,
+/root/reference/src/main/scala/App.scala:70, 91, 128, 163) -- SURVEY.md
+§2 A7, already covered by ``global_latest_orders``.  A warehouse user
+also writes the *correlated* forms, and their execution strategy is the
+difference between "runs" and "re-executes the inner query per row".
+These five queries (classic TPC-H Q17/Q13/Q15/Q11/Q22 shapes adapted to
+this star schema) pin the decorrelated plans:
+
+- **Correlated scalar subquery** (``part_small_quantity_revenue``):
+  Catalyst's RewriteCorrelatedScalarSubquery turns the per-part AVG
+  into ONE aggregate over the correlation key plus a left outer join --
+  a single shuffle on ``l_partkey``, never a nested loop.  At 100 TB
+  the inner aggregate reads lineitem once, map-side-combined.
+- **Correlated NOT EXISTS with an extra predicate**
+  (``inactive_high_balance_segments``): rewritten to a left ANTI join
+  on the correlation key with the date predicate pushed below the join
+  build side -- the anti join only sees post-cutoff orders.
+- **Uncorrelated scalar subquery in HAVING / WHERE**
+  (``nation_revenue_share``, same pattern in the Q22 balance
+  threshold): a one-row subquery plan executed once and broadcast into
+  the filter -- in-plan, no driver round-trip (contrast the
+  reference's collect-then-literal at App.scala:175-185).
+- **Self-join against an aggregated view's max**
+  (``top_revenue_supplier``): the CTE is evaluated once per consumer
+  (Spark does not materialize non-cached CTEs); the MAX side collapses
+  to a one-row broadcast, so the equality filter costs a BroadcastNLJ
+  over one row, not a shuffle.
+- **Distribution-of-counts** (``customer_order_count_distribution``):
+  two stacked aggregations; the second groups on the first's output
+  (~hundreds of distinct counts), so the second shuffle is tiny --
+  cost is one left outer join + one wide aggregate.
+
+All five stay entirely in whole-stage codegen; none collect to the
+driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from location_summary_etl_spark.functions.scalars import round_portable
+from location_summary_etl_spark.plans.corpus import register
+from location_summary_etl_spark.sources.registry import load_table, register_views
+
+# ------------------------------------------------- Q17: small-quantity revenue
+Q17_BRAND = "Brand#4"
+Q17_FRACTION = 0.5  # of the part's average quantity
+
+
+def part_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average yearly revenue lost to small orders (TPC-H Q17 shape):
+    lineitems of one brand whose quantity is below half that part's
+    average quantity.  Expressed through spark.sql so the correlated
+    scalar subquery exercises RewriteCorrelatedScalarSubquery: the
+    per-part AVG becomes one aggregate + left outer join on l_partkey
+    (quantities are integer-valued doubles, so the AVG is
+    summation-order-exact in both engines)."""
+    register_views(spark, sf_dir, ["lineitem", "part"])
+    raw = spark.sql(f"""
+        SELECT SUM(l_extendedprice) / 7.0 AS avg_yearly_raw
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = '{Q17_BRAND}'
+          AND l_quantity < (
+              SELECT {Q17_FRACTION} * AVG(l_quantity)
+              FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """)
+    return raw.select(
+        round_portable(F.col("avg_yearly_raw"), 2).alias("avg_yearly"))
+
+
+register("part_small_quantity_revenue", part_small_quantity_revenue, f"""
+SELECT round(CAST(SUM(l_extendedprice) / 7.0 AS DOUBLE), 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = '{Q17_BRAND}'
+  AND l_quantity < (
+      SELECT {Q17_FRACTION} * AVG(l_quantity)
+      FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+""")
+
+
+# ------------------------------------- Q13: customer order-count distribution
+Q13_EXCLUDED_PRIORITY = "1-URGENT"
+
+
+def customer_order_count_distribution(spark: SparkSession, sf_dir: str
+                                      ) -> DataFrame:
+    """How many customers placed how many (non-urgent) orders (TPC-H
+    Q13 shape).  The left outer join keeps zero-order customers (their
+    COUNT(o_orderkey) is 0 -- COUNT skips nulls); the compound join
+    condition carries the priority predicate into the join, not a
+    post-filter (a post-filter would turn the outer join inner).  The
+    second groupBy runs over ~tens of distinct counts: its shuffle is
+    measured in kilobytes regardless of input scale."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_customer = (
+        customer.select("c_custkey")
+        .join(
+            orders.filter(F.col("o_orderpriority") != Q13_EXCLUDED_PRIORITY)
+            .select("o_custkey", "o_orderkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_customer.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+register("customer_order_count_distribution", customer_order_count_distribution, f"""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '{Q13_EXCLUDED_PRIORITY}'
+    GROUP BY c_custkey
+) per_customer
+GROUP BY c_count
+""")
+
+
+# ----------------------------------------------- Q15: top revenue supplier(s)
+Q15_FROM, Q15_TO = "1998-01-01", "1999-01-01"
+
+
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum shipped revenue in one year (TPC-H
+    Q15 shape).  The per-supplier revenue aggregate is built once as a
+    DataFrame and consumed twice (detail + global MAX); the MAX side is
+    a one-row aggregate that Catalyst broadcasts, so the equality
+    filter is a broadcast nested-loop over a single row -- no second
+    shuffle of the revenue table.  Revenue is rounded to cents BEFORE
+    the max/equality so cross-engine summation-order noise (~1e-10
+    relative) cannot split the argmax."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    lo = F.lit(Q15_FROM).cast("timestamp_ntz")
+    hi = F.lit(Q15_TO).cast("timestamp_ntz")
+    revenue = (
+        lineitem.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(round_portable(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(max_rev,
+                     F.col("total_revenue") == F.col("max_revenue"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+register("top_revenue_supplier", top_revenue_supplier, f"""
+WITH revenue AS (
+    SELECT l_suppkey,
+           round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+               AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q15_FROM}'
+      AND l_shipdate <  TIMESTAMP '{Q15_TO}'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""")
+
+
+# ------------------------------------------------- Q11: nation revenue share
+Q11_FRACTION = 0.04
+
+
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier nations contributing more than a fraction of global
+    revenue (TPC-H Q11 shape: HAVING against an uncorrelated scalar
+    subquery).  The global-total subquery is a one-row plan broadcast
+    into the HAVING filter -- the in-plan version of the reference's
+    collect-then-literal normalization constants (App.scala:175-185).
+    lineitem is read twice (grouped pass + global pass); both passes
+    are map-side-combined so the shuffles carry one row per
+    nation/partition and one row per partition respectively."""
+    register_views(spark, sf_dir, ["lineitem", "supplier", "nation"])
+    raw = spark.sql(f"""
+        SELECT n_name, SUM(l_extendedprice * (1 - l_discount)) AS rev_raw
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY n_name
+        HAVING SUM(l_extendedprice * (1 - l_discount)) > {Q11_FRACTION} * (
+            SELECT SUM(l_extendedprice * (1 - l_discount)) FROM lineitem)
+    """)
+    return raw.select(
+        "n_name", round_portable(F.col("rev_raw"), 2).alias("nation_revenue"))
+
+
+register("nation_revenue_share", nation_revenue_share, f"""
+SELECT n_name,
+       round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+           AS nation_revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name
+HAVING SUM(l_extendedprice * (1 - l_discount)) > {Q11_FRACTION} * (
+    SELECT SUM(l_extendedprice * (1 - l_discount)) FROM lineitem)
+""")
+
+
+# ------------------------------------- Q22: inactive high-balance customers
+Q22_CUTOFF = "2000-06-01"
+
+
+def inactive_high_balance_segments(spark: SparkSession, sf_dir: str
+                                   ) -> DataFrame:
+    """Per-segment count and balance of above-average-balance customers
+    with no recent orders (TPC-H Q22 shape).  Two subquery rewrites in
+    one plan: the balance threshold is an uncorrelated scalar subquery
+    (one-row broadcast), and the correlated NOT EXISTS with its date
+    predicate becomes a left ANTI join against post-cutoff orders --
+    the anti join's build side is pre-filtered to the cutoff, not all
+    of orders."""
+    register_views(spark, sf_dir, ["customer", "orders"])
+    raw = spark.sql(f"""
+        SELECT c_mktsegment,
+               COUNT(*) AS num_customers,
+               SUM(c_acctbal) AS bal_raw
+        FROM customer c
+        WHERE c_acctbal > (
+            SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '{Q22_CUTOFF}')
+        GROUP BY c_mktsegment
+    """)
+    return raw.select(
+        "c_mktsegment", "num_customers",
+        round_portable(F.col("bal_raw"), 2).alias("total_acctbal"))
+
+
+register("inactive_high_balance_segments", inactive_high_balance_segments, f"""
+SELECT c_mktsegment,
+       COUNT(*) AS num_customers,
+       round(CAST(SUM(c_acctbal) AS DOUBLE), 2) AS total_acctbal
+FROM customer c
+WHERE c_acctbal > (
+    SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '{Q22_CUTOFF}')
+GROUP BY c_mktsegment
+""")

@@ -216,3 +216,21 @@ def test_state_runs_is_single_exchange(spark, sf_dir):
         assert n_exchange == 1, f"expected 1 shuffle, got {n_exchange}:\n{plan}"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", saved)
+
+
+def test_correlated_scalar_subquery_decorrelates(spark, sf_dir):
+    """The Q17-shape per-part AVG must be rewritten (one aggregate +
+    join on l_partkey), never executed per outer row: a nested-loop
+    node over lineitem here is the plan that dies at 100 TB."""
+    plan = plan_of(spark, "part_small_quantity_revenue", sf_dir, mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_not_exists_becomes_anti_join(spark, sf_dir):
+    plan = plan_of(spark, "inactive_high_balance_segments", sf_dir,
+                   mode="simple")
+    assert "LeftAnti" in plan, "NOT EXISTS did not rewrite to an anti join"
+    # the date predicate must prune the orders side before the anti join
+    formatted = plan_of(spark, "inactive_high_balance_segments", sf_dir)
+    assert "IsNotNull(o_orderdate)" in formatted or "o_orderdate" in formatted
