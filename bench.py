@@ -47,6 +47,9 @@ HEADLINE = [
     "order_shipping_priority",
     "user_value_ewma",
     "ann_topk_quantized",
+    "part_small_quantity_revenue",
+    "customer_order_count_distribution",
+    "corpus_contamination_check",
 ]
 
 

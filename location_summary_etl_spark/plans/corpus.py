@@ -96,4 +96,5 @@ def _ensure_loaded() -> None:
         corpus_pandas,
         corpus_quantize,
         corpus_subquery,
+        corpus_trainprep,
     )

@@ -371,3 +371,43 @@ SELECT a.n_name AS name_a, b.n_name AS name_b,
 FROM nation a JOIN nation b ON a.n_name < b.n_name
 WHERE levenshtein(a.n_name, b.n_name) <= {LEV_MAX}
 """)
+
+
+# ------------------------------------- modern argmax/conditional aggregates
+def nation_order_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per customer nation: the order holding the max/min total price
+    (``max_by``/``min_by`` -- the declarative argmax the reference's
+    greatest-n-per-group CTE hand-rolls, App.scala:27-48) plus a
+    conditional count (``count_if``).  All three are ordinary
+    partial+final aggregates: the shuffle carries one (value, payload)
+    pair per group per partition, never a window's full row stream.
+    Total prices are tie-free per nation in this data, so the argmax
+    payload is deterministic (ties would need a struct tiebreak --
+    see nation_top_balance_customer)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+            F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+register("nation_order_extremes", nation_order_extremes, """
+SELECT n_name,
+       max_by(o_orderkey, o_totalprice) AS priciest_order,
+       min_by(o_orderkey, o_totalprice) AS cheapest_order,
+       count_if(o_orderstatus = 'F') AS n_finished,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+""")

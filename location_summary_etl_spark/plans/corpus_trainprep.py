@@ -1,0 +1,241 @@
+"""Training-data preparation ops beyond cleaning/dedup (BASELINE.json
+north star): benchmark-contamination checking, document chunking,
+heavy-hitter vocabulary, and the deterministic global shuffle that
+precedes sharded training.
+
+Scale notes (100 TB):
+
+- **Contamination** (`corpus_contamination_check`): the held-out/eval
+  side is tiny by construction, so its distinct n-gram hash set is
+  BROADCAST into the training-corpus scan as a semi-join *before* any
+  shuffle -- the full train n-gram stream (trillions of rows) is
+  filtered map-side to the handful that match an eval hash; only that
+  sliver is shuffled for the distinct + per-doc counts.  The wrong
+  plan (distinct over all train n-grams, then join) shuffles the
+  whole corpus.
+- **Chunking** (`corpus_chunk_documents`): sequence() + explode is a
+  zero-shuffle row expansion -- each task turns its documents into
+  chunks locally; output partitioning inherits the input's.
+- **Heavy hitters** (`text_heavy_hitters`): exact counts via
+  partial+final HashAggregate IS the two-level heavy-hitter merge --
+  each task keeps a local (token, count) map, the shuffle carries one
+  row per (task, distinct-token).  The relative threshold is an
+  uncorrelated scalar subquery (one-row broadcast), not a collect.
+- **Global shuffle** (`corpus_shuffle_shards`): training wants an
+  order decorrelated from ingest order.  Keying by a seeded hash and
+  window-ranking *within* shards is one hash-partitioned exchange +
+  per-shard local sort -- never a single global orderBy (which would
+  range-partition and concentrate the final merge).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from location_summary_etl_spark.functions.scalars import (
+    DUCKDB_HASH32,
+    portable_hash32,
+    round_portable,
+)
+from location_summary_etl_spark.functions.texts import ngrams_from_tokens, tokens
+from location_summary_etl_spark.plans.corpus import register
+from location_summary_etl_spark.sources.registry import load_table
+
+# ------------------------------------------------ benchmark contamination
+EVAL_MOD = 25          # doc_id % 25 == 0 -> the held-out "benchmark" set
+CONTAM_NGRAM = 5       # word n-grams compared (real pipelines use 8-13)
+
+
+def _ngram_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, h): distinct hashed word-5grams per document."""
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(ngrams_from_tokens(F.col("toks"), CONTAM_NGRAM)).alias("gram"),
+    )
+    return grams.select(
+        "doc_id", portable_hash32("gram").alias("h")).distinct()
+
+
+def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per eval document: how many of its distinct 5-grams also occur
+    anywhere in the training split (train = every doc NOT in the eval
+    residue class).  The eval n-gram set rides a broadcast semi-join
+    into the train side, so train n-grams are filtered before the only
+    wide shuffle (the distinct on the matching sliver)."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    eval_ngrams = _ngram_hashes(docs.filter(is_eval))
+    train_grams = (
+        docs.filter(~is_eval)
+        .select("doc_id", tokens("text").alias("toks"))
+        .select(F.explode(
+            ngrams_from_tokens(F.col("toks"), CONTAM_NGRAM)).alias("gram"))
+        .select(portable_hash32("gram").alias("h"))
+    )
+    # Broadcast the tiny eval hash set INTO the train scan: only train
+    # n-grams that hit an eval hash survive to the distinct.
+    eval_hashes = eval_ngrams.select("h").distinct()
+    train_hits = (
+        train_grams.join(F.broadcast(eval_hashes), "h", "left_semi").distinct()
+    )
+    per_doc = (
+        eval_ngrams.join(train_hits, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    totals = eval_ngrams.groupBy("doc_id").agg(
+        F.count("*").alias("n_eval_ngrams"))
+    return (
+        totals.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_eval_ngrams",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            round_portable(
+                F.coalesce("n_contaminated", F.lit(0))
+                / F.col("n_eval_ngrams"), 4).alias("contamination_rate"),
+        )
+    )
+
+
+_EVAL_H = DUCKDB_HASH32.format(x="gram")
+
+register("corpus_contamination_check", corpus_contamination_check, f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+           toks[i+3] || ' ' || toks[i+4] AS gram
+    FROM toks, UNNEST(generate_series(1, len(toks) - {CONTAM_NGRAM - 1})) AS t(i)
+),
+hashes AS (
+    SELECT DISTINCT doc_id, {_EVAL_H} AS h FROM grams
+),
+eval_ngrams AS (SELECT * FROM hashes WHERE doc_id % {EVAL_MOD} = 0),
+train_hits AS (
+    SELECT DISTINCT h FROM hashes WHERE doc_id % {EVAL_MOD} <> 0
+)
+SELECT e.doc_id,
+       COUNT(*) AS n_eval_ngrams,
+       COUNT(t.h) AS n_contaminated,
+       round(CAST(COUNT(t.h) AS DOUBLE) / COUNT(*), 4) AS contamination_rate
+FROM eval_ngrams e LEFT JOIN train_hits t ON e.h = t.h
+GROUP BY e.doc_id
+""")
+
+
+# --------------------------------------------------------- chunking
+CHUNK_CHARS = 120
+CHUNK_STRIDE = 80      # 40-char overlap between consecutive chunks
+
+
+def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping character chunks (the long-document ->
+    context-window split every training pipeline runs).  Chunk starts
+    are a strided sequence exploded per document -- a local row
+    expansion, no shuffle anywhere in the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.length("text") >= 1)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text"), F.lit(CHUNK_STRIDE))
+            ).alias("chunk_start"),
+        )
+        .select(
+            "doc_id",
+            "chunk_start",
+            F.substring(F.col("text"), F.col("chunk_start").cast("int"),
+                        F.lit(CHUNK_CHARS)).alias("chunk"),
+        )
+        .withColumn("chunk_chars", F.length("chunk"))
+    )
+
+
+register("corpus_chunk_documents", corpus_chunk_documents, f"""
+SELECT doc_id, i AS chunk_start,
+       substr(text, i, {CHUNK_CHARS}) AS chunk,
+       length(substr(text, i, {CHUNK_CHARS})) AS chunk_chars
+FROM documents, UNNEST(generate_series(1, length(text), {CHUNK_STRIDE})) AS t(i)
+WHERE length(text) >= 1
+""")
+
+
+# ----------------------------------------------------- heavy hitters
+HH_INVERSE_FRACTION = 500   # tokens with frequency > total/500
+
+
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens whose corpus frequency exceeds 1/500 of all tokens.
+    Partial+final HashAggregate is the distributed heavy-hitter merge;
+    the threshold is the corpus total broadcast from a one-row
+    aggregate (in-plan, no driver collect)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("tok"))
+    counts = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = tok.agg(F.count("*").alias("total"))
+    return (
+        counts.join(F.broadcast(total))
+        .filter(F.col("cnt") * HH_INVERSE_FRACTION > F.col("total"))
+        .select("tok", "cnt")
+    )
+
+
+register("text_heavy_hitters", text_heavy_hitters, f"""
+WITH tok AS (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+counts AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok)
+SELECT tok, cnt FROM counts
+WHERE cnt * {HH_INVERSE_FRACTION} > (SELECT COUNT(*) FROM tok)
+""")
+
+
+# ------------------------------------------------- global shuffle -> shards
+SHUFFLE_SEED = "42"
+N_SHARDS = 8
+
+
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training: every document gets a
+    seeded pseudorandom key; shard = key mod N, position = rank of the
+    key within the shard.  One hash exchange on shard + a per-shard
+    sort -- equivalent to repartition(N).sortWithinPartitions(key),
+    expressed relationally so it is oracle-checkable.  Changing the
+    seed reshuffles; same seed is bit-stable across runs and engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"),
+                       F.lit(":" + SHUFFLE_SEED))).alias("shuffle_key"),
+    ).withColumn(
+        "shard",
+        (portable_hash32("shuffle_key") % N_SHARDS).cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return keyed.select(
+        "doc_id", "shard",
+        F.row_number().over(w).alias("pos_in_shard"),
+    )
+
+
+_SHARD_H = DUCKDB_HASH32.format(x="md5(CAST(doc_id AS VARCHAR) || ':" + SHUFFLE_SEED + "')")
+
+register("corpus_shuffle_shards", corpus_shuffle_shards, f"""
+WITH keyed AS (
+    SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR) || ':{SHUFFLE_SEED}') AS shuffle_key,
+           CAST({_SHARD_H} % {N_SHARDS} AS INTEGER) AS shard
+    FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id)
+            AS BIGINT) AS pos_in_shard
+FROM keyed
+""")
