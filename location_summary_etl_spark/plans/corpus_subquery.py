@@ -58,15 +58,24 @@ def part_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar subquery exercises RewriteCorrelatedScalarSubquery: the
     per-part AVG becomes one aggregate + left outer join on l_partkey
     (quantities are integer-valued doubles, so the AVG is
-    summation-order-exact in both engines)."""
+    summation-order-exact in both engines).
+
+    The inner query carries the SAME brand join as the outer block:
+    a per-partkey average is unchanged by restricting WHICH partkeys
+    are averaged, but the restriction lets the decorrelated aggregate
+    scan only brand-matching lineitems (~1/25 of the fact, pruned by a
+    broadcast semi on the filtered part dim) instead of the whole
+    table -- at 100 TB that is the difference between shuffling the
+    corpus and a sliver."""
     register_views(spark, sf_dir, ["lineitem", "part"])
     raw = spark.sql(f"""
         SELECT SUM(l_extendedprice) / 7.0 AS avg_yearly_raw
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE p_brand = '{Q17_BRAND}'
           AND l_quantity < (
-              SELECT {Q17_FRACTION} * AVG(l_quantity)
-              FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+              SELECT {Q17_FRACTION} * AVG(l2.l_quantity)
+              FROM lineitem l2 JOIN part p2 ON p2.p_partkey = l2.l_partkey
+              WHERE l2.l_partkey = p_partkey AND p2.p_brand = '{Q17_BRAND}')
     """)
     return raw.select(
         round_portable(F.col("avg_yearly_raw"), 2).alias("avg_yearly"))
@@ -77,8 +86,9 @@ SELECT round(CAST(SUM(l_extendedprice) / 7.0 AS DOUBLE), 2) AS avg_yearly
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_brand = '{Q17_BRAND}'
   AND l_quantity < (
-      SELECT {Q17_FRACTION} * AVG(l_quantity)
-      FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+      SELECT {Q17_FRACTION} * AVG(l2.l_quantity)
+      FROM lineitem l2 JOIN part p2 ON p2.p_partkey = l2.l_partkey
+      WHERE l2.l_partkey = p_partkey AND p2.p_brand = '{Q17_BRAND}')
 """)
 
 
@@ -89,24 +99,25 @@ Q13_EXCLUDED_PRIORITY = "1-URGENT"
 def customer_order_count_distribution(spark: SparkSession, sf_dir: str
                                       ) -> DataFrame:
     """How many customers placed how many (non-urgent) orders (TPC-H
-    Q13 shape).  The left outer join keeps zero-order customers (their
-    COUNT(o_orderkey) is 0 -- COUNT skips nulls); the compound join
-    condition carries the priority predicate into the join, not a
-    post-filter (a post-filter would turn the outer join inner).  The
-    second groupBy runs over ~tens of distinct counts: its shuffle is
-    measured in kilobytes regardless of input scale."""
+    Q13 shape).  Aggregate-BELOW-join: orders are counted per custkey
+    FIRST (map-side combined, one row per customer crosses the wire),
+    and only then left-joined to customer to pick up the zero-order
+    customers -- the naive join-then-count shape shuffles every order
+    row into the join.  The second groupBy runs over ~tens of distinct
+    counts: its shuffle is measured in kilobytes regardless of input
+    scale."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    counts_per_customer = (
+        orders.filter(F.col("o_orderpriority") != Q13_EXCLUDED_PRIORITY)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
     per_customer = (
         customer.select("c_custkey")
-        .join(
-            orders.filter(F.col("o_orderpriority") != Q13_EXCLUDED_PRIORITY)
-            .select("o_custkey", "o_orderkey"),
-            F.col("c_custkey") == F.col("o_custkey"),
-            "left",
-        )
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+        .join(counts_per_customer,
+              F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce("n_orders", F.lit(0)).alias("c_count"))
     )
     return (
         per_customer.groupBy("c_count")

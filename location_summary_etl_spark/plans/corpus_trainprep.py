@@ -47,55 +47,69 @@ EVAL_MOD = 25          # doc_id % 25 == 0 -> the held-out "benchmark" set
 CONTAM_NGRAM = 5       # word n-grams compared (real pipelines use 8-13)
 
 
-def _ngram_hashes(docs: DataFrame) -> DataFrame:
-    """(doc_id, h): distinct hashed word-5grams per document."""
-    toks = docs.select("doc_id", tokens("text").alias("toks"))
+def _ngram_stream(docs: DataFrame, widen: bool = True) -> DataFrame:
+    """(doc_id, h): hashed word-5grams per document (with repeats).
+
+    ``widen`` round-robins the narrow scan to core width before the
+    CPU-heavy explode+hash (see session.ensure_parallelism); pass
+    False for slivers (e.g. the eval split) where the extra exchange
+    costs more than the parallelism buys."""
+    from location_summary_etl_spark.session import ensure_parallelism
+
+    base = docs.select("doc_id", "text")
+    if widen:
+        base = ensure_parallelism(base)
+    toks = base.select("doc_id", tokens("text").alias("toks"))
     grams = toks.select(
         "doc_id",
         F.explode(ngrams_from_tokens(F.col("toks"), CONTAM_NGRAM)).alias("gram"),
     )
-    return grams.select(
-        "doc_id", portable_hash32("gram").alias("h")).distinct()
+    return grams.select("doc_id", portable_hash32("gram").alias("h"))
 
 
 def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per eval document: how many of its distinct 5-grams also occur
     anywhere in the training split (train = every doc NOT in the eval
-    residue class).  The eval n-gram set rides a broadcast semi-join
-    into the train side, so train n-grams are filtered before the only
-    wide shuffle (the distinct on the matching sliver)."""
+    residue class).
+
+    Plan shape (the one that survives 100 TB): the eval split is tiny
+    by construction, so its distinct hash set is a broadcast semi-join
+    pruning the FULL n-gram stream map-side -- train n-grams that match
+    no eval hash (virtually all of them) die before the first
+    exchange.  The surviving sliver is folded ONCE into an inverted
+    index per hash (eval docs holding it, train-presence flag), then
+    re-exploded per eval doc; both aggregates ride the same lineage, so
+    the corpus-wide explode runs once for the index plus once for the
+    cheap (filter-pruned) eval hash set -- never per consumer."""
     docs = load_table(spark, sf_dir, "documents")
     is_eval = F.col("doc_id") % EVAL_MOD == 0
-    eval_ngrams = _ngram_hashes(docs.filter(is_eval))
-    train_grams = (
-        docs.filter(~is_eval)
-        .select("doc_id", tokens("text").alias("toks"))
-        .select(F.explode(
-            ngrams_from_tokens(F.col("toks"), CONTAM_NGRAM)).alias("gram"))
-        .select(portable_hash32("gram").alias("h"))
+    marked = _ngram_stream(docs).withColumn(
+        "is_eval", F.col("doc_id") % EVAL_MOD == 0)
+    eval_hashes = _ngram_stream(
+        docs.filter(is_eval), widen=False).select("h").distinct()
+    pruned = marked.join(F.broadcast(eval_hashes), "h", "left_semi")
+    per_hash = (
+        pruned.groupBy("h")
+        .agg(
+            F.collect_set(F.when(F.col("is_eval"), F.col("doc_id")))
+            .alias("eval_docs"),
+            F.max(F.when(~F.col("is_eval"), 1).otherwise(0)).alias("in_train"),
+        )
+        .filter(F.size("eval_docs") > 0)
     )
-    # Broadcast the tiny eval hash set INTO the train scan: only train
-    # n-grams that hit an eval hash survive to the distinct.
-    eval_hashes = eval_ngrams.select("h").distinct()
-    train_hits = (
-        train_grams.join(F.broadcast(eval_hashes), "h", "left_semi").distinct()
-    )
-    per_doc = (
-        eval_ngrams.join(train_hits, "h", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_contaminated"))
-    )
-    totals = eval_ngrams.groupBy("doc_id").agg(
-        F.count("*").alias("n_eval_ngrams"))
     return (
-        totals.join(per_doc, "doc_id", "left")
+        per_hash.select(
+            F.explode("eval_docs").alias("doc_id"), "in_train")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_eval_ngrams"),
+            F.sum("in_train").alias("n_contaminated"),
+        )
         .select(
-            "doc_id",
-            "n_eval_ngrams",
-            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            "doc_id", "n_eval_ngrams", "n_contaminated",
             round_portable(
-                F.coalesce("n_contaminated", F.lit(0))
-                / F.col("n_eval_ngrams"), 4).alias("contamination_rate"),
+                F.col("n_contaminated") / F.col("n_eval_ngrams"), 4)
+            .alias("contamination_rate"),
         )
     )
 

@@ -176,6 +176,32 @@ def purchase_view_join_stream(events: DataFrame,
     ).select("event_id", "user_id", "p_ts", "v_ts")
 
 
+def enrich_events_stream(events: DataFrame, customer: DataFrame,
+                         window: str = "10 minutes",
+                         watermark: str = "30 minutes") -> DataFrame:
+    """Stream-static enrichment: join the event stream against a
+    (batch) dimension, then aggregate per enriched attribute.  The
+    static side is re-planned per micro-batch, so it must be BROADCAST
+    -- a shuffled stream-static join would re-shuffle every micro-batch
+    against a re-scanned dimension.  With the broadcast hint the stream
+    side never shuffles for the join; only the windowed aggregate
+    exchanges data.  (At warehouse scale the dimension is a slowly
+    changing table; per-batch re-scan is what picks up its updates.)"""
+    dim = F.broadcast(customer.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"))
+    return (
+        events.join(dim, "user_id")            # inner: unknown users dropped
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "c_mktsegment")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "c_mktsegment", "n_events", "sum_value",
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   mode: str | None = None) -> DataFrame:
     """Drain a bounded stream into an in-memory table; return the

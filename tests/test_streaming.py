@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from location_summary_etl_spark.operators.windows import tumbling_bucket
 from location_summary_etl_spark.sources.registry import load_table
 from location_summary_etl_spark.streaming.jobs import (
+    enrich_events_stream,
     purchase_view_join_stream,
     read_events_stream,
     run_to_memory,
@@ -191,3 +192,36 @@ def test_streaming_foreach_batch_upsert_idempotent(spark, sf_dir, tmp_path):
 
     run(str(tmp_path / "ckpt2"))  # full redelivery into the same target
     assert snapshot() == want
+
+
+def test_streaming_static_enrich_matches_batch(spark, sf_dir):
+    """Stream-static broadcast enrichment == the same join+window
+    aggregate run as a batch query."""
+    stream = read_events_stream(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    result = run_to_memory(
+        enrich_events_stream(stream, customer), "enrich_out"
+    )
+    got = {
+        (int(r["window_start"].timestamp()), r["c_mktsegment"]):
+            (r["n_events"], round(r["sum_value"], 6))
+        for r in result.collect()
+    }
+    assert got, "stream-static enrich produced no rows"
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.join(
+            customer.select(F.col("c_custkey").alias("user_id"),
+                            "c_mktsegment"),
+            "user_id",
+        )
+        .withColumn("ws", tumbling_bucket("ts", 600))
+        .groupBy("ws", "c_mktsegment")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+    )
+    want = {
+        (r["ws"], r["c_mktsegment"]): (r["n"], round(r["sv"], 6))
+        for r in batch.collect()
+    }
+    assert got == want
