@@ -154,6 +154,15 @@ def quantized_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
             })
             out = out[np.isfinite(out["qcosine"])]
             out = out[out["query_id"] != out["vec_id"]]
+            # Per-batch pre-cut in the final ranking order: the global
+            # top-k window then shuffles O(partitions * |Q| * k) rows,
+            # not every scored pair (see pandas_cosine_topk).
+            out = (
+                out.sort_values(["query_id", "qcosine", "vec_id"],
+                                ascending=[True, False, True])
+                .groupby("query_id", sort=False)
+                .head(k)
+            )
             yield out
 
     scored = emb.select(id_col, vec_col).mapInPandas(

@@ -276,6 +276,21 @@ def pandas_cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
             })
             out = out[np.isfinite(out["cosine"])]
             out = out[out["query_id"] != out["vec_id"]]
+            # Per-batch pre-cut: round exactly as round_portable does
+            # (same IEEE ops -> bit-identical), then keep only each
+            # query's k best by the FINAL ranking order.  The shuffle
+            # into the global top-k window then carries
+            # O(partitions * |Q| * k) rows instead of O(N * |Q|) --
+            # the difference between a constant-size exchange and
+            # shuffling the whole scored corpus at 100 TB.
+            c = out["cosine"].to_numpy()
+            out["cosine"] = np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6
+            out = (
+                out.sort_values(["query_id", "cosine", "vec_id"],
+                                ascending=[True, False, True])
+                .groupby("query_id", sort=False)
+                .head(k)
+            )
             yield out
 
     scored = emb.select(id_col, vec_col).mapInPandas(

@@ -255,3 +255,49 @@ def events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("events_sketch_rollup", events_sketch_rollup, None)
+
+
+# ------------------------------------------------ null-safe equality join
+def events_bucket_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Views vs purchases per k-decile, where decile 0 is mapped to
+    NULL ("unknown bucket") and the two aggregates are joined with
+    NULL-SAFE equality (<=>): the unknown buckets line up as one row
+    instead of disappearing, the semantics normal equality cannot
+    express (NULL = NULL is NULL -> inner join drops both sides).
+    DuckDB's spelling is IS NOT DISTINCT FROM.  Plan-wise <=> is a
+    first-class hash-join key (null-safe equi-join), NOT a nested
+    loop -- both sides shuffle/broadcast on the same key space with
+    NULL hashed like any value."""
+    ev = _events(spark, sf_dir)
+    bucket = F.nullif(
+        F.get_json_object("props", "$.k").cast("int") % 10, F.lit(0))
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(bucket.alias("v_bucket"))
+        .groupBy("v_bucket").agg(F.count("*").alias("n_views"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(bucket.alias("p_bucket"))
+        .groupBy("p_bucket").agg(F.count("*").alias("n_purchases"))
+    )
+    return (
+        views.join(purchases, views["v_bucket"].eqNullSafe(purchases["p_bucket"]))
+        .select(F.col("v_bucket").alias("k_bucket"), "n_views", "n_purchases")
+    )
+
+
+register("events_bucket_nullsafe_join", events_bucket_nullsafe_join, """
+WITH b AS (
+    SELECT event_type,
+           nullif(CAST(json_extract_string(props, '$.k') AS INT) % 10, 0)
+               AS bucket
+    FROM events
+),
+v AS (SELECT bucket, COUNT(*) AS n_views FROM b
+      WHERE event_type = 'view' GROUP BY bucket),
+p AS (SELECT bucket, COUNT(*) AS n_purchases FROM b
+      WHERE event_type = 'purchase' GROUP BY bucket)
+SELECT v.bucket AS k_bucket, n_views, n_purchases
+FROM v JOIN p ON v.bucket IS NOT DISTINCT FROM p.bucket
+""")

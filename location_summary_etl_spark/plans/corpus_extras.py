@@ -411,3 +411,37 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
 GROUP BY n_name
 """)
+
+
+def orders_price_banded_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as orders_price_banded through the compiled-CASE
+    formulation (operators/bands.py): the static band dimension is
+    collected once and fused into the scan as a CASE chain -- a pure
+    map with NO join operator, the right plan when bands are small,
+    static, and non-overlapping.  The oracle keeps the join SQL: equal
+    output is exactly the claim."""
+    from location_summary_etl_spark.operators.bands import band_expr, compile_bands
+
+    orders = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    rows = compile_bands(bands)
+    return (
+        orders.select(band_expr(rows, "o_totalprice").alias("band"),
+                      "o_totalprice")
+        .filter(F.col("band").isNotNull())
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            round_portable(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+register("orders_price_banded_compiled", orders_price_banded_compiled, f"""
+WITH bands(band, lo, hi) AS (VALUES {_BAND_VALUES})
+SELECT band, COUNT(*) AS n_orders,
+       round(CAST(AVG(o_totalprice) AS DOUBLE), 2) AS avg_price
+FROM orders JOIN bands
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+""")

@@ -308,3 +308,55 @@ register("region_local_supplier_volume", region_local_supplier_volume, Q5_SQL)
 register("returned_item_top_customers", returned_item_top_customers, Q10_SQL)
 register("segment_order_statistics", segment_order_statistics, SEGMENT_STATS_SQL)
 register("nation_top_balance_customer", nation_top_balance_customer, NATION_TOP_BALANCE_SQL)
+
+
+# ------------------------------------------ Q19: disjunctive predicates
+Q19_ARMS = [  # (brand, size_lo, size_hi, qty_lo, qty_hi)
+    ("Brand#4", 1, 10, 1.0, 20.0),
+    ("Brand#2", 5, 15, 10.0, 30.0),
+    ("Brand#19", 10, 25, 20.0, 40.0),
+]
+
+
+def part_promo_disjunction_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from lineitems matching ANY of three brand/size/quantity
+    arm predicates (TPC-H Q19 shape: OR-of-ANDs across both join
+    sides).  The equi-key (partkey) carries the broadcast hash join;
+    the disjunction stays a post-join filter -- but Catalyst's CNF
+    conversion extracts the per-side implied predicates (brand IN (...)
+    on part, quantity range on lineitem) and pushes them into the
+    scans, so the join probes a fraction of each table."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    arm = None
+    for brand, slo, shi, qlo, qhi in Q19_ARMS:
+        cond = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(slo, shi)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        arm = cond if arm is None else (arm | cond)
+    return (
+        lineitem.join(F.broadcast(part),
+                      F.col("l_partkey") == F.col("p_partkey"))
+        .filter(arm)
+        .agg(
+            round_portable(F.sum(_revenue()), 2).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+_Q19_SQL_ARMS = " OR ".join(
+    f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi} "
+    f"AND l_quantity BETWEEN {qlo} AND {qhi})"
+    for b, slo, shi, qlo, qhi in Q19_ARMS
+)
+
+register("part_promo_disjunction_revenue", part_promo_disjunction_revenue, f"""
+SELECT round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+           AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {_Q19_SQL_ARMS}
+""")

@@ -271,3 +271,32 @@ WHERE c_acctbal > (
       AND o.o_orderdate >= TIMESTAMP '{Q22_CUTOFF}')
 GROUP BY c_mktsegment
 """)
+
+
+# --------------------------------- Q16: NOT IN (null-aware anti join)
+def part_brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers per brand for small parts, excluding suppliers
+    in the NOT IN list (TPC-H Q16 shape).  NOT IN is NOT the same
+    operator as NOT EXISTS: its three-valued NULL semantics need a
+    null-aware anti join (one NULL in the subquery empties the result);
+    Spark plans a broadcast NAAJ here -- the corpus pins that operator
+    distinctly from the LeftAnti of inactive_high_balance_segments."""
+    register_views(spark, sf_dir, ["lineitem", "part", "supplier"])
+    return spark.sql("""
+        SELECT p_brand, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_size <= 10
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        GROUP BY p_brand
+    """)
+
+
+register("part_brand_supplier_counts", part_brand_supplier_counts, """
+SELECT p_brand, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_size <= 10
+  AND l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand
+""")

@@ -512,3 +512,27 @@ def test_python_datasource_synthdocs(spark):
     assert len({r[0] for r in a}) == 500  # unique ids
     # generated corpus must satisfy the documents-table invariants
     assert all(r[4] == len(r[1]) for r in a)
+
+
+def test_compile_bands_validates_and_classifies(spark):
+    import pytest as _pytest
+
+    from location_summary_etl_spark.operators.bands import (
+        band_expr,
+        compile_bands,
+    )
+
+    bands = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 10.0, 20.0)], "band string, lo double, hi double"
+    )
+    rows = compile_bands(bands)
+    df = spark.createDataFrame([(5.0,), (10.0,), (25.0,)], "v double")
+    got = [r["band"] for r in
+           df.select(band_expr(rows, "v").alias("band")).collect()]
+    assert got == ["a", "b", None]  # lo inclusive, hi exclusive, no band -> NULL
+
+    overlapping = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 5.0, 20.0)], "band string, lo double, hi double"
+    )
+    with _pytest.raises(ValueError, match="overlapping"):
+        compile_bands(overlapping)

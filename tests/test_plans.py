@@ -234,3 +234,22 @@ def test_not_exists_becomes_anti_join(spark, sf_dir):
     # the date predicate must prune the orders side before the anti join
     formatted = plan_of(spark, "inactive_high_balance_segments", sf_dir)
     assert "IsNotNull(o_orderdate)" in formatted or "o_orderdate" in formatted
+
+
+def test_not_in_is_null_aware_anti_join(spark, sf_dir):
+    """NOT IN must plan the null-aware anti join, not a per-row
+    subquery re-execution."""
+    plan = plan_of(spark, "part_brand_supplier_counts", sf_dir, mode="simple")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_disjunction_pushes_per_side_predicates(spark, sf_dir):
+    """Q19's OR-of-ANDs: CNF extraction must push the implied brand
+    disjunction into the part scan."""
+    plan = plan_of(spark, "part_promo_disjunction_revenue", sf_dir)
+    assert "EqualTo(p_brand,Brand#4)" in plan, (
+        "no brand predicate reached the part scan")
+    # and the quantity disjunction must reach the lineitem scan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan, (
+        "no quantity predicate reached the lineitem scan")
