@@ -97,4 +97,5 @@ def _ensure_loaded() -> None:
         corpus_quantize,
         corpus_subquery,
         corpus_trainprep,
+        corpus_recursive,
     )
