@@ -118,3 +118,79 @@ SELECT doc_id,
        CAST(COUNT(DISTINCT h) AS INT) AS n_distinct_shingles
 FROM s GROUP BY doc_id
 """)
+
+
+# ----------------------------------------------------------- TF-IDF
+TFIDF_TOP_K = 3
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf
+    (tf * ln(N / df)) -- the classic keyword/topic extraction pass a
+    corpus-analysis pipeline runs.
+
+    Plan shape: one explode -> (doc, tok) count aggregate gives tf; the
+    document-frequency table derives FROM the tf relation (one row per
+    (doc, tok) already) with a second, vocabulary-sized aggregate, and
+    broadcasts back onto tf -- the corpus-wide token stream shuffles
+    once, df rides a broadcast.  N is a one-row aggregate broadcast
+    in-plan.  Ranking is over ROUNDED scores (6dp) with token
+    tie-break, so float noise in ln cannot reorder ranks across
+    engines."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from location_summary_etl_spark.functions.scalars import round_portable
+    from location_summary_etl_spark.functions.texts import tokens
+    from location_summary_etl_spark.session import ensure_parallelism
+
+    docs = _docs(spark, sf_dir)
+    tf = (
+        ensure_parallelism(docs.select("doc_id", "text"))
+        .select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            round_portable(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", F.col("rk").cast("int").alias("rk"), "tok", "tfidf")
+    )
+
+
+register("text_tfidf_top_terms", text_tfidf_top_terms, f"""
+WITH tf AS (
+    SELECT doc_id, tok, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents)
+    GROUP BY doc_id, tok
+),
+df_t AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT doc_id, tf.tok,
+           round(CAST(tf * ln(CAST(n_docs AS DOUBLE) / df) AS DOUBLE), 6)
+               AS tfidf
+    FROM tf JOIN df_t ON tf.tok = df_t.tok CROSS JOIN n
+)
+SELECT doc_id, rk, tok, tfidf FROM (
+    SELECT doc_id, tok, tfidf,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, tok) AS INT) AS rk
+    FROM scored
+)
+WHERE rk <= {TFIDF_TOP_K}
+""")

@@ -29,7 +29,12 @@ from __future__ import annotations
 import hashlib
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql import types as T
 
 _LANGS = ["en", "de", "fr", "es", "zh"]
@@ -99,3 +104,69 @@ class SynthDocsDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _SynthDocsReader(self.options)
+
+
+# ------------------------------------------------------- streaming side
+@dataclass
+class _StreamState:
+    offset: int
+
+
+class _SynthDocsStreamReader(DataSourceStreamReader):
+    """Micro-batch stream over the same deterministic corpus: each
+    trigger advances the offset by ``rows_per_batch`` until ``n_rows``
+    is exhausted.  Offsets are plain dicts (JSON-serializable), so a
+    restarted query resumes from the checkpointed offset and -- because
+    content is a pure function of (seed, doc_id) -- regenerates the
+    exact rows a failed batch contained: end-to-end replayability, the
+    property a Kafka-backed source gets from broker retention.
+
+    Each batch is split into ``n_partitions`` reader tasks (same
+    partition descriptors as the batch reader); generation stays
+    executor-side."""
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.rows_per_batch = int(options.get("rows_per_batch", 250))
+        self.n_partitions = int(options.get("n_partitions", 4))
+        self.seed = options.get("seed", "synthdocs-v1")
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def latestOffset(self):
+        # Called once per trigger on the driver; advance the visible
+        # high-water mark by one batch, capped at the corpus size.
+        cur = getattr(self, "_cur", 0)
+        self._cur = min(cur + self.rows_per_batch, self.n_rows)
+        return {"offset": self._cur}
+
+    def partitions(self, start, end):
+        lo, hi = start["offset"], end["offset"]
+        n = max(1, self.n_partitions)
+        step = max(1, -(-(hi - lo) // n))
+        return [
+            _Range(p, min(p + step, hi)) for p in range(lo, hi, step)
+        ] or [_Range(lo, lo)]
+
+    def read(self, partition: _Range):
+        for doc_id in range(partition.start, partition.end):
+            yield _doc(doc_id, self.seed)
+
+    def commit(self, end):
+        pass  # nothing to clean up: the source is stateless
+
+
+class SynthDocsStreamDataSource(DataSource):
+    """Streaming twin of :class:`SynthDocsDataSource` (separate name so
+    both can be registered side by side)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthdocs_stream"
+
+    def schema(self):
+        return SYNTH_SCHEMA
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _SynthDocsStreamReader(self.options)

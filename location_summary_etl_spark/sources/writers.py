@@ -10,7 +10,7 @@ dynamic partition overwrite); plain append is available for parity.
 from __future__ import annotations
 
 from pyspark.errors import AnalysisException
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -189,3 +189,23 @@ def write_bucketed(df: DataFrame, table: str, path: str, bucket_by: str,
     if sort_by:
         w = w.sortBy(sort_by)
     w.saveAsTable(table)
+
+
+def write_observed(df: DataFrame, path: str, metrics: dict[str, Column],
+                   mode: str = "overwrite") -> dict:
+    """Write ``df`` to parquet while collecting named metrics IN the
+    same pass (``df.observe`` + Observation): row counts, null counts,
+    sums -- whatever DQ gates the pipeline needs -- are accumulated by
+    the write job itself and returned as a dict.  The alternative (a
+    second aggregate query before/after the write) scans the input
+    twice; at 100 TB the observe path is the only affordable way to
+    attach admission metrics to a sink.  Metrics must be aggregate
+    expressions; observe computes them task-side and merges on the
+    driver (same partial/final structure as an aggregate, riding the
+    write job's tasks)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    observed.write.mode(mode).parquet(path)
+    return obs.get

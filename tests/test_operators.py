@@ -536,3 +536,28 @@ def test_compile_bands_validates_and_classifies(spark):
     )
     with _pytest.raises(ValueError, match="overlapping"):
         compile_bands(overlapping)
+
+
+def test_write_observed_single_pass_metrics(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from location_summary_etl_spark.sources.registry import load_table
+    from location_summary_etl_spark.sources.writers import write_observed
+
+    orders = load_table(spark, sf_dir, "orders")
+    got = write_observed(
+        orders, str(tmp_path / "obs"),
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_price": F.count_if(F.col("o_totalprice").isNull()),
+            "total_price": F.round(F.sum("o_totalprice"), 2),
+        },
+    )
+    want = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("o_totalprice").isNull()).alias("n_null_price"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    ).first().asDict()
+    assert got == want
+    # and the write actually happened, in the same job
+    assert spark.read.parquet(str(tmp_path / "obs")).count() == want["n_rows"]

@@ -225,3 +225,48 @@ def test_streaming_static_enrich_matches_batch(spark, sf_dir):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_python_datasource_stream_replays_deterministically(spark, tmp_path):
+    """The custom streaming Python data source delivers the whole
+    bounded corpus in rows_per_batch micro-batches, and its content
+    matches the batch data source row-for-row (pure function of
+    (seed, doc_id) -> replay-safe)."""
+    from location_summary_etl_spark.sources.pydatasource import (
+        SynthDocsDataSource,
+        SynthDocsStreamDataSource,
+    )
+
+    spark.dataSource.register(SynthDocsDataSource)
+    spark.dataSource.register(SynthDocsStreamDataSource)
+
+    stream = (
+        spark.readStream.format("synthdocs_stream")
+        .option("n_rows", 300).option("rows_per_batch", 80)
+        .option("n_partitions", 4).load()
+    )
+    # No availableNow trigger: Python stream sources don't support it
+    # (single-batch fallback); default micro-batch trigger +
+    # processAllAvailable drains until latestOffset stops advancing.
+    q = (
+        stream.writeStream.format("memory").queryName("synth_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["doc_id"]: (r["text"], r["lang"], r["source"], r["n_chars"])
+        for r in spark.table("synth_stream_out").collect()
+    }
+
+    batch = (
+        spark.read.format("synthdocs").option("n_rows", 300)
+        .option("n_partitions", 4).load()
+    )
+    want = {
+        r["doc_id"]: (r["text"], r["lang"], r["source"], r["n_chars"])
+        for r in batch.collect()
+    }
+    assert got == want
+    assert len(got) == 300
