@@ -103,3 +103,58 @@ WINDOW
 
 register("orders_rank_analytics", orders_rank_analytics, ORDERS_RANK_SQL)
 register("customer_order_timeline", customer_order_timeline, CUSTOMER_TIMELINE_SQL)
+
+
+# ---------------------------------------- value-RANGE window frame
+PRICE_BAND_RADIUS = 1000
+
+
+def orders_price_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order: how many same-priority orders have a total price
+    within +-1000, and their average (floored) price -- a VALUE-based
+    RANGE frame (the time-RANGE frame of events_rolling_10min, on a
+    numeric axis).  One exchange on o_orderpriority + one sort on price
+    serves the whole frame family; the running frame is O(n) per
+    partition (two moving pointers), never O(n^2) pair evaluation.
+
+    The averaged measure is floor(price): window aggregates associate
+    differently across engines (running fold vs segment tree), so a
+    double SUM's low bits are frame-implementation-defined -- but
+    integer sums are exact under any association, making the AVG (and
+    its rounding) bit-identical.  Same integer discipline as the
+    quantized-ANN oracle.
+
+    Scale caveat (the module-note low-cardinality warning applies):
+    o_orderpriority has 5 values, so this exact shape serializes onto 5
+    sorts at 100 TB.  A value-range frame that must span a whole huge
+    table is instead range-partitioned on the order axis with a +-radius
+    halo duplicated at the cuts (the as-of/interval-join trick in
+    operators/asof.py); this corpus entry pins the frame SEMANTICS."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-PRICE_BAND_RADIUS, PRICE_BAND_RADIUS)
+    )
+    floored = F.floor("o_totalprice").cast("bigint")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.count("*").over(w).alias("n_neighbors"),
+        round_portable(F.avg(floored).over(w), 2)
+        .alias("avg_neighbor_price"),
+    )
+
+
+register("orders_price_range_window", orders_price_range_window, f"""
+SELECT o_orderkey, o_orderpriority,
+       COUNT(*) OVER w AS n_neighbors,
+       round(CAST(AVG(CAST(floor(o_totalprice) AS BIGINT)) OVER w
+                  AS DOUBLE), 2) AS avg_neighbor_price
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+             RANGE BETWEEN {PRICE_BAND_RADIUS} PRECEDING
+                       AND {PRICE_BAND_RADIUS} FOLLOWING)
+""")
