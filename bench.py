@@ -93,6 +93,9 @@ def main() -> None:
         spark.range(1).write.format("noop").mode("overwrite").save()
         floor = min(floor, time.perf_counter() - t0)
 
+    # The driver captures only a bounded tail of stdout, so the stdout
+    # line must stay SHORT: queries + totals only.  The DuckDB
+    # comparison and method notes go to BENCH_DETAIL.json on disk.
     out = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(times.values()), 3),
@@ -100,10 +103,13 @@ def main() -> None:
         "queries": times,
         "sf": float(sf),
         "spark_job_floor_sec": round(floor, 3),
-        "method": f"min of {repeats} cold runs per query "
-                  "(cache cleared between runs), noop sink",
     }
 
+    detail = dict(out)
+    detail["method"] = (
+        f"min of {repeats} cold runs per query "
+        "(cache cleared between runs), noop sink"
+    )
     if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0":
         import duckdb
 
@@ -122,9 +128,13 @@ def main() -> None:
             t0 = time.perf_counter()
             con.execute(oracles[name]).fetchall()
             dtimes[name] = round(time.perf_counter() - t0, 3)
-        out["duckdb"] = dtimes
+        detail["duckdb"] = dtimes
 
-    print(json.dumps(out))
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -223,11 +223,21 @@ GROUP BY band
 # same plan shape: partial sketch per partition, merge at the final agg.
 def orders_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
+    agg = orders.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey").alias("approx_customers"),
         F.percentile_approx("o_totalprice", [0.5, 0.95], 10_000)
         .alias("price_p50_p95"),
         F.count("*").alias("n_orders"),
+    )
+    # Surface the quantile sketch as scalar columns: driver-side result
+    # canonicalization (pandas sort + hash) requires hashable cells, and
+    # scalar columns are also the friendlier downstream contract.
+    return agg.select(
+        "o_orderpriority",
+        "approx_customers",
+        F.element_at("price_p50_p95", 1).alias("price_p50"),
+        F.element_at("price_p50_p95", 2).alias("price_p95"),
+        "n_orders",
     )
 
 
@@ -404,7 +414,7 @@ register("nation_order_extremes", nation_order_extremes, """
 SELECT n_name,
        max_by(o_orderkey, o_totalprice) AS priciest_order,
        min_by(o_orderkey, o_totalprice) AS cheapest_order,
-       count_if(o_orderstatus = 'F') AS n_finished,
+       CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished,
        COUNT(*) AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey

@@ -60,22 +60,27 @@ def part_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quantities are integer-valued doubles, so the AVG is
     summation-order-exact in both engines).
 
-    The inner query carries the SAME brand join as the outer block:
-    a per-partkey average is unchanged by restricting WHICH partkeys
-    are averaged, but the restriction lets the decorrelated aggregate
-    scan only brand-matching lineitems (~1/25 of the fact, pruned by a
-    broadcast semi on the filtered part dim) instead of the whole
-    table -- at 100 TB that is the difference between shuffling the
-    corpus and a sliver."""
+    The outer part table is aliased ``p`` and the correlation is
+    qualified ``l2.l_partkey = p.p_partkey`` -- an unqualified
+    ``p_partkey`` would resolve to the INNER scope's part table and
+    silently turn the subquery into an uncorrelated global average
+    (inner scope shadows outer correlation in both Spark and DuckDB).
+    The inner block keeps the brand join: a per-partkey average is
+    unchanged by restricting WHICH partkeys are averaged, but the
+    restriction lets the decorrelated aggregate scan only
+    brand-matching lineitems (~1/25 of the fact, pruned by a broadcast
+    semi on the filtered part dim) instead of the whole table -- at
+    100 TB that is the difference between shuffling the corpus and a
+    sliver."""
     register_views(spark, sf_dir, ["lineitem", "part"])
     raw = spark.sql(f"""
         SELECT SUM(l_extendedprice) / 7.0 AS avg_yearly_raw
-        FROM lineitem JOIN part ON p_partkey = l_partkey
-        WHERE p_brand = '{Q17_BRAND}'
+        FROM lineitem JOIN part p ON p.p_partkey = l_partkey
+        WHERE p.p_brand = '{Q17_BRAND}'
           AND l_quantity < (
               SELECT {Q17_FRACTION} * AVG(l2.l_quantity)
               FROM lineitem l2 JOIN part p2 ON p2.p_partkey = l2.l_partkey
-              WHERE l2.l_partkey = p_partkey AND p2.p_brand = '{Q17_BRAND}')
+              WHERE l2.l_partkey = p.p_partkey AND p2.p_brand = '{Q17_BRAND}')
     """)
     return raw.select(
         round_portable(F.col("avg_yearly_raw"), 2).alias("avg_yearly"))
@@ -83,12 +88,12 @@ def part_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register("part_small_quantity_revenue", part_small_quantity_revenue, f"""
 SELECT round(CAST(SUM(l_extendedprice) / 7.0 AS DOUBLE), 2) AS avg_yearly
-FROM lineitem JOIN part ON p_partkey = l_partkey
-WHERE p_brand = '{Q17_BRAND}'
+FROM lineitem JOIN part p ON p.p_partkey = l_partkey
+WHERE p.p_brand = '{Q17_BRAND}'
   AND l_quantity < (
       SELECT {Q17_FRACTION} * AVG(l2.l_quantity)
       FROM lineitem l2 JOIN part p2 ON p2.p_partkey = l2.l_partkey
-      WHERE l2.l_partkey = p_partkey AND p2.p_brand = '{Q17_BRAND}')
+      WHERE l2.l_partkey = p.p_partkey AND p2.p_brand = '{Q17_BRAND}')
 """)
 
 

@@ -32,8 +32,8 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
-    DataSourceStreamReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql import types as T
 
@@ -107,51 +107,51 @@ class SynthDocsDataSource(DataSource):
 
 
 # ------------------------------------------------------- streaming side
-@dataclass
-class _StreamState:
-    offset: int
-
-
-class _SynthDocsStreamReader(DataSourceStreamReader):
+class _SynthDocsSimpleStreamReader(SimpleDataSourceStreamReader):
     """Micro-batch stream over the same deterministic corpus: each
     trigger advances the offset by ``rows_per_batch`` until ``n_rows``
-    is exhausted.  Offsets are plain dicts (JSON-serializable), so a
-    restarted query resumes from the checkpointed offset and -- because
-    content is a pure function of (seed, doc_id) -- regenerates the
-    exact rows a failed batch contained: end-to-end replayability, the
-    property a Kafka-backed source gets from broker retention.
+    is exhausted.  Offsets are plain dicts (JSON-serializable).
 
-    Each batch is split into ``n_partitions`` reader tasks (same
-    partition descriptors as the batch reader); generation stays
-    executor-side."""
+    Built on ``SimpleDataSourceStreamReader`` because its ``read(start)``
+    RECEIVES the resume offset: after a query restart Spark hands the
+    checkpointed offset straight to the reader, so the high-water mark
+    can never regress below what was committed.  (The partition-planning
+    ``DataSourceStreamReader`` derives ``latestOffset`` from in-process
+    driver state, which resets to 0 on restart and either stalls the
+    query or re-emits committed rows -- there is no callback that tells
+    it the checkpointed position before the first post-restart trigger.)
+    Replay of an in-flight batch goes through ``readBetweenOffsets``;
+    content is a pure function of (seed, doc_id), so the regenerated
+    rows are bit-identical -- the property a Kafka-backed source gets
+    from broker retention.
+
+    The simple-reader contract prefetches each micro-batch on the
+    driver; that bounds ``rows_per_batch`` to driver memory, which is
+    the right trade for a control-plane feed.  Bulk executor-side
+    generation stays on the batch source (``synthdocs``), whose reader
+    tasks scale with ``n_partitions``."""
 
     def __init__(self, options):
         self.n_rows = int(options.get("n_rows", 1000))
         self.rows_per_batch = int(options.get("rows_per_batch", 250))
-        self.n_partitions = int(options.get("n_partitions", 4))
         self.seed = options.get("seed", "synthdocs-v1")
 
     def initialOffset(self):
         return {"offset": 0}
 
-    def latestOffset(self):
-        # Called once per trigger on the driver; advance the visible
-        # high-water mark by one batch, capped at the corpus size.
-        cur = getattr(self, "_cur", 0)
-        self._cur = min(cur + self.rows_per_batch, self.n_rows)
-        return {"offset": self._cur}
+    def read(self, start):
+        lo = min(start["offset"], self.n_rows)
+        hi = min(lo + self.rows_per_batch, self.n_rows)
+        return (
+            iter([_doc(i, self.seed) for i in range(lo, hi)]),
+            {"offset": hi},
+        )
 
-    def partitions(self, start, end):
-        lo, hi = start["offset"], end["offset"]
-        n = max(1, self.n_partitions)
-        step = max(1, -(-(hi - lo) // n))
-        return [
-            _Range(p, min(p + step, hi)) for p in range(lo, hi, step)
-        ] or [_Range(lo, lo)]
-
-    def read(self, partition: _Range):
-        for doc_id in range(partition.start, partition.end):
-            yield _doc(doc_id, self.seed)
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            [_doc(i, self.seed)
+             for i in range(start["offset"], end["offset"])]
+        )
 
     def commit(self, end):
         pass  # nothing to clean up: the source is stateless
@@ -168,5 +168,5 @@ class SynthDocsStreamDataSource(DataSource):
     def schema(self):
         return SYNTH_SCHEMA
 
-    def streamReader(self, schema) -> DataSourceStreamReader:
-        return _SynthDocsStreamReader(self.options)
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _SynthDocsSimpleStreamReader(self.options)

@@ -219,9 +219,24 @@ def test_state_runs_is_single_exchange(spark, sf_dir):
 
 
 def test_correlated_scalar_subquery_decorrelates(spark, sf_dir):
-    """The Q17-shape per-part AVG must be rewritten (one aggregate +
-    join on l_partkey), never executed per outer row: a nested-loop
-    node over lineitem here is the plan that dies at 100 TB."""
+    """The Q17-shape per-part AVG must be rewritten to ONE aggregate
+    grouped on the correlation key (l_partkey) joined back to the
+    outer block -- the positive decorrelated shape -- never executed
+    per outer row: a nested-loop node over lineitem here is the plan
+    that dies at 100 TB."""
+    import re
+
+    df = contract.queries()["part_small_quantity_revenue"](spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # The subquery must appear as a grouped aggregate on the
+    # correlation key, not a grand-total (uncorrelated) aggregate.
+    assert re.search(r"Aggregate \[l_partkey#\d+L?\]", opt), (
+        "no aggregate grouped on l_partkey — subquery not correlated "
+        f"or not decorrelated:\n{opt}")
+    # ...joined back to the outer part/lineitem block on the same key.
+    assert re.search(
+        r"Join Inner, .*l_partkey#\d+L? = p_partkey#\d+L?", opt
+    ), f"decorrelated aggregate not joined back on the part key:\n{opt}"
     plan = plan_of(spark, "part_small_quantity_revenue", sf_dir, mode="simple")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
@@ -231,9 +246,15 @@ def test_not_exists_becomes_anti_join(spark, sf_dir):
     plan = plan_of(spark, "inactive_high_balance_segments", sf_dir,
                    mode="simple")
     assert "LeftAnti" in plan, "NOT EXISTS did not rewrite to an anti join"
-    # the date predicate must prune the orders side before the anti join
+    # The date predicate must prune the orders side AT THE SCAN: it has
+    # to appear inside the orders FileScan's PushedFilters, not merely
+    # somewhere in the plan text.
     formatted = plan_of(spark, "inactive_high_balance_segments", sf_dir)
-    assert "IsNotNull(o_orderdate)" in formatted or "o_orderdate" in formatted
+    pushed = [ln for ln in formatted.splitlines()
+              if "PushedFilters" in ln and "o_orderdate" in ln]
+    assert any("GreaterThanOrEqual(o_orderdate" in ln for ln in pushed), (
+        "cutoff-date predicate not pushed into the orders scan:\n"
+        + formatted)
 
 
 def test_not_in_is_null_aware_anti_join(spark, sf_dir):

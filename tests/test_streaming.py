@@ -255,9 +255,13 @@ def test_python_datasource_stream_replays_deterministically(spark, tmp_path):
     )
     q.processAllAvailable()
     q.stop()
+    rows = spark.table("synth_stream_out").collect()
+    # Multiset check first: every doc exactly once (a dict would mask
+    # duplicate emissions).
+    assert sorted(r["doc_id"] for r in rows) == list(range(300))
     got = {
         r["doc_id"]: (r["text"], r["lang"], r["source"], r["n_chars"])
-        for r in spark.table("synth_stream_out").collect()
+        for r in rows
     }
 
     batch = (
@@ -269,4 +273,58 @@ def test_python_datasource_stream_replays_deterministically(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == want
-    assert len(got) == 300
+
+
+def test_python_datasource_stream_restart_no_duplicates(spark, tmp_path):
+    """Stop the stream mid-corpus and restart from the same checkpoint:
+    the resumed query must pick up at the committed offset -- every
+    doc_id exactly once across both runs (multiset, not dict).  Guards
+    the restart regression where a reader deriving latestOffset from
+    in-memory driver state resets to 0 and re-emits committed rows."""
+    import os
+    import time
+
+    from location_summary_etl_spark.sources.pydatasource import (
+        SynthDocsStreamDataSource,
+    )
+
+    spark.dataSource.register(SynthDocsStreamDataSource)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start_query():
+        stream = (
+            spark.readStream.format("synthdocs_stream")
+            .option("n_rows", 400).option("rows_per_batch", 100).load()
+        )
+        return (
+            stream.writeStream.format("json")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    # Run 1: let at least one batch commit, then stop mid-stream.
+    q = start_query()
+    commits = os.path.join(ckpt, "commits")
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        done = [f for f in os.listdir(commits)] if os.path.isdir(commits) else []
+        if any(not f.endswith(".tmp") for f in done):
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+
+    # Run 2: resume from the checkpoint and drain the rest.
+    q2 = start_query()
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination()
+
+    result = spark.read.schema("doc_id LONG, text STRING, lang STRING, "
+                               "source STRING, n_chars LONG").json(out)
+    doc_ids = sorted(r["doc_id"] for r in result.collect())
+    assert doc_ids == list(range(400)), (
+        f"expected each of 400 docs exactly once, got {len(doc_ids)} rows "
+        f"({len(set(doc_ids))} distinct)")
