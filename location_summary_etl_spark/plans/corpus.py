@@ -42,12 +42,6 @@ def _pin_session_semantics(spark: SparkSession) -> None:
     are runtime SQL confs -- safe to set post-construction."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    # events.parquet stores TIMESTAMP(NANOS), which the vanilla parquet
-    # reader REJECTS (PARQUET_TYPE_ILLEGAL) -- without this, a bare
-    # session cannot scan the events table at all.  The registry
-    # converts the raw nanos to timestamps with integer arithmetic
-    # (sources/registry.py POST_TRANSFORMS).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
 def _pinned(fn: Callable[[SparkSession, str], DataFrame]

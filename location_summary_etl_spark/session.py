@@ -114,10 +114,6 @@ def get_session(app_name: str = "location-summary-etl-spark",
                 "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
-        # events.parquet stores TIMESTAMP(NANOS), which the Spark parquet
-        # reader rejects; read as raw nanos and convert in the registry
-        # (sources/registry.py POST_TRANSFORMS) with integer arithmetic.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -62,12 +62,8 @@ TABLES: dict[str, T.StructType] = {
         ("l_discount", _D), ("l_tax", _D), ("l_returnflag", _S),
         ("l_linestatus", _S), ("l_shipdate", _TS),
     ),
-    # ts is physically TIMESTAMP(NANOS) in parquet; with
-    # spark.sql.legacy.parquet.nanosAsLong it scans as LongType and the
-    # post-transform below restores TIMESTAMP_NTZ (DuckDB truncates the
-    # same file to microseconds, so both engines see identical instants).
     "events": _schema(
-        ("event_id", _L), ("ts", _L), ("user_id", _L), ("event_type", _S),
+        ("event_id", _L), ("ts", _TS), ("user_id", _L), ("event_type", _S),
         ("value", _D), ("props", _S),
     ),
     "documents": _schema(
@@ -85,18 +81,11 @@ TABLES: dict[str, T.StructType] = {
 BROADCAST_TABLES = {"region", "nation", "supplier"}
 
 
-def _events_ts_to_ntz(df: DataFrame) -> DataFrame:
-    # nanos -> micros with integer `div` (a double division would lose
-    # precision above 2^53), then micros -> TIMESTAMP -> NTZ (identity
-    # wall-clock under the pinned UTC session).
-    return df.withColumn(
-        "ts",
-        F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-    )
-
-
 # Applied after the scan + schema assertion; keyed by table name.
-POST_TRANSFORMS = {"events": _events_ts_to_ntz}
+# (Empty since the testdata moved events.ts to plain TIMESTAMP(MICROS),
+# which both Spark and DuckDB read natively as naive timestamps; kept
+# as the hook for sources whose physical layout needs normalizing.)
+POST_TRANSFORMS: dict = {}
 
 
 def table_path(sf_dir: str, name: str) -> str:

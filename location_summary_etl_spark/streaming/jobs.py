@@ -24,10 +24,11 @@ from pyspark.sql import types as T
 from location_summary_etl_spark.sources.registry import table_path
 
 # Streaming reads need an explicit schema (no inference): the physical
-# parquet schema, with ts as raw nanos (see sources/registry.py).
+# parquet schema (ts is naive TIMESTAMP(MICROS) -> TIMESTAMP_NTZ, same
+# as the batch registry in sources/registry.py).
 EVENTS_PHYSICAL_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
+    T.StructField("ts", T.TimestampNTZType()),
     T.StructField("user_id", T.LongType()),
     T.StructField("event_type", T.StringType()),
     T.StructField("value", T.DoubleType()),
@@ -36,15 +37,19 @@ EVENTS_PHYSICAL_SCHEMA = T.StructType([
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded parquet-backed stream of the events table with ts
-    restored to a (timezone-aware, UTC session) timestamp."""
+    """Bounded parquet-backed stream of the events table.
+
+    Watermarks reject TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE),
+    so the naive parquet timestamp is cast to session-time TIMESTAMP --
+    an identity on the wall clock under the pinned UTC session, keeping
+    window boundaries identical to the batch (NTZ) plans."""
     # FileStreamSource needs a directory; filter to the events file.
     raw = (
         spark.readStream.schema(EVENTS_PHYSICAL_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts_stream(events: DataFrame,

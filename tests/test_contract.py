@@ -1,7 +1,7 @@
 """The driver runs `__spark_entry__` with ITS OWN SparkSession, not
 ours -- so the contract surface must pin every runtime conf our query
-semantics depend on (UTC event-time, nanos-as-long parquet reads,
-Arrow) onto whatever session it is handed.  These tests hand it a
+semantics depend on (UTC event-time, Arrow) onto whatever session it
+is handed.  These tests hand it a
 deliberately hostile session and require oracle-exact results anyway.
 """
 
@@ -12,20 +12,19 @@ import pytest
 import __spark_entry__ as contract
 from tests.oracle_utils import compare, duckdb_con
 
-# The conf-sensitive queries: event-time bucketing (TZ), events scans
-# (nanos), pandas-UDF path (Arrow).
+# The conf-sensitive queries: event-time bucketing (TZ), pandas-UDF
+# path (Arrow).
 SENSITIVE = ["events_tumbling_10min", "events_user_gapfill",
              "ann_topk_bruteforce_pandas"]
 
 
 @pytest.fixture()
 def hostile(spark):
-    """A session whose SQLConf is NOT ours: wrong timezone, no
-    nanos-as-long, Arrow off.  newSession() shares the SparkContext but
-    holds an independent runtime conf."""
+    """A session whose SQLConf is NOT ours: wrong timezone, Arrow
+    off.  newSession() shares the SparkContext but holds an
+    independent runtime conf."""
     s = spark.newSession()
     s.conf.set("spark.sql.session.timeZone", "America/New_York")
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
     s.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
     return s
 
