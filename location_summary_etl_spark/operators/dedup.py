@@ -318,9 +318,20 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     inverted index carries its doc's count, so Jaccard is computable
     directly on the pair aggregate with no lookup joins.  Grams are
     hashed to 60-bit longs post-explode (codegen -- see
-    _posting_hashes), so postings shuffle ~16 B, never n-gram strings;
-    the posting relation is persisted MEMORY_AND_DISK so the
-    shingle+hash lineage runs once across the self-join's two sides.
+    _posting_hashes), so postings shuffle ~16 B, never n-gram strings.
+
+    Candidate generation is BUCKET-LOCAL (the same shape as the LSH
+    path in :func:`minhash_near_dups`): postings group ONCE by gram
+    and each posting list expands its own id pairs map-side with array
+    combinatorics.  vs the inverted-index self-join this removes a
+    whole shuffle (join = both sides exchanged) plus the persist the
+    join needed to avoid recomputing the shingle lineage per side --
+    two exchanges total: postings -> gram buckets, pairs -> (id_a,
+    id_b) counts.  Pair volume is identical to the join's; the skew
+    unit is one posting list per task, so a ubiquitous shingle (df in
+    the millions at corpus scale) is handled the standard way -- cap /
+    drop grams above a df threshold, which changes candidate recall,
+    not correctness of emitted pairs.
     """
     # The count is zipped INTO the generator input (element, n) pairs:
     # a neighbouring size(...) projection would be re-evaluated per
@@ -340,17 +351,34 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
             portable_hash60(F.col("_z")["0"]).alias("g"),
             F.col("_z")["1"].alias("n_grams"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    left = postings.select(
-        F.col(id_col).alias("id_a"), "g", F.col("n_grams").alias("na")
+    # One bucket per gram; array_sort on (id, n) structs orders by id,
+    # so the triangular expansion emits id_a < id_b directly.
+    buckets = (
+        postings.groupBy("g")
+        .agg(F.array_sort(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), "n_grams"))
+        ).alias("xs"))
+        .filter(F.size("xs") >= 2)
     )
-    right = postings.select(
-        F.col(id_col).alias("id_b"), "g", F.col("n_grams").alias("nb")
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "xs",
+                    lambda x, i: F.transform(
+                        F.slice("xs", i + 2, F.size("xs")),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
     )
     shared = (
-        left.join(right, "g")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.select(
+            F.col("p.a.id").alias("id_a"), F.col("p.b.id").alias("id_b"),
+            F.col("p.a.n_grams").alias("na"), F.col("p.b.n_grams").alias("nb"),
+        )
         .groupBy("id_a", "id_b")
         .agg(
             F.count("*").alias("shared"),

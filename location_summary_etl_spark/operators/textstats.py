@@ -130,32 +130,41 @@ def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     k-char shingles (one representative hash per doc; equal fingerprints
     => high overlap candidates), plus the distinct-shingle count.
 
+    The distinct set is PER-DOC, so it never needs a shuffle: a doc's
+    shingles all live in its own row, and ``array_distinct`` + ``size``
+    resolve the count map-side before the explode.  The exchange then
+    carries one partial (min-hash, count) row per (partition, doc) --
+    MIN is duplicate-insensitive and combines map-side -- instead of
+    the millions of (id, hash) rows a distinct-staged aggregate
+    shuffles.  At corpus scale that is the difference between an
+    aggregate-sized exchange and re-shuffling the whole shingle stream.
+
     Shingles explode to scalar rows and are hashed THERE -- md5 on a
     scalar column is whole-stage-codegen'd, while hashing inside an
     array transform lambda runs interpreted per element (measured ~4x
     on this operator: md5 of every k-char window dominates).  The
-    explode input is inlined, not a projected alias, to stay exempt
-    from InferFiltersFromGenerate (see operators.dedup._posting_hashes).
-    The distinct count is staged as groupBy(id, hash) -> groupBy(id),
-    not COUNT(DISTINCT): the distinct-aggregate plan shuffles raw
-    (id, hash) rows, while the two-stage form map-side-combines
-    repeated shingles BEFORE the first exchange -- repeat-heavy docs
-    (boilerplate, code) shuffle their unique hashes once.  Measured
-    ~15% at sf0.1 even on low-repetition synthetic text; MIN rides the
-    second (already-narrow) aggregate.
+    distinct count rides the generator input as (shingle, count) pairs
+    (arrays_zip), keeping the explode input inlined and exempt from
+    InferFiltersFromGenerate (see operators.dedup._posting_hashes).
     """
     from location_summary_etl_spark.functions.scalars import portable_hash32
     from location_summary_etl_spark.session import ensure_parallelism
 
+    dsh = F.array_distinct(char_shingles(text_col, k))
+    packed = F.explode(
+        F.arrays_zip(dsh, F.array_repeat(F.size(dsh), F.size(dsh)))
+    )
     return (
         ensure_parallelism(docs)
-        .select(F.col(id_col), F.explode(char_shingles(text_col, k)).alias("_s"))
-        .select(F.col(id_col), portable_hash32("_s").alias("_h"))
-        .groupBy(id_col, "_h")
-        .agg(F.count("*").alias("_c"))
+        .select(F.col(id_col), packed.alias("_z"))
+        .select(
+            F.col(id_col),
+            portable_hash32(F.col("_z")["0"]).alias("_h"),
+            F.col("_z")["1"].alias("_nd"),
+        )
         .groupBy(id_col)
         .agg(
             F.min("_h").alias("fingerprint"),
-            F.count("*").cast("int").alias("n_distinct_shingles"),
+            F.min("_nd").cast("int").alias("n_distinct_shingles"),
         )
     )

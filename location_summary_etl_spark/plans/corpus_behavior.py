@@ -20,35 +20,43 @@ from location_summary_etl_spark.sources.registry import load_table
 # ------------------------------------------------------------------
 # Funnel: view -> click -> purchase, ORDER-constrained (a click only
 # counts after the user's first view; a purchase only after that
-# click).  Three aggregations and two joins, every one keyed on
-# user_id: the first groupBy's exchange establishes the partitioning
-# and AQE reuses it for the rest of the chain, so the funnel costs one
-# logical shuffle of the events table at 100 TB, not five.
+# click).  ONE pass: a single groupBy(user_id) collects first-view
+# time plus the user's click/purchase timestamp arrays, and the
+# stage-resolution ("earliest click at or after first view, earliest
+# purchase at or after that click") is pure array arithmetic on the
+# aggregate row -- map-side relative to the one exchange.  vs the
+# 3-aggregate + 2-join chain this is one shuffle of the events table
+# and one scalar aggregate, total.  Skew note: the arrays are per-user
+# event lists, bounded by a user's own activity; a whale user beyond
+# memory is the case for the aggregate-chain formulation (same
+# semantics, more exchanges), not this one.
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") >= F.col("t_view"))
-        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") >= F.col("t_click"))
-        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
-    )
-    return (
-        v.join(c, "user_id", "left").join(p, "user_id", "left")
+    per_user = (
+        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
         .agg(
-            F.count(F.lit(1)).alias("n_view"),
-            F.count("t_click").alias("n_view_click"),
-            F.count("t_purchase").alias("n_view_click_purchase"),
+            F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+            .alias("t_view"),
+            F.collect_list(F.when(F.col("event_type") == "click", F.col("ts")))
+            .alias("clicks"),
+            F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts")))
+            .alias("purchases"),
         )
+        .filter(F.col("t_view").isNotNull())
+        .withColumn(
+            "t_click",
+            F.array_min(F.filter("clicks", lambda t: t >= F.col("t_view"))),
+        )
+        .withColumn(
+            "t_purchase",
+            F.array_min(F.filter("purchases", lambda t: t >= F.col("t_click"))),
+        )
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_view"),
+        F.count("t_click").alias("n_view_click"),
+        F.count("t_purchase").alias("n_view_click_purchase"),
     )
 
 

@@ -36,6 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from location_summary_etl_spark.functions.scalars import round_portable
 from location_summary_etl_spark.plans.corpus import register
 from location_summary_etl_spark.session import partition_for_grouped_python
 from location_summary_etl_spark.sources.registry import load_table
@@ -115,9 +116,41 @@ EWMA_SCHEMA = "user_id bigint, n_events bigint, ewma_value double"
 
 def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final exponentially-weighted moving average of each user's event
-    values in (ts, event_id) order -- a sequential fold no built-in
-    aggregate expresses without a closed form.  One shuffle on user_id,
-    then an O(n)/O(1) scan per group in the Python worker."""
+    values in (ts, event_id) order -- a sequential fold with no
+    closed-form built-in aggregate.
+
+    Catalyst-native: ONE groupBy(user_id) exchange collects each
+    user's (ts, event_id, value) structs; ``array_sort`` orders them
+    (lexicographic struct order == the (ts, event_id) sort key), and
+    ``F.aggregate`` runs the fold JVM-side on the aggregate row.  No
+    Python stage at all -- the grouped-map formulation of the same
+    fold lives in :func:`user_value_ewma_pandas` (the corpus keeps
+    both: this one is the throughput path, that one exercises the
+    grouped-Python API).  The fold's association is identical to the
+    oracle's list_reduce lambda."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    g = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("_xs"),
+    )
+    fold = F.aggregate(
+        F.slice("_xs", 2, F.greatest(F.size("_xs") - 1, F.lit(0))),
+        F.element_at("_xs", 1)["value"],
+        lambda acc, x: acc * F.lit(0.7) + x["value"] * F.lit(0.3),
+    )
+    return g.select(
+        "user_id", "n_events", round_portable(fold, 6).alias("ewma_value")
+    )
+
+
+def user_value_ewma_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map (``applyInPandas``) formulation of
+    :func:`user_value_ewma`: one shuffle on user_id, then an O(n)/O(1)
+    sequential scan per group in the Python worker.  Same oracle."""
     events = partition_for_grouped_python(
         load_table(spark, sf_dir, "events")
         .select("user_id", "ts", "event_id", "value"),
@@ -153,3 +186,4 @@ GROUP BY user_id
 
 register("user_activity_cogroup", user_activity_cogroup, COGROUP_SQL)
 register("user_value_ewma", user_value_ewma, EWMA_SQL)
+register("user_value_ewma_pandas", user_value_ewma_pandas, EWMA_SQL)

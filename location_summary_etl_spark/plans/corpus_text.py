@@ -107,15 +107,16 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("text_fingerprints", text_fingerprints, """
 -- Docs shorter than k chars have no shingles and are dropped, same as
 -- the other shingle-based operators (explode semantics in Spark).
+-- The distinct count is over shingle STRINGS (the per-doc set the
+-- Spark side resolves map-side); the fingerprint is the min hash over
+-- that set, identical to the min over the multiset.
 WITH s AS (
-    SELECT doc_id,
-           CAST('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 1, 8)
-                AS BIGINT) AS h
+    SELECT doc_id, substr(text, CAST(i AS INT), 8) AS sh
     FROM documents, UNNEST(generate_series(1, length(text) - 7)) AS t(i)
 )
 SELECT doc_id,
-       MIN(h) AS fingerprint,
-       CAST(COUNT(DISTINCT h) AS INT) AS n_distinct_shingles
+       MIN(CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT)) AS fingerprint,
+       CAST(COUNT(DISTINCT sh) AS INT) AS n_distinct_shingles
 FROM s GROUP BY doc_id
 """)
 

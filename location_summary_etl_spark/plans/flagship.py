@@ -23,7 +23,7 @@ whole job is a single lineage with no eager actions
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from location_summary_etl_spark.functions.scalars import round_portable
@@ -58,33 +58,42 @@ def flagship_nation_summary(spark: SparkSession, sf_dir: str,
     argmax = latest_snapshot_window if use_window else latest_snapshot_join
     latest = argmax(orders, ["o_custkey"], "o_orderdate")
 
-    # B4/B5: join to customer, aggregate to nation grain.
+    # B4/B5: join to customer, aggregate to nation grain.  The same
+    # aggregate also carries max(o_orderdate): the ``latest`` rows hold
+    # every customer's max order date, so the global max -- the audit
+    # snapshot date (B13) -- is recoverable downstream from the
+    # nation-grain maxes with a window, instead of a third orders scan
+    # + grand-total agg + broadcast lineage (3 fewer jobs, one fewer
+    # fact-table pass at any scale).
     per_nation = (
         latest.join(customer, latest["o_custkey"] == customer["c_custkey"], "inner")
         .groupBy("c_nationkey")
         .agg(
             F.avg("o_totalprice").alias("avg_order_total"),
             F.count("*").alias("order_count"),
+            F.max(F.col("o_orderdate").cast("date")).alias("_max_odate"),
         )
     )
     bal = customer.groupBy("c_nationkey").agg(
         F.avg("c_acctbal").alias("avg_acctbal")
     )
 
-    # B8: min-max score over the nation-grain averages.  Window form:
-    # per_nation is aggregate-sized (|nations| rows), and the window
-    # keeps the expensive orders->customer lineage single -- the
-    # broadcast-bounds form would re-evaluate it under the bounds agg.
-    scored = minmax_score_window(per_nation, "avg_order_total", "price_score")
-
-    # B13: audit snapshot date -- global max order date, in-plan.
-    snap = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("snapshot_date"))
+    # B8 + B13: min-max score and the audit date over the nation-grain
+    # aggregate.  Window form: per_nation is aggregate-sized (|nations|
+    # rows), and the single empty-partition window pass serves BOTH the
+    # score bounds and the global-max snapshot date -- the
+    # broadcast-bounds form would re-evaluate the orders->customer
+    # lineage under the bounds agg.
+    scored = minmax_score_window(
+        per_nation, "avg_order_total", "price_score"
+    ).withColumn(
+        "snapshot_date", F.max("_max_odate").over(Window.partitionBy())
+    ).drop("_max_odate")
 
     out = (
         scored.join(bal, "c_nationkey", "inner")
         .join(F.broadcast(nation), scored["c_nationkey"] == nation["n_nationkey"], "inner")
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"], "inner")
-        .join(F.broadcast(snap))
         # B12: round display columns (score computed on unrounded input).
         # round_portable, not F.round: matches DuckDB's double rounding.
         .withColumn("avg_acctbal", round_portable("avg_acctbal", 2))
@@ -106,7 +115,8 @@ WITH latest AS (
 per_nation AS (
     SELECT c.c_nationkey,
            AVG(l.o_totalprice) AS avg_order_total,
-           COUNT(*) AS order_count
+           COUNT(*) AS order_count,
+           CAST(MAX(l.o_orderdate) AS DATE) AS max_odate
     FROM latest l
     JOIN customer c ON l.o_custkey = c.c_custkey
     GROUP BY c.c_nationkey
@@ -115,8 +125,9 @@ bal AS (
     SELECT c_nationkey, AVG(c_acctbal) AS avg_acctbal
     FROM customer GROUP BY c_nationkey
 ),
-b AS (SELECT MIN(avg_order_total) AS mn, MAX(avg_order_total) AS mx FROM per_nation),
-snap AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS snapshot_date FROM orders)
+b AS (SELECT MIN(avg_order_total) AS mn, MAX(avg_order_total) AS mx,
+             MAX(max_odate) AS snapshot_date
+      FROM per_nation)
 SELECT n.n_name,
        r.r_name,
        ROUND(bal.avg_acctbal, 2) AS avg_acctbal,
@@ -125,11 +136,10 @@ SELECT n.n_name,
        ROUND(CASE WHEN b.mx <> b.mn
                   THEN (pn.avg_order_total - b.mn) / (b.mx - b.mn) * 100
              END, 2) AS price_score,
-       snap.snapshot_date
+       b.snapshot_date
 FROM per_nation pn
 JOIN bal ON pn.c_nationkey = bal.c_nationkey
 JOIN nation n ON pn.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 CROSS JOIN b
-CROSS JOIN snap
 """
