@@ -92,4 +92,5 @@ def _ensure_loaded() -> None:
         corpus_subquery,
         corpus_trainprep,
         corpus_recursive,
+        corpus_sqlx,
     )

@@ -181,6 +181,40 @@ def purchase_view_join_stream(events: DataFrame,
     ).select("event_id", "user_id", "p_ts", "v_ts")
 
 
+def purchase_view_left_join_stream(events: DataFrame,
+                                   band: str = "10 minutes",
+                                   watermark: str = "30 minutes"
+                                   ) -> DataFrame:
+    """LEFT OUTER stream-stream join: every purchase is emitted, with
+    NULL ``v_ts`` when no view preceded it in the band.
+
+    Outer stream-stream joins are the strictly harder stateful case:
+    an unmatched left row cannot be emitted when it arrives -- a
+    matching view may still come -- so the engine holds it in state
+    and emits the NULL-padded row only once the watermark proves no
+    match can appear.  The same watermark + time-range pair that
+    bounds inner-join state is what makes the NULL emission *correct*
+    here, not just space-bounded; without them Spark rejects the
+    outer join outright (UNSUPPORTED_OPERATION)."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", watermark)
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        (purchases["user_id"] == views["v_user"])
+        & (views["v_ts"] >= purchases["p_ts"] - F.expr(f"INTERVAL {band}"))
+        & (views["v_ts"] < purchases["p_ts"]),
+        "leftOuter",
+    ).select("event_id", "user_id", "p_ts", "v_ts")
+
+
 def enrich_events_stream(events: DataFrame, customer: DataFrame,
                          window: str = "10 minutes",
                          watermark: str = "30 minutes") -> DataFrame:

@@ -81,9 +81,13 @@ def test_flagship_stays_in_whole_stage_codegen(spark, sf_dir):
 
 
 def test_no_python_udfs_in_relational_corpus(spark, sf_dir):
-    # Everything except the designated Arrow paths must stay JVM-side.
+    # Everything except the designated Python paths must stay JVM-side.
     arrow_ok = {"ann_topk_bruteforce_pandas", "multimodal_decode_features",
-                "multimodal_resize_inventory", "multimodal_frame_stats"}
+                "multimodal_resize_inventory", "multimodal_frame_stats",
+                # grouped-map formulation kept alongside the HOF default
+                "user_value_ewma_pandas",
+                # the UDTF entry exists to cover the table-function API
+                "doc_chunks_udtf"}
     for name in contract.queries():
         if name in arrow_ok:
             continue
@@ -274,3 +278,15 @@ def test_disjunction_pushes_per_side_predicates(spark, sf_dir):
     # and the quantity disjunction must reach the lineitem scan
     assert "GreaterThanOrEqual(l_quantity,1.0)" in plan, (
         "no quantity predicate reached the lineitem scan")
+
+
+def test_lateral_limit_decorrelates_to_window_group_limit(spark, sf_dir):
+    """The LATERAL ... ORDER BY ... LIMIT 2 subquery must decorrelate
+    into a partitioned WindowGroupLimit + row_number join -- one window
+    pass, never a per-outer-row re-execution (nested loop)."""
+    plan = plan_of(spark, "nation_top2_orders_lateral", sf_dir, mode="simple")
+    assert "WindowGroupLimit" in plan, (
+        "lateral LIMIT did not decorrelate to WindowGroupLimit:\n" + plan)
+    assert "row_number" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -151,6 +151,51 @@ def test_streaming_join_matches_batch_interval_join(spark, sf_dir):
     assert got == want
 
 
+def test_streaming_left_outer_join_sound(spark, sf_dir):
+    """LEFT OUTER stream-stream join: matched pairs must equal the
+    batch inner join exactly, and NULL-padded rows may only appear for
+    purchases the batch left join also leaves unmatched.  (The file
+    stream arrives as one micro-batch, so tail unmatched rows whose
+    no-match proof needs a further watermark advance may legitimately
+    be withheld -- soundness, not completeness, is what a bounded
+    replay can assert.)"""
+    from location_summary_etl_spark.streaming.jobs import (
+        purchase_view_left_join_stream,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    result = run_to_memory(
+        purchase_view_left_join_stream(stream), "ss_ljoin_out", mode="append"
+    )
+    rows = result.collect()
+    got_matched = {(r["event_id"], r["v_ts"]) for r in rows
+                   if r["v_ts"] is not None}
+    got_null = {r["event_id"] for r in rows if r["v_ts"] is None}
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    cond = (
+        (purchases["user_id"] == views["v_user"])
+        & (views["v_ts"] >= purchases["p_ts"] - F.expr("INTERVAL 10 MINUTES"))
+        & (views["v_ts"] < purchases["p_ts"])
+    )
+    inner = purchases.join(views, cond)
+    want_matched = {(r["event_id"], r["v_ts"]) for r in inner.collect()}
+    matched_ids = {eid for eid, _ in want_matched}
+    all_purchases = {r["event_id"] for r in purchases.collect()}
+    want_null = all_purchases - matched_ids
+
+    assert got_matched == want_matched
+    assert got_null <= want_null
+    # every purchase the stream did emit is accounted for exactly once
+    assert got_null.isdisjoint(matched_ids)
+
+
 def test_streaming_foreach_batch_upsert_idempotent(spark, sf_dir, tmp_path):
     """foreachBatch + dynamic partition overwrite: the parquet target
     matches the batch aggregation, and replaying the whole stream into
