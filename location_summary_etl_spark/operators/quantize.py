@@ -113,15 +113,24 @@ def quantized_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     At 100 TB the candidate scan reads 1 byte/dim -- this path exists
     so the scan/shuffle cost rides the compressed representation.
     """
-    emb = ensure_parallelism(emb)
     import numpy as np
 
-    spark = emb.sparkSession
-    rows = (
-        emb.filter(F.col(id_col).isin(query_ids))
-        .select(id_col, vec_col)
-        .collect()  # |Q| rows by design
+    from location_summary_etl_spark.operators.similarity import (
+        fetch_query_rows,
     )
+
+    spark = emb.sparkSession
+    # jobless driver-side fetch of the |Q| query rows (see
+    # similarity.fetch_query_rows).
+    rows = fetch_query_rows(emb, id_col, vec_col, query_ids)
+    # Work-sized Python-stage layout (see
+    # session.partition_for_python_scan): tiny inputs stay narrow,
+    # warehouse-scale inputs still fan to core width.
+    from location_summary_etl_spark.session import (
+        partition_for_python_scan,
+    )
+
+    emb = partition_for_python_scan(emb)
     qids = np.array([r[0] for r in rows], dtype=np.int64)
     qm = np.array([list(r[1]) for r in rows], dtype=np.float64)
     qq, _ = _np_quantize(qm)

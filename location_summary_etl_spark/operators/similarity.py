@@ -33,6 +33,49 @@ from location_summary_etl_spark.session import ensure_parallelism
 LSH_SIGN_BITS = 6  # leading dims used as axis-aligned hyperplanes
 
 
+def fetch_query_rows(emb: DataFrame, id_col: str, vec_col: str,
+                     query_ids: list[int]) -> list[tuple]:
+    """The |Q| query rows as (id, vector) tuples, WITHOUT a Spark job
+    when the relation is a plain file scan.
+
+    The pandas ANN backends need the (small by design) query matrix on
+    the driver before they can broadcast it.  ``df.collect()`` pays a
+    full job -- scheduling, a repartition exchange if the scan was
+    widened, task launch -- to move five rows.  When ``inputFiles``
+    resolves to local parquet, reading those files directly with
+    pyarrow (predicate-pushed to ``id IN (...)``) returns the same
+    rows in ~10 ms with zero jobs.  Falls back to ``collect`` for
+    non-file relations (literal test frames, views over transforms).
+    Same trade as DuckDB scanning the file in-process: this is driver
+    metadata access, not distributed compute, and |Q| is bounded.
+    """
+    try:
+        files = [f for f in emb.inputFiles() if f.endswith(".parquet")]
+    except Exception:
+        files = []
+    if files:
+        try:
+            import pyarrow.dataset as ds
+
+            dataset = ds.dataset([f.removeprefix("file:") for f in files],
+                                 format="parquet")
+            tbl = dataset.to_table(
+                columns=[id_col, vec_col],
+                filter=ds.field(id_col).isin(query_ids),
+            )
+            ids = tbl.column(id_col).to_pylist()
+            vecs = tbl.column(vec_col).to_pylist()
+            return list(zip(ids, vecs))
+        except Exception:
+            pass
+    return [
+        (r[0], r[1])
+        for r in emb.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    ]
+
+
 def _with_norm(emb: DataFrame, id_col: str, vec_col: str,
                prefix: str) -> DataFrame:
     v = F.col(vec_col).cast("array<double>")
@@ -228,14 +271,17 @@ def pandas_cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     semantics as :func:`brute_force_topk`; this is the 100 TB
     throughput path when |Q| is in the hundreds+.
     """
-    emb = ensure_parallelism(emb)  # 1-partition small scans -> all cores
     import numpy as np
 
-    rows = (
-        emb.filter(F.col(id_col).isin(query_ids))
-        .select(id_col, vec_col)
-        .collect()  # |Q| rows by design -- the query set is small
-    )
+    # jobless driver-side fetch of the |Q| query rows (see
+    # fetch_query_rows) -- resolved BEFORE the widening repartition so
+    # the fallback collect wouldn't pay the exchange either.
+    rows = fetch_query_rows(emb, id_col, vec_col, query_ids)
+    # Work-sized Python-stage layout: each Arrow map task costs ~10 ms
+    # flat, so partition count follows input bytes, capped at cores.
+    from location_summary_etl_spark.session import partition_for_python_scan
+
+    emb = partition_for_python_scan(emb)
     qids = np.array([r[0] for r in rows], dtype=np.int64)
     qm = np.array([r[1] for r in rows], dtype=np.float64)
     # Sequential-fold norm (see the dimension loop in score()).

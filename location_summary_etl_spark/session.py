@@ -36,14 +36,80 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     so everything fused into that scan stage runs on one core no matter
     how wide the machine is (measured: the whole dedup shingle pipeline
     on 1/32 cores at sf0.1).  At production scale inputs arrive in many
-    splittable files, ``getNumPartitions() >= cores`` holds, and this is
-    a no-op -- the repartition only fires in exactly the
+    splittable files, scan parallelism >= cores holds, and this is a
+    no-op -- the repartition only fires in exactly the
     small-input/wide-machine regime where its tiny shuffle is worth it.
+
+    The decision reads FILE METADATA (``df.inputFiles`` + sizes), never
+    ``df.rdd``: converting to an RDD forces physical planning of the
+    whole lineage at plan-build time, ~50-800 ms per query on the
+    driver (measured), all of it thrown away when the real action
+    re-plans.  Estimated scan parallelism = one split per file plus one
+    per maxPartitionBytes of the largest files, which is how
+    FilePartition packs splits to first order.  Non-file relations
+    (literal frames in unit tests, in-memory sources) report no input
+    files; they were created with session-default parallelism, so no
+    repartition is needed.
     """
+    import os as _os
+
     n = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
-        return df.repartition(n)
-    return df
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        return df
+    if len(files) >= n:
+        return df
+    max_pb = 128 * 1024 * 1024
+    est = 0
+    for f in files:
+        p = f.removeprefix("file:")
+        try:
+            sz = _os.path.getsize(p)
+        except OSError:
+            return df
+        est += max(1, (sz + max_pb - 1) // max_pb)
+        if est >= n:
+            return df
+    return df.repartition(n)
+
+
+def partition_for_python_scan(df, target_bytes: int = 4 * 1024 * 1024):
+    """Partition a relation feeding an Arrow-Python map stage
+    (``mapInPandas``) so each task carries REAL work.
+
+    A Python map partition has a fixed ~10 ms cost (worker handshake,
+    Arrow stream setup) regardless of size: 32 partitions of a 0.8 MB
+    table cost 0.44 s where one partition costs 0.19 s (measured,
+    identity mapInPandas at sf0.1).  So unlike
+    :func:`ensure_parallelism` (JVM stages, where idle cores are the
+    only cost), the Python stage wants ``min(cores, input_bytes /
+    target_bytes)`` partitions: tiny inputs stay narrow, and at
+    warehouse scale the cap is the core count -- the same layout
+    ensure_parallelism picks.  Falls back to leaving the relation
+    untouched when no file metadata is available.
+    """
+    import os as _os
+
+    n_cores = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        return df
+    total = 0
+    for f in files:
+        try:
+            total += _os.path.getsize(f.removeprefix("file:"))
+        except OSError:
+            return df
+    want = int(min(n_cores, max(1, total // target_bytes)))
+    if len(files) >= want:
+        return df if want > 1 else df.coalesce(1)
+    return df.repartition(want)
 
 
 def partition_for_grouped_python(df, *keys: str, min_partitions: int | None = None):
@@ -63,6 +129,62 @@ def partition_for_grouped_python(df, *keys: str, min_partitions: int | None = No
     """
     n = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n, *keys)
+
+
+def broadcast_if_small(df, cap_bytes: int | None = None):
+    """Plan-time broadcast hint gated on SOURCE file size -- poor-man's
+    CBO for the statistics Catalyst doesn't have.
+
+    Spark's static broadcast detection estimates a join side from table
+    stats, which parquet paths without ANALYZE don't carry, so a
+    filtered fact side is never auto-broadcast at plan time, and AQE's
+    runtime conversion only helps stages *after* the exchange has
+    already been planned and materialized.  This helper sums the
+    side's input-file sizes (driver-side metadata, no job): below the
+    cap it attaches an explicit ``broadcast()`` hint, above it the plan
+    is untouched.  At bench scale a two-table join side totals a few
+    MB and broadcasting it deletes the fact-fact shuffle (measured
+    0.85s -> 0.61s on the Q5 shape at sf0.1); at 100 TB the same
+    source files are TBs, the hint never fires, and the declarative
+    shuffle-join plan stands.  The cap defaults to the session's
+    autoBroadcastJoinThreshold, so operators stay consistent with the
+    engine-wide broadcast policy.
+    """
+    import os as _os
+
+    from pyspark.sql import functions as _F
+
+    if cap_bytes is None:
+        raw = df.sparkSession.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760"
+        ).strip().lower()
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
+        mult = 1
+        if raw and raw[-1] == "b":
+            raw = raw[:-1]
+        if raw and raw[-1] in units:
+            mult, raw = units[raw[-1]], raw[:-1]
+        try:
+            cap_bytes = int(raw) * mult
+        except ValueError:
+            cap_bytes = 10 * 1024 * 1024
+    if cap_bytes <= 0:
+        return df
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files:
+        return df
+    total = 0
+    for f in files:
+        try:
+            total += _os.path.getsize(f.removeprefix("file:"))
+        except OSError:
+            return df
+        if total > cap_bytes:
+            return df
+    return _F.broadcast(df)
 
 
 def filter_behind_barrier(df, cond):
