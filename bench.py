@@ -65,9 +65,14 @@ def main() -> None:
     qs = contract.queries()
     names = [n for n in HEADLINE if n in qs]
 
-    # Warm the JVM/codegen paths once so per-query numbers measure the
-    # plan, not session startup.
-    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm EVERY query once before timing: whole-stage codegen compiles
+    # and the JIT profiles on the warm pass, so the timed minima measure
+    # the plan rather than compile noise (without this, queries late in
+    # the list run against a full JIT code cache and single runs vary
+    # 2-3x run-to-run).
+    for name in names:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
 
     # Three timed runs per query, cache cleared between them so every run
     # recomputes from the parquet scans (operators may persist

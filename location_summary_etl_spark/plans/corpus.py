@@ -93,4 +93,5 @@ def _ensure_loaded() -> None:
         corpus_trainprep,
         corpus_recursive,
         corpus_sqlx,
+        corpus_scd,
     )

@@ -187,3 +187,94 @@ GROUP BY user_id
 register("user_activity_cogroup", user_activity_cogroup, COGROUP_SQL)
 register("user_value_ewma", user_value_ewma, EWMA_SQL)
 register("user_value_ewma_pandas", user_value_ewma_pandas, EWMA_SQL)
+
+
+# ---------------------------------------- grouped-agg pandas UDF: wavg
+# Completes the pandas API family (mapInPandas / applyInPandas /
+# cogroup are covered elsewhere): PandasUDFType GROUPED_AGG -- a
+# vectorized Python aggregate that Catalyst plans as a real partial-less
+# aggregate over each group's Arrow batch.  Scale: one shuffle on the
+# group key; the UDF sees each group's columns as numpy-backed Series.
+# The weighted mean divides two sums, so cross-engine summation-order
+# noise (~1e-11 relative) is normalized before the 4-decimal round.
+def segment_weighted_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per market segment: order-month-weighted mean order price
+    (a seasonality-corrected average), via a grouped-agg pandas UDF."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wavg(price: pd.Series, w: pd.Series) -> float:
+        return float((price * w).sum() / w.sum())
+
+    # Catalyst refuses to mix grouped-agg pandas UDFs with built-in
+    # aggregates in one Aggregate (INVALID_PANDAS_UDF_PLACEMENT), so
+    # the row count is a pandas aggregate too.
+    @pandas_udf("long")
+    def pcount(price: pd.Series) -> int:
+        return len(price)
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    j = orders.select(
+        "o_custkey", "o_totalprice", F.month("o_orderdate").alias("m")
+    ).join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return j.groupBy("c_mktsegment").agg(
+        round_portable(
+            wavg(F.col("o_totalprice"), F.col("m").cast("double")), 4
+        ).alias("weighted_avg_price"),
+        pcount(F.col("o_totalprice")).alias("n_orders"),
+    )
+
+
+register("segment_weighted_price", segment_weighted_price, """
+SELECT c_mktsegment,
+       round(CAST(SUM(o_totalprice * m) / SUM(m) AS DOUBLE), 4)
+           AS weighted_avg_price,
+       COUNT(*) AS n_orders
+FROM (SELECT o_custkey, o_totalprice,
+             CAST(month(o_orderdate) AS DOUBLE) AS m
+      FROM orders) o
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""")
+
+
+# ------------------------------------- Arrow-optimized scalar Python UDF
+# The row-at-a-time escape hatch on its fastest transport (Spark 4
+# useArrow=True: columnar Arrow batches instead of pickled rows).  Kept
+# OUT of every hot path by policy -- this entry documents the API and
+# its price: the lambda below is pure-Python per row, ~100x slower than
+# the equivalent codegen'd CASE, which is why the oracle can express it
+# as plain SQL at all.
+def orders_arrow_udf_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts per price band where the band is assigned by an
+    Arrow-optimized scalar Python UDF."""
+    from pyspark.sql.functions import udf
+
+    @udf(returnType="string", useArrow=True)
+    def band(price: float) -> str:
+        if price < 50_000:
+            return "low"
+        if price < 200_000:
+            return "mid"
+        return "high"
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(band(F.col("o_totalprice")).alias("band"))
+        .groupBy("band")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+register("orders_arrow_udf_bands", orders_arrow_udf_bands, """
+SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+            WHEN o_totalprice < 200000 THEN 'mid'
+            ELSE 'high' END AS band,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1
+""")

@@ -195,3 +195,91 @@ SELECT doc_id, rk, tok, tfidf FROM (
 )
 WHERE rk <= {TFIDF_TOP_K}
 """)
+
+
+# ----------------------------------------------------------- PII scrub
+# The synthetic corpus carries no real PII, so the query PLANTS
+# deterministic PII derived from doc_id (same expression in both
+# engines), then scrubs and audits it -- exercising the full
+# redact-cascade with exact oracle parity.  Patterns are RE2-compatible
+# (functions.texts.PII_PATTERNS): no lookaround, so Java regex (Spark)
+# and RE2 (DuckDB) agree.
+_PII_SYNTH_SPARK = (
+    "concat('contact user', cast(doc_id as string), '@example.com"
+    " ssn 123-45-', lpad(cast(doc_id % 10000 as string), 4, '0'),"
+    " ' ip 10.0.', cast(doc_id % 256 as string), '.',"
+    " cast(doc_id % 100 as string),"
+    " ' call +1 302 555 ', lpad(cast(doc_id % 10000 as string), 4, '0'),"
+    " CASE WHEN doc_id % 3 = 0 THEN ' cc admin@example.org' ELSE '' END,"
+    " ' ', text)"
+)
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII audit: plant synthetic email/SSN/IP/phone
+    tokens, count matches per kind on the progressively-scrubbed text
+    (so the specific kinds win over the broad phone pattern), and
+    return the redacted prefix.
+
+    Plan shape: one scan, one codegen'd projection of chained
+    ``regexp_replace`` / ``regexp_extract_all`` -- no shuffle, no
+    Python; at 100 TB this runs at scan speed inside whatever stage
+    already touches the text (the same property corpus_clean relies
+    on)."""
+    from pyspark.sql import functions as F
+
+    from location_summary_etl_spark.functions.texts import (
+        pii_counts,
+        scrub_pii,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    synth = docs.select("doc_id", F.expr(_PII_SYNTH_SPARK).alias("t"))
+    counts = pii_counts("t")
+    return synth.select(
+        "doc_id",
+        *[c.cast("long").alias(f"n_{k}") for k, c in counts.items()],
+        F.substring(scrub_pii("t"), 1, 60).alias("clean_prefix"),
+    )
+
+
+def _pii_scrub_sql() -> str:
+    """Oracle: the same plant -> count -> scrub cascade, generated from
+    the shared PII_PATTERNS/PII_ORDER constants so the two definitions
+    cannot drift."""
+    from location_summary_etl_spark.functions.texts import (
+        PII_ORDER,
+        PII_PATTERNS,
+    )
+
+    synth = (
+        "'contact user' || CAST(doc_id AS VARCHAR) || '@example.com"
+        " ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'"
+        " || CAST(doc_id % 100 AS VARCHAR)"
+        " || ' call +1 302 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@example.org' ELSE '' END"
+        " || ' ' || text"
+    )
+    ctes = [f"synth AS (SELECT doc_id, {synth} AS t0 FROM documents)"]
+    prev = "synth"
+    for i, kind in enumerate(PII_ORDER):
+        pat = PII_PATTERNS[kind]
+        ctes.append(
+            f"s{i} AS (SELECT *,"
+            f" CAST(len(regexp_extract_all(t{i}, '{pat}')) AS BIGINT)"
+            f" AS n_{kind},"
+            f" regexp_replace(t{i}, '{pat}', '<{kind.upper()}>', 'g')"
+            f" AS t{i + 1} FROM {prev})"
+        )
+        prev = f"s{i}"
+    n_cols = ", ".join(f"n_{k}" for k in PII_ORDER)
+    last = len(PII_ORDER)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, {n_cols},"
+        f" substr(t{last}, 1, 60) AS clean_prefix FROM {prev}"
+    )
+
+
+register("text_pii_scrub", text_pii_scrub, _pii_scrub_sql())

@@ -561,3 +561,55 @@ def test_write_observed_single_pass_metrics(spark, sf_dir, tmp_path):
     assert got == want
     # and the write actually happened, in the same job
     assert spark.read.parquet(str(tmp_path / "obs")).count() == want["n_rows"]
+
+
+def test_scd2_merge_versions_nulls_and_inserts(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from location_summary_etl_spark.operators.scd import scd2_merge
+
+    d = datetime.date
+    current = spark.createDataFrame(
+        [
+            # closed history row: must pass through untouched
+            (1, "A", 10.0, d(2020, 1, 1), d(2021, 1, 1)),
+            # open rows: changed value / unchanged / NULL -> value /
+            # value -> NULL / missing from the update batch
+            (1, "B", 10.0, d(2021, 1, 1), None),
+            (2, "B", 20.0, d(2020, 1, 1), None),
+            (3, None, 30.0, d(2020, 1, 1), None),
+            (4, "D", None, d(2020, 1, 1), None),
+            (5, "E", 50.0, d(2020, 1, 1), None),
+        ],
+        "k int, seg string, bal double, valid_from date, valid_to date",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "B", 11.0),     # changed -> close + open
+            (2, "B", 20.0),     # unchanged -> carried
+            (3, "C", 30.0),     # NULL -> value: must version
+            (4, "D", None),     # NULL stays NULL: unchanged
+            (9, "Z", 90.0),     # brand-new key -> insert only
+        ],
+        "k int, seg string, bal double",
+    )
+    out = scd2_merge(current, updates, "k", ["seg", "bal"], "2022-06-01")
+    rows = {(r.k, str(r.valid_from), str(r.valid_to), r.seg, r.bal)
+            for r in out.collect()}
+    eff = "2022-06-01"
+    assert rows == {
+        (1, "2020-01-01", "2021-01-01", "A", 10.0),   # history untouched
+        (1, "2021-01-01", eff, "B", 10.0),            # closed
+        (1, eff, "None", "B", 11.0),                  # new version
+        (2, "2020-01-01", "None", "B", 20.0),         # unchanged
+        (3, "2020-01-01", eff, None, 30.0),           # NULL->value closes
+        (3, eff, "None", "C", 30.0),
+        (4, "2020-01-01", "None", "D", None),         # NULL==NULL carried
+        (5, "2020-01-01", "None", "E", 50.0),         # no update -> open
+        (9, eff, "None", "Z", 90.0),                  # insert
+    }
+    # idempotence: re-applying the same batch changes nothing
+    again = scd2_merge(out, updates, "k", ["seg", "bal"], "2022-06-01")
+    assert again.count() == out.count()
