@@ -234,6 +234,11 @@ def get_session(app_name: str = "location-summary-etl-spark",
         # queries, the JIT shuts off, and throughput collapses ~10x.
         .config("spark.driver.extraJavaOptions",
                 "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing")
+        # The generated-class cache defaults to 100 entries; a corpus
+        # session compiles several codegen stages per query across
+        # 100+ queries, so the default thrashes -- every re-run of an
+        # evicted plan recompiles (and re-JITs) from scratch.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
