@@ -87,7 +87,10 @@ def test_no_python_udfs_in_relational_corpus(spark, sf_dir):
                 # grouped-map formulation kept alongside the HOF default
                 "user_value_ewma_pandas",
                 # the UDTF entry exists to cover the table-function API
-                "doc_chunks_udtf"}
+                "doc_chunks_udtf",
+                # deliberate Python-API coverage entries (round 2):
+                # grouped-agg pandas UDF and Arrow scalar UDF
+                "segment_weighted_price", "orders_arrow_udf_bands"}
     for name in contract.queries():
         if name in arrow_ok:
             continue
