@@ -22,6 +22,7 @@ from location_summary_etl_spark.operators.dedup import (
     minhash_near_dups,
     minhash_signatures,
     ngram_jaccard_pairs,
+    ngram_jaccard_pairs_prefix,
     simhash_near_dups,
     simhash_signatures,
 )
@@ -226,6 +227,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
 
 
+def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Prefix-filtered set-similarity join: same result set as
+    # dedup_ngram_jaccard (verification is exact), same oracle SQL.
+    return ngram_jaccard_pairs_prefix(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The numpy block backend: bit-exact with embedding_near_dups and
     # the oracle (sequential-fold accumulation), ~5x faster per block.
@@ -240,4 +247,6 @@ register("dedup_minhash_lsh", dedup_minhash_lsh, MINHASH_NEAR_DUP_SQL)
 register("dedup_simhash_signatures", dedup_simhash_signatures, SIMHASH_SIG_SQL)
 register("dedup_simhash_pairs", dedup_simhash_pairs, SIMHASH_NEAR_DUP_SQL)
 register("dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_JACCARD_SQL)
+register("dedup_ngram_jaccard_prefix", dedup_ngram_jaccard_prefix,
+         NGRAM_JACCARD_SQL)
 register("dedup_embedding_cosine", dedup_embedding_cosine, EMBEDDING_NEAR_DUP_SQL)
