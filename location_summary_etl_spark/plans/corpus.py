@@ -94,4 +94,5 @@ def _ensure_loaded() -> None:
         corpus_recursive,
         corpus_sqlx,
         corpus_scd,
+        corpus_tpch2,
     )
