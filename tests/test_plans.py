@@ -293,3 +293,40 @@ def test_lateral_limit_decorrelates_to_window_group_limit(spark, sf_dir):
     assert "row_number" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q21_rewrite_scans_lineitem_once(spark, sf_dir):
+    """The EXISTS/NOT-EXISTS double existential is collapsed into one
+    per-order aggregate -- the whole point is that the fact table is
+    read once (the correlated-subquery form would scan it three
+    times, which is what the DuckDB oracle does)."""
+    plan = plan_of(spark, "waiting_supplier_orders", sf_dir)
+    assert plan.count("lineitem.parquet") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch2_shapes_have_no_nested_loops(spark, sf_dir):
+    for name in ["nation_market_share", "product_profit_by_nation_year",
+                 "promo_revenue_share"]:
+        plan = plan_of(spark, name, sf_dir, mode="simple")
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q14_date_filter_pushed_to_lineitem_scan(spark, sf_dir):
+    plan = plan_of(spark, "promo_revenue_share", sf_dir)
+    assert "GreaterThanOrEqual(l_shipdate" in plan, "ship-date filter not pushed"
+
+
+def test_scd2_merge_outer_join_is_eliminated_per_branch(spark, sf_dir):
+    """The operator declares ONE full-outer join; the closed/carried/
+    opened projections filter on each side's null-ness, and Catalyst's
+    outer-join elimination specializes the join per union branch
+    (Inner for closed, LeftOuter for carried, RightOuter for opened)
+    -- strictly cheaper than executing the FullOuter three times.
+    Pin that rewrite, and that nothing degenerates to a nested loop."""
+    plan = plan_of(spark, "customer_scd2_merge", sf_dir, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FullOuter" not in plan, "outer-join elimination regressed"
+    assert "RightOuter" in plan and "Inner" in plan
