@@ -258,3 +258,76 @@ FROM (
 JOIN orders   ON o_orderkey = l_orderkey
 JOIN customer ON c_custkey = o_custkey
 """)
+
+
+# ------------------------------------------------------------------
+# SQL pipe syntax (Spark 4): the linear FROM ... |> WHERE ... |>
+# AGGREGATE composition form.  Same Catalyst plan as the nested
+# SELECT -- the entry pins that the pipe parser path produces
+# oracle-identical semantics (DuckDB has no pipe syntax; the oracle is
+# the classic formulation, which is exactly the point).
+def orders_pipe_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority x year order rollup written in SQL pipe syntax; the
+    rounding runs as a DataFrame post-projection (round_portable) so
+    display rounding matches DuckDB."""
+    register_views(spark, sf_dir, ["orders"])
+    df = spark.sql("""
+        FROM orders
+        |> WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |> EXTEND CAST(year(o_orderdate) AS INT) AS o_year
+        |> AGGREGATE COUNT(*) AS n_orders, SUM(o_totalprice) AS sum_price
+           GROUP BY o_orderpriority, o_year
+    """)
+    return df.select(
+        "o_orderpriority", "o_year", "n_orders",
+        round_portable(F.col("sum_price"), 2).alias("sum_price"),
+    )
+
+
+register("orders_pipe_rollup", orders_pipe_rollup, """
+SELECT o_orderpriority,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       COUNT(*) AS n_orders,
+       round(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS sum_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+GROUP BY 1, 2
+""")
+
+
+# ------------------------------------------------------------------
+# Parameterized SQL (Spark 4 named-parameter binding): the injection-
+# safe way to template a query -- parameters bind as literals in the
+# parser, so Catalyst constant-folds and PUSHES them to the scan like
+# any literal (no plan-cache-miss string concatenation).
+PARAM_PRIO = "1-URGENT"
+PARAM_FLOOR = 50_000.0
+
+
+def orders_param_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order stats per status for one priority class and a price
+    floor, with both predicates bound as named SQL parameters."""
+    register_views(spark, sf_dir, ["orders"])
+    df = spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               SUM(o_totalprice) AS sum_price
+        FROM orders
+        WHERE o_orderpriority = :prio AND o_totalprice >= :floor
+        GROUP BY o_orderstatus
+        """,
+        args={"prio": PARAM_PRIO, "floor": PARAM_FLOOR},
+    )
+    return df.select(
+        "o_orderstatus", "n_orders",
+        round_portable(F.col("sum_price"), 2).alias("sum_price"),
+    )
+
+
+register("orders_param_sql", orders_param_sql, f"""
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       round(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS sum_price
+FROM orders
+WHERE o_orderpriority = '{PARAM_PRIO}' AND o_totalprice >= {PARAM_FLOOR}
+GROUP BY o_orderstatus
+""")

@@ -330,3 +330,19 @@ def test_scd2_merge_outer_join_is_eliminated_per_branch(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "FullOuter" not in plan, "outer-join elimination regressed"
     assert "RightOuter" in plan and "Inner" in plan
+
+
+def test_sql_parameters_fold_and_push_to_scan(spark, sf_dir):
+    # named parameters bind as literals in the parser, so they must
+    # reach the parquet scan as pushed filters like any literal
+    plan = plan_of(spark, "orders_param_sql", sf_dir)
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan
+    assert "GreaterThanOrEqual(o_totalprice,50000.0)" in plan
+
+
+def test_pipe_syntax_plans_like_classic_sql(spark, sf_dir):
+    # the |> form is parser sugar: same aggregate shape, date filter
+    # pushed, no join artifacts
+    plan = plan_of(spark, "orders_pipe_rollup", sf_dir)
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
