@@ -613,3 +613,65 @@ def test_scd2_merge_versions_nulls_and_inserts(spark):
     # idempotence: re-applying the same batch changes nothing
     again = scd2_merge(out, updates, "k", ["seg", "bal"], "2022-06-01")
     assert again.count() == out.count()
+
+
+def test_zvalue_interleaves_bits(spark):
+    from pyspark.sql import functions as F
+
+    from location_summary_etl_spark.sources.writers import zvalue
+
+    rows = spark.range(1).select(
+        zvalue(F.lit(0), F.lit(0)).alias("z00"),
+        zvalue(F.lit(1), F.lit(0)).alias("z10"),
+        zvalue(F.lit(0), F.lit(1)).alias("z01"),
+        zvalue(F.lit(3), F.lit(5)).alias("z35"),
+        # negatives floor to 0; values mask to the bit budget
+        zvalue(F.lit(-7), F.lit(2), bits=2).alias("zneg"),
+        zvalue(F.lit(5), F.lit(0), bits=2).alias("zmask"),
+    ).first()
+    assert rows.z00 == 0
+    assert rows.z10 == 1          # a -> even bits
+    assert rows.z01 == 2          # b -> odd bits
+    # a=0b011 -> bits 0,2; b=0b101 -> bits 1,5 shifted odd: 0b100111
+    assert rows.z35 == 0b100111
+    assert rows.zneg == 0b1000    # a=0, b=0b10 -> bit 3
+    assert rows.zmask == 0b1      # 5 masked to 2 bits = 0b01
+
+
+def test_write_zorder_localizes_both_columns(spark, tmp_path):
+    """Z-order clustering must make row-group min/max stats selective
+    on BOTH interleaved columns: a small range filter on either column
+    overlaps only a minority of row groups (single-column sorting
+    would localize one and leave the other uniform everywhere)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from location_summary_etl_spark.sources.writers import write_zorder
+
+    path = str(tmp_path / "zorder")
+    # two independent coordinates on a 256x256 grid
+    df = spark.range(0, 65_536).selectExpr(
+        "cast(id % 256 as bigint) as x",
+        "cast(floor(id / 256) as bigint) as y",
+        "id as payload",
+    )
+    write_zorder(df, path, "x", "y", n_files=16, bits=8)
+
+    def overlap_fraction(col, lo, hi):
+        total = hit = 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                total += 1
+                if st.min <= hi and st.max >= lo:
+                    hit += 1
+        assert total >= 16
+        return hit / total
+
+    # a 1/16-wide slice of either dimension should prune most groups
+    assert overlap_fraction("x", 0, 15) < 0.5
+    assert overlap_fraction("y", 0, 15) < 0.5
+    assert spark.read.parquet(path).count() == 65_536
