@@ -449,8 +449,6 @@ def ngram_jaccard_pairs_prefix(docs: DataFrame, id_col: str = "doc_id",
     """
     from location_summary_etl_spark.session import broadcast_if_small
 
-    import math as _math
-
     grams = ngrams_from_tokens(F.col("_toks"), n)
     exploded = (
         _tokenized(docs, id_col, text_col)
@@ -459,7 +457,13 @@ def ngram_jaccard_pairs_prefix(docs: DataFrame, id_col: str = "doc_id",
     )
     # aggregate-sized (one row per doc) and consumed three times
     # (prefix postings + both verify sides): persist, or every
-    # broadcast build re-runs the explode+hash lineage (measured 3.4x)
+    # broadcast build re-runs the explode+hash lineage (measured 3.4x).
+    # LIFETIME: the persist cannot be unpersisted here -- the returned
+    # DataFrame is lazy and still references it.  It is reclaimed by
+    # ``spark.catalog.clearCache()`` (bench/tests call it between
+    # queries) or LRU-evicted under memory pressure (MEMORY_AND_DISK);
+    # long-lived sessions embedding this operator should clearCache()
+    # after consuming the result.
     arrays = exploded.groupBy(id_col).agg(
         F.sort_array(F.collect_list("h")).alias("hs"),
         F.count("*").alias("n_grams"),

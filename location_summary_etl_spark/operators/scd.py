@@ -41,16 +41,37 @@ def scd2_merge(current: DataFrame, updates: DataFrame, key: str,
     ``current`` carries key + attrs + [valid_from, valid_to] (NULL
     valid_to = open row); ``updates`` carries key + attrs as of
     ``eff_date`` (an ISO date string).
+
+    PRECONDITION: ``updates`` must be unique per business key -- a
+    duplicate key would fan out through the full-outer join and emit
+    conflicting closed/open version rows (two open rows for one key),
+    corrupting the dimension silently.  The operator enforces it
+    deterministically rather than trusting the caller: updates are
+    reduced to one row per key, keeping the FIRST row under an
+    ordering by all attribute values (NULLs first).  The dedupe is a
+    keyed window over the (small) update batch, not the dimension, so
+    it adds no shuffle beyond the merge join's own key partitioning.
     """
+    if not attrs:
+        raise ValueError("scd2_merge: attrs must be non-empty")
     eff = F.lit(eff_date).cast("date")
     out_cols = [key, *attrs, valid_from, valid_to]
 
     history = current.filter(F.col(valid_to).isNotNull()).select(*out_cols)
     open_rows = current.filter(F.col(valid_to).isNull())
 
-    upd = updates.select(
-        F.col(key).alias("_u_key"),
-        *[F.col(a).alias(f"_u_{a}") for a in attrs],
+    from pyspark.sql import Window
+
+    one_per_key = Window.partitionBy(key).orderBy(
+        *[F.col(a).asc_nulls_first() for a in attrs]
+    )
+    upd = (
+        updates.withColumn("_rn", F.row_number().over(one_per_key))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(key).alias("_u_key"),
+            *[F.col(a).alias(f"_u_{a}") for a in attrs],
+        )
     )
     j = open_rows.join(upd, F.col(key) == F.col("_u_key"), "full")
 

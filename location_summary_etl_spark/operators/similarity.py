@@ -33,6 +33,41 @@ from location_summary_etl_spark.session import ensure_parallelism
 LSH_SIGN_BITS = 6  # leading dims used as axis-aligned hyperplanes
 
 
+def _is_bare_scan(df: DataFrame) -> bool:
+    """True iff the ANALYZED plan is a file-source relation, optionally
+    under SubqueryAlias/View wrappers or a Project of *plain attributes*
+    -- exactly the shapes where the raw files' rows equal the
+    DataFrame's rows.  ``inputFiles()`` alone is NOT that test: it also
+    returns the source files of filtered / derived relations, so a fast
+    path keyed on it would silently ignore upstream transforms and
+    serve stale raw rows.  Conservative by construction: any node we
+    do not recognize (Filter, Join, computed Project, ...) returns
+    False and the caller falls back to a real Spark job.
+    """
+    import re
+
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    for raw in plan.splitlines():
+        ln = raw.strip()
+        while ln[:2] in ("+-", ":-", ": "):
+            ln = ln[2:].strip()
+        if not ln:
+            continue
+        if ln.startswith(("Relation", "SubqueryAlias", "View")):
+            continue
+        m = re.fullmatch(r"Project \[(.*)\]", ln)
+        if m and all(
+            re.fullmatch(r"[A-Za-z0-9_]+#\d+[A-Za-z]*", c.strip())
+            for c in m.group(1).split(",")
+        ):
+            continue
+        return False
+    return True
+
+
 def fetch_query_rows(emb: DataFrame, id_col: str, vec_col: str,
                      query_ids: list[int]) -> list[tuple]:
     """The |Q| query rows as (id, vector) tuples, WITHOUT a Spark job
@@ -41,17 +76,27 @@ def fetch_query_rows(emb: DataFrame, id_col: str, vec_col: str,
     The pandas ANN backends need the (small by design) query matrix on
     the driver before they can broadcast it.  ``df.collect()`` pays a
     full job -- scheduling, a repartition exchange if the scan was
-    widened, task launch -- to move five rows.  When ``inputFiles``
-    resolves to local parquet, reading those files directly with
-    pyarrow (predicate-pushed to ``id IN (...)``) returns the same
-    rows in ~10 ms with zero jobs.  Falls back to ``collect`` for
-    non-file relations (literal test frames, views over transforms).
-    Same trade as DuckDB scanning the file in-process: this is driver
-    metadata access, not distributed compute, and |Q| is bounded.
+    widened, task launch -- to move five rows.  When the analyzed plan
+    is a bare scan (:func:`_is_bare_scan` -- NOT merely "has input
+    files", which filtered/derived relations also report) over
+    driver-local parquet (``file:`` scheme; on object stores the paths
+    are not driver-readable so the fast path is skipped), reading
+    those files directly with pyarrow (predicate-pushed to ``id IN
+    (...)``) returns the same rows in ~10 ms with zero jobs.  Falls
+    back to ``collect`` for everything else (literal test frames,
+    views over transforms, remote storage).  Same trade as DuckDB
+    scanning the file in-process: this is driver metadata access, not
+    distributed compute, and |Q| is bounded.
     """
     try:
         files = [f for f in emb.inputFiles() if f.endswith(".parquet")]
     except Exception:
+        files = []
+    # Local-scheme guard: only file: URIs (or bare paths) are readable
+    # from the driver; s3://*, hdfs://* etc. must take the Spark path.
+    if files and not all(f.startswith(("file:", "/")) for f in files):
+        files = []
+    if files and not _is_bare_scan(emb):
         files = []
     if files:
         try:

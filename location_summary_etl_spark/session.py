@@ -27,6 +27,21 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _parse_bytes(raw: str, default: int) -> int:
+    """Spark byte-string conf value ("128m", "10485760b", "1g") -> int."""
+    raw = (raw or "").strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    mult = 1
+    if raw and raw[-1] == "b":
+        raw = raw[:-1]
+    if raw and raw[-1] in units:
+        mult, raw = units[raw[-1]], raw[:-1]
+    try:
+        return int(raw) * mult
+    except ValueError:
+        return default
+
+
 def ensure_parallelism(df, min_partitions: int | None = None):
     """Round-robin repartition a narrow relation whose scan parallelism
     is below the session's core count, BEFORE CPU-heavy per-row work
@@ -44,35 +59,46 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     ``df.rdd``: converting to an RDD forces physical planning of the
     whole lineage at plan-build time, ~50-800 ms per query on the
     driver (measured), all of it thrown away when the real action
-    re-plans.  Estimated scan parallelism = one split per file plus one
-    per maxPartitionBytes of the largest files, which is how
-    FilePartition packs splits to first order.  Non-file relations
-    (literal frames in unit tests, in-memory sources) report no input
-    files; they were created with session-default parallelism, so no
-    repartition is needed.
+    re-plans.  Scan parallelism is estimated with FilePartition's own
+    packing model -- ``maxSplitBytes = min(maxPartitionBytes,
+    max(openCostInBytes, totalPadded / defaultParallelism))`` and each
+    file padded to at least ``openCostInBytes`` -- NOT one-split-per-
+    file: many tiny files pack into few partitions, so a file count
+    alone over-estimates width in exactly the many-tiny-files regime
+    this helper exists for.  Non-file relations (literal frames in
+    unit tests, in-memory sources) report no input files; they were
+    created with session-default parallelism, so no repartition is
+    needed.
     """
     import os as _os
 
-    n = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    n = min_partitions or spark.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
     except Exception:
         files = []
     if not files:
         return df
-    if len(files) >= n:
-        return df
-    max_pb = 128 * 1024 * 1024
-    est = 0
+    max_pb = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"),
+        128 * 1024 * 1024)
+    open_cost = _parse_bytes(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4194304"),
+        4 * 1024 * 1024)
+    padded = 0
     for f in files:
         p = f.removeprefix("file:")
         try:
             sz = _os.path.getsize(p)
         except OSError:
             return df
-        est += max(1, (sz + max_pb - 1) // max_pb)
-        if est >= n:
-            return df
+        padded += max(sz, open_cost)
+    core = spark.sparkContext.defaultParallelism
+    max_split = min(max_pb, max(open_cost, padded // max(core, 1)))
+    est = (padded + max_split - 1) // max(max_split, 1)
+    if est >= n:
+        return df
     return df.repartition(n)
 
 
@@ -149,25 +175,27 @@ def broadcast_if_small(df, cap_bytes: int | None = None):
     shuffle-join plan stands.  The cap defaults to the session's
     autoBroadcastJoinThreshold, so operators stay consistent with the
     engine-wide broadcast policy.
+
+    THE PROXY IS LINEAGE SOURCE BYTES, nothing finer: the sum of every
+    input file across the side's whole lineage.  For a derived side
+    (a join of two tables, a filtered fact) that both OVER-counts --
+    any large contributing table suppresses the hint even if the
+    filtered/joined output is tiny (conservative: the declarative plan
+    stands, never a forced-broadcast OOM) -- and UNDER-counts
+    relations whose output exceeds their compressed inputs.  Callers
+    therefore must not pass EXPANDING relations (explode / fan-out
+    joins); every call site in this repo passes filtering or
+    FK-bounded joins where source bytes upper-bound the output.
     """
     import os as _os
 
     from pyspark.sql import functions as _F
 
     if cap_bytes is None:
-        raw = df.sparkSession.conf.get(
-            "spark.sql.autoBroadcastJoinThreshold", "10485760"
-        ).strip().lower()
-        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
-        mult = 1
-        if raw and raw[-1] == "b":
-            raw = raw[:-1]
-        if raw and raw[-1] in units:
-            mult, raw = units[raw[-1]], raw[:-1]
-        try:
-            cap_bytes = int(raw) * mult
-        except ValueError:
-            cap_bytes = 10 * 1024 * 1024
+        cap_bytes = _parse_bytes(
+            df.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"),
+            10 * 1024 * 1024)
     if cap_bytes <= 0:
         return df
     try:
@@ -240,6 +268,11 @@ def get_session(app_name: str = "location-summary-etl-spark",
         # evicted plan recompiles (and re-JITs) from scratch.
         .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.ui.enabled", "false")
+        # Console progress bars write \r-spam to stderr; harnesses that
+        # capture a bounded output tail (the driver does) lose real
+        # output to it, and the render thread adds jitter to sub-second
+        # timings.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
