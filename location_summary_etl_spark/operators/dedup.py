@@ -155,7 +155,8 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
 def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text",
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      max_bucket: int | None = None) -> DataFrame:
     """Candidate pairs from banded LSH, scored by estimated Jaccard
     (fraction of equal minhashes), filtered at ``threshold``.
 
@@ -184,12 +185,31 @@ def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
     bits) keep buckets tiny, and a degenerate mega-bucket (all-equal
     boilerplate docs) is exactly the case to split out via exact dedup
     FIRST -- the pipeline composition corpus_clean already does.
+
+    ``max_bucket`` is the skew hard-stop for corpora where exact dedup
+    cannot pre-empt the collision (near-identical boilerplate that is
+    not byte-identical): buckets whose membership exceeds it are
+    DROPPED ENTIRELY before any pair list is built -- membership is
+    counted with a map-side-combined aggregate (never a collect_list),
+    the over-cap (band, band_sig) keys join back as an anti-filter, so
+    neither the count nor the filter ever materializes a quadratic
+    structure.  Standard LSH practice: an over-cap bucket carries no
+    discriminative signal, and dropping it trades bounded RECALL (its
+    members lose those candidate pairs) for a hard upper bound of
+    max_bucket^2/2 on any task's pair expansion.  Pairs that survive
+    are scored identically -- precision is untouched.  The signature
+    relation (one 16-long row per doc, aggregate-sized) is persisted
+    in this mode because the band fan-out is consumed twice (count +
+    filter); it is reclaimed by ``spark.catalog.clearCache()`` or LRU
+    eviction, as with the prefix join's persist.
     """
     k = len(MINHASH_COEFFS)
     sig = minhash_signatures(docs, id_col, text_col)
     sigv = sig.select(
         F.col(id_col), F.array(*[f"m{i}" for i in range(k)]).alias("sig")
     )
+    if max_bucket is not None:
+        sigv = sigv.persist(StorageLevel.MEMORY_AND_DISK)
     # One parsed expr for the band fan-out (see minhash_signatures on
     # why SQL text beats Column-API construction here).
     band_structs = ", ".join(
@@ -205,6 +225,20 @@ def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
     long_form = sigv.select(
         id_col, "sig", F.expr(f"explode(array({band_structs}))").alias("_bs")
     ).select(id_col, "sig", "_bs.band", "_bs.band_sig")
+    if max_bucket is not None:
+        # Over-cap buckets, counted map-side-combined: the relation is
+        # bounded by |banded rows| / max_bucket keys, Zipf-tiny in
+        # practice; AQE turns the anti join into a broadcast at
+        # runtime when it is (no forced hint -- if a pathological
+        # corpus makes it big, the shuffled anti join is the correct
+        # fallback, not an OOM).
+        heavy = (
+            long_form.groupBy("band", "band_sig")
+            .agg(F.count("*").alias("_c"))
+            .filter(F.col("_c") > max_bucket)
+            .select("band", "band_sig")
+        )
+        long_form = long_form.join(heavy, ["band", "band_sig"], "left_anti")
     bucketed = (
         long_form.groupBy("band", "band_sig")
         .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), "sig")).alias("xs"))
@@ -313,7 +347,8 @@ def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_df: int | None = None) -> DataFrame:
     """Exact Jaccard over distinct word n-grams for pairs sharing at
     least one n-gram (inverted-index self-join -- candidate volume is
     bounded by posting-list sizes, not |docs|^2).
@@ -338,9 +373,28 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     postings -> gram buckets, pairs -> (id_a, id_b) counts.  Pair
     volume is identical to the join's; the skew unit is one posting
     list per task, so a ubiquitous shingle (df in the millions at
-    corpus scale) is handled the standard way -- cap / drop grams
-    above a df threshold, which changes candidate recall, not
-    correctness of emitted pairs.
+    corpus scale) would otherwise put one quadratic posting list on
+    one task.
+
+    ``max_df`` is that skew defense: grams whose document frequency
+    exceeds it are REMOVED FROM THE GRAM UNIVERSE before any posting
+    list is built -- df is counted with a map-side-combined aggregate
+    (one row per distinct gram, never a list), over-cap grams join
+    back as an anti-filter on the postings, and per-doc sizes are
+    RE-derived from the surviving postings so the reported Jaccard is
+    exact over the filtered universe (both ``shared`` and ``na``/
+    ``nb`` count the same gram set -- a cap that only dropped
+    candidates but kept raw sizes would silently under-report the
+    score).  Semantics trade, stated plainly: pairs whose similarity
+    lives in ubiquitous grams are not found (recall), every emitted
+    pair's score is exact for the stop-gram-filtered corpus
+    (precision).  A shared-by-every-doc boilerplate shingle at 100 TB
+    thus costs one counted row instead of one |corpus|^2/2 pair
+    expansion; any surviving bucket is <= max_df wide, bounding every
+    task at max_df^2/2 pairs.  Costs two extra narrow exchanges (df
+    counts; per-doc regroup), so the default leaves it off -- turn it
+    on for corpora whose gram distribution has a head, which at
+    corpus scale is all of them.
 
     The in-bucket expansion is a codegen'd DOUBLE EXPLODE, not nested
     ``transform``/``slice`` lambdas: higher-order functions evaluate
@@ -359,18 +413,47 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     # The 3 per-doc evaluations of the gram array inside arrays_zip/
     # array_repeat are map-side and O(grams), invisible next to either.
     dgrams = F.array_distinct(ngrams_from_tokens(F.col("_toks"), n))
-    packed = F.explode(
-        F.arrays_zip(dgrams, F.array_repeat(F.size(dgrams), F.size(dgrams)))
-    )
-    postings = (
-        _tokenized(docs, id_col, text_col)
-        .select(F.col(id_col), packed.alias("_z"))
-        .select(
-            F.col(id_col),
-            portable_hash60(F.col("_z")["0"]).alias("g"),
-            F.col("_z")["1"].alias("n_grams"),
+    if max_df is None:
+        packed = F.explode(
+            F.arrays_zip(dgrams, F.array_repeat(F.size(dgrams), F.size(dgrams)))
         )
-    )
+        postings = (
+            _tokenized(docs, id_col, text_col)
+            .select(F.col(id_col), packed.alias("_z"))
+            .select(
+                F.col(id_col),
+                portable_hash60(F.col("_z")["0"]).alias("g"),
+                F.col("_z")["1"].alias("n_grams"),
+            )
+        )
+    else:
+        # (id, g) postings without sizes -- sizes are only meaningful
+        # AFTER the df filter, so they are re-derived from the
+        # surviving postings by a per-doc regroup (collect_list output
+        # is an attribute, so the explode's neighbouring size() is
+        # O(1) on a materialized array, unlike the unfiltered path's
+        # expression arrays).  The df aggregate and the regroup each
+        # re-run the shingle lineage (map-only work); the heavy set is
+        # left unhinted for AQE to broadcast when small (see
+        # minhash_near_dups on why no forced hint).
+        base = (
+            _tokenized(docs, id_col, text_col)
+            .select(F.col(id_col), F.explode(dgrams).alias("_g0"))
+            .select(F.col(id_col), portable_hash60("_g0").alias("g"))
+        )
+        heavy = (
+            base.groupBy("g").agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("g")
+        )
+        survived = base.join(heavy, "g", "left_anti")
+        arrays = survived.groupBy(id_col).agg(
+            F.collect_list("g").alias("_gs"))
+        postings = arrays.select(
+            F.col(id_col),
+            F.size("_gs").alias("n_grams"),
+            F.explode("_gs").alias("g"),
+        )
     # One bucket per gram; the a.id < b.id filter on the double explode
     # emits each unordered pair exactly once per shared gram.
     buckets = (

@@ -109,6 +109,45 @@ WHERE ({_EST_JACCARD}) / {float(len(MINHASH_COEFFS))} >= {threshold}
 
 MINHASH_NEAR_DUP_SQL = minhash_near_dup_sql(0.5)
 
+# Skew-cap constants for the *_capped corpus entries.  Values chosen to
+# BITE at the correctness-gate scale (sf0.01: trigram df reaches 7,
+# so max_df=5 actually drops grams; same for LSH buckets) -- a cap
+# that never fires would make the oracle pair vacuous.
+NGRAM_MAX_DF = 5
+MINHASH_MAX_BUCKET = 5
+
+
+def minhash_near_dup_capped_sql(threshold: float, max_bucket: int) -> str:
+    """Oracle for minhash_near_dups(max_bucket=...): buckets wider than
+    ``max_bucket`` are removed before candidate generation -- the df
+    filter runs on the SAME banded relation the candidate join uses,
+    mirroring the Spark anti-join exactly."""
+    return f"""
+WITH {_TOKENS_CTE}, {_SIG_CTE},
+bands AS (
+{_band_select('x')}
+),
+bc AS (
+    SELECT band, band_sig, COUNT(*) AS c FROM bands GROUP BY band, band_sig
+),
+bands2 AS (
+    SELECT bands.doc_id, bands.band, bands.band_sig
+    FROM bands JOIN bc USING (band, band_sig)
+    WHERE bc.c <= {max_bucket}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands2 a JOIN bands2 b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(CAST(({_EST_JACCARD}) / {float(len(MINHASH_COEFFS))} AS DOUBLE), 4) AS est_jaccard
+FROM cand
+JOIN sig sa ON cand.id_a = sa.doc_id
+JOIN sig sb ON cand.id_b = sb.doc_id
+WHERE ({_EST_JACCARD}) / {float(len(MINHASH_COEFFS))} >= {threshold}
+"""
+
 _VOTES = ",\n           ".join(
     f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
     for b in range(SIMHASH_BITS)
@@ -176,6 +215,43 @@ JOIN cnt cb ON id_b = cb.doc_id
 WHERE round(CAST(shared / (ca.n + cb.n - shared) AS DOUBLE), 4) >= 0.5
 """
 
+def ngram_jaccard_capped_sql(threshold: float, max_df: int) -> str:
+    """Oracle for ngram_jaccard_pairs(max_df=...): grams with document
+    frequency above ``max_df`` leave the gram universe entirely --
+    per-doc sizes (cnt) are recomputed over the SURVIVING postings so
+    the Jaccard denominator matches the Spark operator's regrouped
+    sizes."""
+    return f"""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+tri AS (
+    SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS g
+    FROM (
+        SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+        FROM tok, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
+    )
+),
+df AS (SELECT g, COUNT(*) AS c FROM tri GROUP BY g),
+tri2 AS (
+    SELECT tri.doc_id, tri.g FROM tri JOIN df USING (g) WHERE df.c <= {max_df}
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM tri2 GROUP BY doc_id),
+shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+    FROM tri2 a JOIN tri2 b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(shared / (ca.n + cb.n - shared) AS DOUBLE), 4) AS jaccard
+FROM shared
+JOIN cnt ca ON id_a = ca.doc_id
+JOIN cnt cb ON id_b = cb.doc_id
+WHERE round(CAST(shared / (ca.n + cb.n - shared) AS DOUBLE), 4) >= {threshold}
+"""
+
+
 EMBEDDING_NEAR_DUP_SQL = """
 WITH e AS (
     SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
@@ -233,6 +309,19 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs_prefix(_docs(spark, sf_dir), n=3, threshold=0.5)
 
 
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mega-bucket skew cap ON: the 100 TB-safe configuration
+    # (operators/dedup.minhash_near_dups docstring).
+    return minhash_near_dups(
+        _docs(spark, sf_dir), threshold=0.5, max_bucket=MINHASH_MAX_BUCKET)
+
+
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Heavy-gram skew cap ON: Jaccard over the df<=max_df gram universe.
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.5, max_df=NGRAM_MAX_DF)
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The numpy block backend: bit-exact with embedding_near_dups and
     # the oracle (sequential-fold accumulation), ~5x faster per block.
@@ -249,4 +338,8 @@ register("dedup_simhash_pairs", dedup_simhash_pairs, SIMHASH_NEAR_DUP_SQL)
 register("dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_JACCARD_SQL)
 register("dedup_ngram_jaccard_prefix", dedup_ngram_jaccard_prefix,
          NGRAM_JACCARD_SQL)
+register("dedup_minhash_lsh_capped", dedup_minhash_lsh_capped,
+         minhash_near_dup_capped_sql(0.5, MINHASH_MAX_BUCKET))
+register("dedup_ngram_jaccard_capped", dedup_ngram_jaccard_capped,
+         ngram_jaccard_capped_sql(0.5, NGRAM_MAX_DF))
 register("dedup_embedding_cosine", dedup_embedding_cosine, EMBEDDING_NEAR_DUP_SQL)

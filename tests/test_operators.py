@@ -9,7 +9,11 @@ import datetime as dt
 from pyspark.sql import functions as F
 
 from location_summary_etl_spark.operators.asof import asof_join_backward
-from location_summary_etl_spark.operators.dedup import exact_dedup
+from location_summary_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dups,
+    ngram_jaccard_pairs,
+)
 from location_summary_etl_spark.operators.multimodal import (
     attach_fake_media,
     decode_media,
@@ -106,6 +110,54 @@ def test_exact_dedup_multi_column(spark):
     out = {r["keep_id"]: r["n_copies"]
            for r in exact_dedup(df, ["text", "lang"], "id").collect()}
     assert out == {1: 2, 3: 1}
+
+
+def test_ngram_max_df_caps_degenerate_corpus(spark):
+    """One boilerplate shingle shared by EVERY doc: uncapped, its
+    posting list alone expands n*(n-1)/2 candidate pairs on one task;
+    with max_df the gram leaves the universe before any pair is built,
+    and only genuinely-similar pairs (sharing RARE grams) survive.
+    """
+    n_docs = 40
+    # Doc 2i and 2i+1 are identical ("x y z" boilerplate + unique
+    # tail); docs from different pairs share ONLY the boilerplate.
+    rows = [(i, f"x y z u{i // 2}a u{i // 2}b u{i // 2}c")
+            for i in range(n_docs)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # threshold=0.01 surfaces every candidate pair that reaches the
+    # Jaccard stage -- the quadratic blowup the cap must prevent.
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.01).count()
+    assert uncapped == n_docs * (n_docs - 1) // 2  # every pair collides
+
+    capped = ngram_jaccard_pairs(docs, threshold=0.01, max_df=10)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    # Only the true duplicate pairs remain; all 4 of a pair's grams
+    # are shared, the boilerplate one is dropped -> 3/3 = 1.0 over the
+    # surviving universe.
+    assert got == {(2 * i, 2 * i + 1): 1.0 for i in range(n_docs // 2)}
+
+
+def test_minhash_max_bucket_caps_degenerate_corpus(spark):
+    """All-identical docs collide into one LSH mega-bucket per band;
+    max_bucket drops those buckets before the pair expansion, so the
+    degenerate corpus yields zero candidates instead of n^2/2."""
+    docs = spark.createDataFrame(
+        [(i, "same boilerplate text everywhere repeated") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    uncapped = minhash_near_dups(docs, threshold=0.5).count()
+    assert uncapped == 30 * 29 // 2
+    assert minhash_near_dups(docs, threshold=0.5, max_bucket=10).count() == 0
+    # A mixed corpus: small clusters survive the cap untouched.
+    mixed = spark.createDataFrame(
+        [(i, "same boilerplate text everywhere repeated") for i in range(30)]
+        + [(100, "a genuinely distinct pair of documents here")
+           , (101, "a genuinely distinct pair of documents here")],
+        ["doc_id", "text"],
+    )
+    kept = minhash_near_dups(mixed, threshold=0.5, max_bucket=10)
+    assert {(r["id_a"], r["id_b"]) for r in kept.collect()} == {(100, 101)}
 
 
 def test_multimodal_decode_batch_shape(spark):
