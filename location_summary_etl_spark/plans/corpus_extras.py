@@ -8,9 +8,10 @@ coverage checklist has a line item per category:
 - join kinds: left semi, left anti, full outer
 - grouping sets via CUBE
 - non-equi range join (banded theta join on a numeric interval)
-- approximate sketches (HLL distinct, approximate quantiles) -- these
-  are estimation algorithms with engine-specific internals, so they get
-  the weaker rows-only check (no oracle entry), per the driver contract
+- approximate sketches (HLL distinct, approximate quantiles) --
+  estimator internals are engine-specific, so the oracle checks the
+  deterministic ACCURACY CONTRACT (estimate within rtol of exact,
+  asserted in-plan) plus exact companion columns
 - BPE-ish regexp token counting (north-star text analysis item)
 
 Everything stays in built-in Catalyst expressions; dimension sides of
@@ -217,31 +218,53 @@ GROUP BY band
 
 # --------------------------------------------------------------------
 # Approximate sketches: HLL++ distinct and approximate quantiles.
-# Estimators differ engine-to-engine by design, so no oracle entry --
-# the driver records the weaker rows-only check (contract-sanctioned
-# for non-SQL-expressible ops).  A t-digest/KLL sketch would ship the
-# same plan shape: partial sketch per partition, merge at the final agg.
+# Estimator OUTPUTS differ engine-to-engine by design, so the raw
+# values cannot hash-match a DuckDB oracle.  The oracle-able statement
+# is the estimator's ACCURACY CONTRACT: both sketches are
+# deterministic for a fixed input, so "estimate within rtol of exact"
+# is a stable boolean.  The query computes sketch AND exact aggregates
+# in ONE plan (HLL++ partial-merge + GK quantile sketch still execute
+# -- the plan shape a t-digest/KLL rollup would ship at 100 TB, where
+# the exact companions would be dropped) and emits the exact values
+# plus the interval assertions; the oracle emits the same exacts with
+# TRUE literals.  Tolerances: HLL++ default rsd=0.05, asserted at 3
+# sigma (15%); percentile_approx at accuracy=10000 has relative rank
+# error 1e-4, asserted with an exact-percentile band at rank +/-0.02
+# -- generous at any SF, tight enough that a broken estimator fails.
 def orders_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     agg = orders.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.approx_count_distinct("o_custkey").alias("_hll"),
+        F.count_distinct(F.col("o_custkey")).alias("exact_customers"),
         F.percentile_approx("o_totalprice", [0.5, 0.95], 10_000)
-        .alias("price_p50_p95"),
+        .alias("_pq"),
+        F.expr("percentile(o_totalprice, array(0.48D, 0.52D, 0.93D, 0.97D))")
+        .alias("_px"),
         F.count("*").alias("n_orders"),
     )
-    # Surface the quantile sketch as scalar columns: driver-side result
-    # canonicalization (pandas sort + hash) requires hashable cells, and
-    # scalar columns are also the friendlier downstream contract.
+    in_band = lambda approx, lo, hi: (
+        (approx >= F.element_at("_px", lo)) & (approx <= F.element_at("_px", hi))
+    )
     return agg.select(
         "o_orderpriority",
-        "approx_customers",
-        F.element_at("price_p50_p95", 1).alias("price_p50"),
-        F.element_at("price_p50_p95", 2).alias("price_p95"),
+        "exact_customers",
         "n_orders",
+        (F.abs(F.col("_hll") - F.col("exact_customers"))
+         <= 0.15 * F.col("exact_customers")).alias("hll_within_3sigma"),
+        in_band(F.element_at("_pq", 1), 1, 2).alias("p50_in_rank_band"),
+        in_band(F.element_at("_pq", 2), 3, 4).alias("p95_in_rank_band"),
     )
 
 
-register("orders_approx_stats", orders_approx_stats, None)
+register("orders_approx_stats", orders_approx_stats, """
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       TRUE AS hll_within_3sigma,
+       TRUE AS p50_in_rank_band,
+       TRUE AS p95_in_rank_band
+FROM orders GROUP BY o_orderpriority
+""")
 
 
 # --------------------------------------------------------------------
