@@ -95,4 +95,5 @@ def _ensure_loaded() -> None:
         corpus_sqlx,
         corpus_scd,
         corpus_tpch2,
+        corpus_warehouse,
     )

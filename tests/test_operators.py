@@ -160,6 +160,40 @@ def test_minhash_max_bucket_caps_degenerate_corpus(spark):
     assert {(r["id_a"], r["id_b"]) for r in kept.collect()} == {(100, 101)}
 
 
+def test_warehouse_connector_append_overwrite_partitioned_read(spark, tmp_path):
+    """duckwarehouse sink semantics: append accumulates across commits,
+    overwrite replaces atomically; the pushdown read sees exactly the
+    committed state and the range-partitioned scan covers all rows."""
+    from location_summary_etl_spark.sources.warehouse import register_warehouse
+
+    register_warehouse(spark)
+    db = str(tmp_path / "wh.duckdb")
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i) * 1.5) for i in range(10)],
+        ["k", "name", "val"],
+    )
+    w = (df.write.format("duckwarehouse")
+         .option("path", db).option("table", "t"))
+    w.mode("append").save()
+    w.mode("append").save()   # second append doubles
+    rd = (spark.read.format("duckwarehouse")
+          .option("path", db).option("query", "SELECT k, name, val FROM t")
+          .option("partition_column", "k").option("num_partitions", "3")
+          .option("lower_bound", "0").option("upper_bound", "10"))
+    got = rd.load()
+    assert got.rdd.getNumPartitions() == 3
+    assert got.count() == 20
+    w.mode("overwrite").save()  # replace: back to one copy
+    assert rd.load().count() == 10
+    # pushdown: the filter executes inside the warehouse engine
+    agg = (spark.read.format("duckwarehouse")
+           .option("path", db)
+           .option("query",
+                   "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t WHERE k >= 5")
+           .load())
+    assert agg.collect()[0]["n"] == 5
+
+
 def test_multimodal_decode_batch_shape(spark):
     docs = spark.createDataFrame([(1, "hello world"), (2, "")],
                                  ["doc_id", "text"])
