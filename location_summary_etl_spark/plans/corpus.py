@@ -96,4 +96,5 @@ def _ensure_loaded() -> None:
         corpus_scd,
         corpus_tpch2,
         corpus_warehouse,
+        corpus_partsupp,
     )
