@@ -531,6 +531,44 @@ def test_filter_behind_barrier_same_rows_no_scan_reeval(spark, tmp_path):
     assert plan.count("split(") == 1, plan
 
 
+def test_fetch_query_rows_respects_transforms(spark, tmp_path):
+    """The pyarrow zero-job fast path may only serve BARE SCANS: a
+    filtered or recomputed relation still reports inputFiles(), and a
+    fast path keyed on that alone would return stale raw rows.  The
+    plan gate must route every derived relation through Spark."""
+    from location_summary_etl_spark.operators.similarity import (
+        _is_bare_scan,
+        fetch_query_rows,
+    )
+
+    path = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(path)
+    raw = spark.read.parquet(path)
+
+    # Bare scan (and attribute-only projection): fast path allowed,
+    # rows match the files.
+    assert _is_bare_scan(raw)
+    assert _is_bare_scan(raw.select("vec_id", "embedding"))
+    got = dict(fetch_query_rows(raw, "vec_id", "embedding", [3, 7]))
+    assert set(got) == {3, 7} and got[3] == [3.0, 1.0]
+
+    # Filter excludes id 3 -> must NOT come back from the raw files.
+    filtered = raw.filter(F.col("vec_id") >= 5)
+    assert not _is_bare_scan(filtered)
+    assert dict(fetch_query_rows(filtered, "vec_id", "embedding", [3, 7])) \
+        == {7: [7.0, 1.0]}
+
+    # Recomputed vector column -> raw file values are stale.
+    doubled = raw.withColumn(
+        "embedding", F.transform("embedding", lambda x: x * 2))
+    assert not _is_bare_scan(doubled)
+    assert dict(fetch_query_rows(doubled, "vec_id", "embedding", [3]))[3] \
+        == [6.0, 2.0]
+
+
 def test_int8_quantize_zero_vector_and_roundtrip(spark):
     """All-zero vectors must quantize to scale 0 / zero codes (no
     NaN from 0/0); nonzero vectors must hit |code| == 127 at the max
