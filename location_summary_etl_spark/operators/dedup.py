@@ -136,12 +136,15 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """One row per doc: m0..m{K-1} permutation min-hashes.
 
-    One narrow shuffle total: MIN is duplicate-insensitive, so the
-    posting relation skips any distinct pass (map-side partial min
-    collapses repeats), and the groupBy shuffle carries one 16-long
-    partial row per (partition, doc).
+    One narrow shuffle total: MIN is duplicate-insensitive, so no
+    distinct SHUFFLE is ever needed, and the groupBy shuffle carries
+    one 16-long partial row per (partition, doc).  The posting
+    relation still applies the map-side ``array_distinct``: repeats
+    within a doc would each pay the 16 multiply-mod aggregate updates,
+    and collapsing them in the array first measured ~10% off the
+    whole signature stage at sf0.1 (0.578 -> 0.521 s).
     """
-    tok = _posting_hashes(docs, id_col, text_col, distinct=False)
+    tok = _posting_hashes(docs, id_col, text_col, distinct=True)
     # SQL-text expressions, not nested F.* calls: building these 16
     # aggregates through the Column API costs ~130 ms of py4j round
     # trips per plan construction; one parse-side expr each is ~10 ms
@@ -245,23 +248,46 @@ def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
         .filter(F.size("xs") >= 2)
     )
     pairs = (
-        bucketed.select(F.explode("xs").alias("a"), "xs")
-        .select("a", F.explode("xs").alias("b"))
+        bucketed.select("band", F.explode("xs").alias("a"), "xs")
+        .select("band", "a", F.explode("xs").alias("b"))
         .filter(F.col("a.id") < F.col("b.id"))
     )
+    if max_bucket is None:
+        # FIRST-COLLIDING-BAND emission instead of a trailing
+        # .distinct(): a pair colliding in several bands would be
+        # emitted once per band, but both sigs are in hand, so each
+        # bucket checks "does any EARLIER band's slice also match?"
+        # and only the first colliding band emits.  Pure codegen'd
+        # comparisons replace a whole exchange (measured 0.956 ->
+        # 0.866 s at sf0.1, identical output).
+        def _band_match(b: int) -> str:
+            return "(" + " AND ".join(
+                f"a.sig[{b * LSH_ROWS + r}] = b.sig[{b * LSH_ROWS + r}]"
+                for r in range(LSH_ROWS)) + ")"
+
+        first_band = "CASE band " + " ".join(
+            f"WHEN {b} THEN " + (
+                "true" if b == 0
+                else "NOT (" + " OR ".join(
+                    _band_match(kb) for kb in range(b)) + ")")
+            for b in range(LSH_BANDS)) + " END"
+        pairs = pairs.filter(F.expr(first_band))
     est = F.expr(
         f"size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), e -> e))"
         f" / {float(k)}"
     )
-    return (
-        pairs.select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            round_portable(est, 4).alias("est_jaccard"),
-        )
-        .filter(F.col("est_jaccard") >= threshold)
-        .distinct()
-    )
+    out = pairs.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        round_portable(est, 4).alias("est_jaccard"),
+    ).filter(F.col("est_jaccard") >= threshold)
+    if max_bucket is not None:
+        # Under bucket capping a signature match in an earlier band no
+        # longer implies the pair was emitted there (that bucket may
+        # have been dropped), so dedup falls back to a distinct over
+        # the (tiny, threshold-filtered) survivor set.
+        out = out.distinct()
+    return out
 
 
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
@@ -463,10 +489,22 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
         ).alias("xs"))
         .filter(F.size("xs") >= 2)
     )
+    # Size pre-filter at emission: shared <= min(na, nb), so
+    # J <= min/(na+nb-min); a pair whose sets are too lopsided to
+    # reach the threshold even under full containment --
+    # min*(1+t) < t*(na+nb) -- is dropped BEFORE its occurrences
+    # enter the count shuffle.  Exactness untouched (those pairs
+    # would fail the final filter anyway); measured ~5% end-to-end
+    # on this corpus, and it is the standard length-filter guard
+    # whose cut deepens on real corpora with varied doc lengths.
+    t = float(threshold)
     pairs = (
         buckets.select(F.explode("xs").alias("a"), "xs")
         .select("a", F.explode("xs").alias("b"))
         .filter(F.col("a.id") < F.col("b.id"))
+        .filter(
+            F.least(F.col("a.n_grams"), F.col("b.n_grams")) * (1.0 + t)
+            >= t * (F.col("a.n_grams") + F.col("b.n_grams")))
     )
     shared = (
         pairs.select(

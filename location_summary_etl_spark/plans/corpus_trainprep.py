@@ -48,7 +48,14 @@ CONTAM_NGRAM = 5       # word n-grams compared (real pipelines use 8-13)
 
 
 def _ngram_stream(docs: DataFrame, widen: bool = True) -> DataFrame:
-    """(doc_id, h): hashed word-5grams per document (with repeats).
+    """(doc_id, h): hashed DISTINCT word-5grams per document.
+
+    Per-doc ``array_distinct`` runs map-side before the explode: every
+    downstream consumer is dedup-insensitive (the inverted index
+    collect_set's doc ids per hash; n_eval_ngrams counts hashes after
+    a groupBy(h)), so within-doc repeats would only pay md5 again --
+    dropping them measured 0.91 -> 0.77 s on the whole check at sf0.1
+    with identical output.
 
     ``widen`` round-robins the narrow scan to core width before the
     CPU-heavy explode+hash (see session.ensure_parallelism); pass
@@ -62,7 +69,8 @@ def _ngram_stream(docs: DataFrame, widen: bool = True) -> DataFrame:
     toks = base.select("doc_id", tokens("text").alias("toks"))
     grams = toks.select(
         "doc_id",
-        F.explode(ngrams_from_tokens(F.col("toks"), CONTAM_NGRAM)).alias("gram"),
+        F.explode(F.array_distinct(
+            ngrams_from_tokens(F.col("toks"), CONTAM_NGRAM))).alias("gram"),
     )
     return grams.select("doc_id", portable_hash32("gram").alias("h"))
 
