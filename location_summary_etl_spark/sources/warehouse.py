@@ -154,6 +154,15 @@ class _WarehouseWriter(DataSourceWriter):
         self.stage_dir = options.get(
             "staging_dir", self.path + ".staging")
         self.columns = [f.name for f in schema.fields]
+        # Exactly-once marker for streaming foreachBatch appends: when
+        # set, commit() inserts (table, batch_id) into the commit log
+        # INSIDE the same transaction as the data, and a replayed
+        # batch (same id already logged) commits nothing.  The marker
+        # and the rows land or neither does -- the transactional-sink
+        # pattern Structured Streaming needs from an at-least-once
+        # foreachBatch to get effective exactly-once.
+        self.batch_id = options.get("batch_id")
+        self.commit_table = options.get("commit_table", "_spark_commits")
 
     def write(self, iterator):
         import pyarrow as pa
@@ -177,6 +186,22 @@ class _WarehouseWriter(DataSourceWriter):
         con = duckdb.connect(self.path)
         try:
             con.execute("BEGIN")
+            if self.batch_id is not None:
+                con.execute(
+                    f"CREATE TABLE IF NOT EXISTS {self.commit_table} "
+                    "(tbl VARCHAR, batch_id BIGINT)")
+                seen = con.execute(
+                    f"SELECT 1 FROM {self.commit_table} "
+                    "WHERE tbl = ? AND batch_id = ?",
+                    [self.table, int(self.batch_id)]).fetchone()
+                if seen:
+                    con.execute("ROLLBACK")
+                    con.close()
+                    self._cleanup(files)
+                    return
+                con.execute(
+                    f"INSERT INTO {self.commit_table} VALUES (?, ?)",
+                    [self.table, int(self.batch_id)])
             if not files:
                 if self.overwrite:
                     con.execute(f"DROP TABLE IF EXISTS {self.table}")

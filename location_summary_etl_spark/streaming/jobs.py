@@ -241,6 +241,50 @@ def enrich_events_stream(events: DataFrame, customer: DataFrame,
     )
 
 
+def foreach_batch_warehouse_append(stream_df: DataFrame, db_path: str,
+                                   table: str, checkpoint_dir: str):
+    """Exactly-once streaming APPEND into the external warehouse
+    (sources/warehouse.py) via ``foreachBatch`` + transactional batch
+    markers -- the streaming edition of the reference's warehouse
+    append sink (App.scala:265-270).
+
+    foreachBatch delivers each micro-batch AT LEAST once (checkpoint
+    recovery replays the in-flight batch), so a bare append would
+    duplicate rows on every recovery.  The duckwarehouse writer's
+    ``batch_id`` option closes the gap at the sink: the commit
+    transaction inserts (table, batch_id) into the warehouse's commit
+    log IN THE SAME TRANSACTION as the data, and a replayed batch --
+    same id, already logged -- commits nothing.  Marker and rows are
+    atomic, so there is no crash window between "data landed" and
+    "batch recorded"; this is the transactional-sink contract that
+    upgrades at-least-once delivery to exactly-once effects, the same
+    mechanism warehouse streaming sinks (Snowpipe Streaming, Delta
+    txn ids) use.
+
+    Append output mode: the upstream must be append-safe (watermarked
+    aggregation or stateless projection).  Returns the started query.
+    """
+
+    def append(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        (
+            batch.write.format("duckwarehouse")
+            .option("path", db_path)
+            .option("table", table)
+            .option("batch_id", str(batch_id))
+            .mode("append")
+            .save()
+        )
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(append)
+        .start()
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   mode: str | None = None) -> DataFrame:
     """Drain a bounded stream into an in-memory table; return the
