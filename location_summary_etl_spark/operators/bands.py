@@ -30,6 +30,19 @@ def compile_bands(bands: DataFrame, band_col: str = "band",
                   lo_col: str = "lo", hi_col: str = "hi") -> list[tuple]:
     """Collect and validate a (band, lo, hi] table for compilation."""
     rows = [(r[band_col], r[lo_col], r[hi_col]) for r in bands.collect()]
+    return validate_band_rows(rows)
+
+
+def validate_band_rows(rows: list[tuple]) -> list[tuple]:
+    """Validate already-materialized (band, lo, hi) rows for compilation.
+
+    The entry point when the band table is a literal in the job config
+    rather than a relation: compiling from the constant skips the
+    createDataFrame -> collect round trip (a full Spark job + two
+    Python<->JVM transfers) that ``compile_bands`` pays, which at bench
+    scale is larger than the query itself.
+    """
+    rows = [tuple(r) for r in rows]
     if len(rows) > MAX_COMPILED_BANDS:
         raise ValueError(
             f"{len(rows)} bands; compile_bands is for small static "

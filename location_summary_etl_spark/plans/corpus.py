@@ -95,6 +95,7 @@ def _ensure_loaded() -> None:
         corpus_sqlx,
         corpus_scd,
         corpus_tpch2,
+        corpus_tpch3,
         corpus_warehouse,
         corpus_partsupp,
     )
