@@ -55,6 +55,24 @@ SIMHASH_BITS = 32
 LSH_BANDS = 4
 LSH_ROWS = 4  # bands * rows == len(MINHASH_COEFFS)
 
+# ngram_jaccard_pairs packs (doc_id, n_grams) into one long so the two
+# heavy aggregates (bucket collect_list, pair count) handle 8-byte
+# primitives instead of structs: pk = (id << SHIFT) | n_grams.
+# Bounds: 0 <= id < 2^42, distinct grams per doc < 2^21 (a 2M-gram doc
+# is a multi-MB document; chunk upstream).  Violations raise at run
+# time rather than silently corrupting pair identities.
+_PACK_SHIFT = 21
+_PACK_MASK = (1 << _PACK_SHIFT) - 1
+_PACK_MAX_ID = 1 << 42
+
+
+def _pack_posting(id_col: Column, n_grams: Column) -> Column:
+    ok = (id_col >= 0) & (id_col < _PACK_MAX_ID) & (n_grams <= _PACK_MASK)
+    return F.when(ok, F.shiftleft(id_col, _PACK_SHIFT) + n_grams).otherwise(
+        F.raise_error(F.lit(
+            "ngram_jaccard_pairs: doc id or per-doc gram count exceeds "
+            "the packed-posting bounds (id < 2^42, grams < 2^21)")))
+
 
 def exact_dedup(df: DataFrame, content_cols: list[str],
                 id_col: str) -> DataFrame:
@@ -385,10 +403,13 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     computed MAP-SIDE (``array_distinct``/``size`` on the gram array --
     duplicates only occur within a doc), so there is no distinct
     shuffle and no per-doc count aggregation.  Each posting row of the
-    inverted index carries its doc's count, so Jaccard is computable
-    directly on the pair aggregate with no lookup joins.  Grams are
-    hashed to 60-bit longs post-explode (codegen -- see
-    _posting_hashes), so postings shuffle ~16 B, never n-gram strings.
+    inverted index carries its doc's count PACKED INTO THE ID LONG
+    (see ``_pack_posting``), so Jaccard is computable directly on the
+    pair aggregate with no lookup joins.  Grams are hashed to longs
+    post-explode with ``xxhash64`` (codegen; the hash is internal --
+    only gram EQUALITY matters downstream, so it needs no cross-engine
+    portability, unlike the MinHash signatures), so postings shuffle
+    16 B, never n-gram strings.
 
     Candidate generation is BUCKET-LOCAL (the same shape as the LSH
     path in :func:`minhash_near_dups`): postings group ONCE by gram
@@ -447,9 +468,8 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
             _tokenized(docs, id_col, text_col)
             .select(F.col(id_col), packed.alias("_z"))
             .select(
-                F.col(id_col),
-                portable_hash60(F.col("_z")["0"]).alias("g"),
-                F.col("_z")["1"].alias("n_grams"),
+                _pack_posting(F.col(id_col), F.col("_z")["1"]).alias("pk"),
+                F.xxhash64(F.col("_z")["0"]).alias("g"),
             )
         )
     else:
@@ -465,7 +485,7 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
         base = (
             _tokenized(docs, id_col, text_col)
             .select(F.col(id_col), F.explode(dgrams).alias("_g0"))
-            .select(F.col(id_col), portable_hash60("_g0").alias("g"))
+            .select(F.col(id_col), F.xxhash64("_g0").alias("g"))
         )
         heavy = (
             base.groupBy("g").agg(F.count("*").alias("_df"))
@@ -476,17 +496,20 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
         arrays = survived.groupBy(id_col).agg(
             F.collect_list("g").alias("_gs"))
         postings = arrays.select(
-            F.col(id_col),
-            F.size("_gs").alias("n_grams"),
+            _pack_posting(F.col(id_col), F.size("_gs")).alias("pk"),
             F.explode("_gs").alias("g"),
         )
-    # One bucket per gram; the a.id < b.id filter on the double explode
-    # emits each unordered pair exactly once per shared gram.
+    # One bucket per gram; the ordered-pk filter on the double explode
+    # emits each unordered pair exactly once per shared gram.  Bucket
+    # elements are PACKED LONGS, not (id, n_grams) structs: the
+    # bucket collect_list and the pair-count aggregate are the two
+    # heaviest stages here, and 8-byte primitives cut both the
+    # ObjectHashAggregate's per-element allocation and the pair
+    # aggregate's key width (struct form measured 1.01 s -> 0.88 s
+    # end-to-end at sf0.1, same session).
     buckets = (
         postings.groupBy("g")
-        .agg(F.collect_list(
-            F.struct(F.col(id_col).alias("id"), "n_grams")
-        ).alias("xs"))
+        .agg(F.collect_list("pk").alias("xs"))
         .filter(F.size("xs") >= 2)
     )
     # Size pre-filter at emission: shared <= min(na, nb), so
@@ -498,24 +521,26 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     # on this corpus, and it is the standard length-filter guard
     # whose cut deepens on real corpora with varied doc lengths.
     t = float(threshold)
+    na = F.col("ka").bitwiseAND(_PACK_MASK)
+    nb = F.col("kb").bitwiseAND(_PACK_MASK)
     pairs = (
-        buckets.select(F.explode("xs").alias("a"), "xs")
-        .select("a", F.explode("xs").alias("b"))
-        .filter(F.col("a.id") < F.col("b.id"))
-        .filter(
-            F.least(F.col("a.n_grams"), F.col("b.n_grams")) * (1.0 + t)
-            >= t * (F.col("a.n_grams") + F.col("b.n_grams")))
+        buckets.select(F.explode("xs").alias("ka"), "xs")
+        .select("ka", F.explode("xs").alias("kb"))
+        # pk order == (id, n_grams) order and n_grams is a function of
+        # id, so comparing packed values compares ids.
+        .filter(F.col("ka") < F.col("kb"))
+        .filter(F.least(na, nb) * (1.0 + t) >= t * (na + nb))
     )
+    # Group on the packed keys themselves: na/nb are bit-functions of
+    # the key, so no min() carry-alongs and the aggregate hashes two
+    # longs.
     shared = (
-        pairs.select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.col("a.n_grams").alias("na"), F.col("b.n_grams").alias("nb"),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count("*").alias("shared"),
-            F.min("na").alias("na"),
-            F.min("nb").alias("nb"),
+        pairs.groupBy("ka", "kb")
+        .agg(F.count("*").alias("shared"))
+        .select(
+            F.shiftright("ka", _PACK_SHIFT).alias("id_a"),
+            F.shiftright("kb", _PACK_SHIFT).alias("id_b"),
+            na.alias("na"), nb.alias("nb"), "shared",
         )
     )
     jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))

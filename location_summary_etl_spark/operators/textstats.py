@@ -168,3 +168,87 @@ def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
             F.min("_nd").cast("int").alias("n_distinct_shingles"),
         )
     )
+
+
+def _max_run(sorted_arr: Column) -> Column:
+    """Maximum run length in an ALREADY-SORTED string array — i.e. the
+    count of the most frequent element, computed in one linear pass.
+
+    The naive per-element count (for each distinct w: size(filter(arr,
+    x = w))) is O(n^2) interpreted lambda work per document; sort +
+    run-length is O(n log n) with an O(n) fold, which keeps the whole
+    operator map-side at any corpus scale (the alternative — explode +
+    two-level count aggregate — is exact too but shuffles the entire
+    token stream twice).
+    """
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("int").alias("run"),
+        F.lit(0).cast("int").alias("best"),
+    )
+
+    def step(acc: Column, w: Column) -> Column:
+        run = F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            w.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def doc_quality_rules(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      min_words: int = 20, min_ttr: float = 0.30,
+                      max_top_word_frac: float = 0.15,
+                      min_mean_len: float = 3.0,
+                      max_mean_len: float = 8.0) -> DataFrame:
+    """Gopher/C4-style document quality gates: per-doc repetition and
+    shape statistics plus the keep/drop verdict a pre-training corpus
+    filter applies before dedup.
+
+    Columns: n_words, ttr (type-token ratio), top_word_frac (most
+    frequent word's share), top_bigram_frac (most frequent word
+    bigram's share — the Gopher duplicate-2-gram fraction),
+    mean_word_len, keep.
+
+    Scale design: the entire operator is ONE map-side projection —
+    every statistic folds over the doc's own token array (sorted
+    run-length for the top-element counts, see :func:`_max_run`), so
+    there is no explode, no shuffle, and no aggregate at any corpus
+    size; Catalyst fuses it into the scan.  The reference's analogous
+    move is pushing row-shaping into the warehouse scan
+    (/root/reference/src/main/scala/App.scala:37-40).
+    """
+    from location_summary_etl_spark.functions.texts import ngrams_from_tokens
+
+    toks = tokens(text_col)
+    base = docs.select(F.col(id_col), toks.alias("_toks"))
+    n_words = F.size("_toks")
+    sum_len = F.aggregate(
+        F.col("_toks"), F.lit(0).cast("bigint"),
+        lambda a, w: a + F.length(w))
+    bigrams = ngrams_from_tokens(F.col("_toks"), 2)
+    stats = base.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        round_portable(
+            F.size(F.array_distinct("_toks")) / n_words, 4).alias("ttr"),
+        round_portable(
+            _max_run(F.array_sort("_toks")) / n_words, 4
+        ).alias("top_word_frac"),
+        F.when(
+            F.size(bigrams) > 0,
+            round_portable(
+                _max_run(F.array_sort(bigrams)) / F.size(bigrams), 4),
+        ).alias("top_bigram_frac"),
+        round_portable(sum_len / n_words, 4).alias("mean_word_len"),
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("ttr") >= min_ttr)
+        & (F.col("top_word_frac") <= max_top_word_frac)
+        & (F.col("mean_word_len") >= min_mean_len)
+        & (F.col("mean_word_len") <= max_mean_len)
+    )
+    return stats.withColumn("keep", keep)

@@ -96,6 +96,7 @@ def _ensure_loaded() -> None:
         corpus_scd,
         corpus_tpch2,
         corpus_tpch3,
+        corpus_quality,
         corpus_warehouse,
         corpus_partsupp,
     )

@@ -1,0 +1,211 @@
+"""Corpus-quality and event-quality entries: Gopher/C4-style document
+quality gates, token-length histograms, trailing z-score anomaly
+flags, and click->purchase conversion attribution.
+
+These are the remaining "would a 100 TB training-data pipeline need
+it" operators (BASELINE.json north star): quality filtering runs
+before dedup in every pre-training corpus build, and the two event
+entries are the monitoring/attribution shapes run next to it.  The
+reference's surface has no analogue (SURVEY §2.D); each entry is
+oracle-paired.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from location_summary_etl_spark.functions.scalars import round_portable
+from location_summary_etl_spark.operators.textstats import doc_quality_rules
+from location_summary_etl_spark.plans.corpus import register
+from location_summary_etl_spark.sources.registry import load_table
+
+
+# ------------------------------------------------------------ quality rules
+def corpus_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition/shape statistics + keep verdict
+    (operators/textstats.py doc_quality_rules): one map-side
+    projection, no shuffle at any scale."""
+    from location_summary_etl_spark.session import ensure_parallelism
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return doc_quality_rules(ensure_parallelism(docs))
+
+
+# The oracle computes the same statistics through the explode +
+# two-level-count formulation -- different plan, same values, which is
+# exactly the claim (the Spark side's sorted run-length fold must agree
+# with the classic count-max).
+register("corpus_quality_rules", corpus_quality_rules, """
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+w AS (SELECT doc_id, unnest(toks) AS w FROM tok),
+wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2),
+wagg AS (
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_words,
+           COUNT(*) AS n_distinct,
+           MAX(c) AS top_word,
+           SUM(c * len(w)) AS sum_len
+    FROM wc GROUP BY 1
+),
+bg AS (
+    SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS b
+    FROM tok, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+),
+bgc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+bgagg AS (
+    SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram
+    FROM bgc GROUP BY 1
+),
+j AS (
+    SELECT w.doc_id, w.n_words,
+           round(CAST(w.n_distinct AS DOUBLE) / w.n_words, 4) AS ttr,
+           round(CAST(w.top_word AS DOUBLE) / w.n_words, 4) AS top_word_frac,
+           round(CAST(b.top_bigram AS DOUBLE) / b.n_bigrams, 4)
+               AS top_bigram_frac,
+           round(CAST(w.sum_len AS DOUBLE) / w.n_words, 4) AS mean_word_len
+    FROM wagg w LEFT JOIN bgagg b ON w.doc_id = b.doc_id
+)
+SELECT doc_id, n_words, ttr, top_word_frac, top_bigram_frac, mean_word_len,
+       (n_words >= 20 AND ttr >= 0.30 AND top_word_frac <= 0.15
+        AND mean_word_len >= 3.0 AND mean_word_len <= 8.0) AS keep
+FROM j
+""")
+
+
+# ------------------------------------------------------- length histogram
+HIST_BUCKET_WORDS = 10
+HIST_MAX_BUCKET = 9
+
+
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count distribution of the corpus: docs bucketed by
+    word count (HIST_BUCKET_WORDS-wide buckets, top-coded at
+    HIST_MAX_BUCKET) with per-bucket doc counts and average length.
+    The length is a map-side ``size(split(...))`` — the histogram is
+    one small aggregate, the classic first look at a new corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    n_words = F.size(F.split(F.col("text"), " "))
+    bucket = F.least(
+        F.floor(n_words / HIST_BUCKET_WORDS), F.lit(HIST_MAX_BUCKET)
+    ).cast("int")
+    return (
+        docs.select(n_words.alias("_n"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            round_portable(F.avg("_n"), 4).alias("avg_words"),
+        )
+    )
+
+
+register("corpus_length_histogram", corpus_length_histogram, f"""
+SELECT CAST(LEAST(FLOOR(len(string_split(text, ' ')) / {HIST_BUCKET_WORDS}),
+                  {HIST_MAX_BUCKET}) AS INT) AS bucket,
+       COUNT(*) AS n_docs,
+       round(CAST(AVG(len(string_split(text, ' '))) AS DOUBLE), 4) AS avg_words
+FROM documents
+GROUP BY 1
+""")
+
+
+# --------------------------------------------------------- z-score anomaly
+ANOM_TRAIL = 10  # trailing events in the baseline window
+ANOM_MIN_TRAIL = 5
+ANOM_Z = 2.0
+
+
+def events_value_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing z-score outliers: each event's value against
+    the mean/stddev of the user's previous ANOM_TRAIL events; emit
+    events whose |z| exceeds ANOM_Z (given >= ANOM_MIN_TRAIL trailing
+    points).  One exchange on user_id serves both window aggregates —
+    the streaming-monitor shape run as a batch audit.
+
+    z is computed on ROUNDED mean/std (4dp) and itself rounded (3dp)
+    in both engines, so float summation-order noise cannot flip the
+    threshold comparison the oracle hashes."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-ANOM_TRAIL, -1))
+    base = ev.select(
+        "event_id", "user_id", "ts", "value",
+        F.count("value").over(w).alias("_n"),
+        round_portable(F.avg("value").over(w), 4).alias("_m"),
+        round_portable(F.stddev_samp("value").over(w), 4).alias("_s"),
+    )
+    z = round_portable((F.col("value") - F.col("_m")) / F.col("_s"), 3)
+    return (
+        base.filter(F.col("_n") >= ANOM_MIN_TRAIL)
+        .select("event_id", "user_id",
+                round_portable(F.col("value"), 4).alias("value"),
+                z.alias("z"))
+        .filter(F.abs(F.col("z")) > ANOM_Z)
+    )
+
+
+register("events_value_anomaly", events_value_anomaly, f"""
+WITH b AS (
+    SELECT event_id, user_id, value,
+           COUNT(value) OVER w AS n,
+           round(CAST(AVG(value) OVER w AS DOUBLE), 4) AS m,
+           round(CAST(STDDEV_SAMP(value) OVER w AS DOUBLE), 4) AS s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN {ANOM_TRAIL} PRECEDING AND 1 PRECEDING)
+),
+z AS (
+    SELECT event_id, user_id,
+           round(CAST(value AS DOUBLE), 4) AS value,
+           round(CAST((value - m) / s AS DOUBLE), 3) AS z
+    FROM b WHERE n >= {ANOM_MIN_TRAIL}
+)
+SELECT * FROM z WHERE abs(z) > {ANOM_Z}
+""")
+
+
+# -------------------------------------------------- conversion attribution
+def events_conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch attribution: for every purchase, the
+    user's first and most recent preceding click plus how many clicks
+    preceded it.  One exchange on user_id; the three attributions are
+    conditional window aggregates over the same sort (first/last with
+    ignore-nulls over the running frame — the LOCF pattern pointed at
+    marketing attribution instead of gap-filling)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    return (
+        ev.select(
+            "event_id", "user_id", "ts", "event_type",
+            F.first(click_id, ignorenulls=True).over(w).alias("first_click_id"),
+            F.last(click_id, ignorenulls=True).over(w).alias("last_click_id"),
+            F.count(click_id).over(w).alias("n_prior_clicks"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "first_click_id", "last_click_id",
+                "n_prior_clicks")
+    )
+
+
+register("events_conversion_attribution", events_conversion_attribution, """
+WITH a AS (
+    SELECT event_id, user_id, event_type,
+           FIRST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                       IGNORE NULLS) OVER w AS first_click_id,
+           LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                      IGNORE NULLS) OVER w AS last_click_id,
+           COUNT(CASE WHEN event_type = 'click' THEN event_id END)
+               OVER w AS n_prior_clicks
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, first_click_id, last_click_id, n_prior_clicks
+FROM a WHERE event_type = 'purchase'
+""")
