@@ -182,3 +182,61 @@ SELECT label, COUNT(*) AS n_vectors,
 FROM embeddings
 GROUP BY label
 """)
+
+
+# ----------------------------------------------------------- k-means
+KMEANS_K = 8
+KMEANS_ITERS = 2
+KMEANS_DIM = 64
+
+
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of k-means over the embeddings table
+    (operators/clustering.py): per-round literal-centroid argmin
+    assignment (pure codegen over one scan) + a k-row centroid
+    aggregate collected to the driver.  The oracle replays the same
+    rounds as chained CTEs, so the assignment table must match row
+    for row."""
+    from location_summary_etl_spark.operators.clustering import kmeans_assign
+    from location_summary_etl_spark.session import ensure_parallelism
+
+    return kmeans_assign(
+        ensure_parallelism(_emb(spark, sf_dir)),
+        k=KMEANS_K, iters=KMEANS_ITERS)
+
+
+def _km_assign_sql(src: str, cents: str) -> str:
+    """One assignment round: argmin over rounded scores, centroid-id
+    tie-break (same grain as the Spark side's round_portable 6dp)."""
+    return f"""
+    SELECT vec_id, v, j AS cluster FROM (
+        SELECT e.vec_id, e.v, {cents}.j,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round(CAST(list_dot_product({cents}.c, {cents}.c)
+                                - 2 * list_dot_product(e.v, {cents}.c)
+                                AS DOUBLE), 6), {cents}.j
+               ) AS rn
+        FROM {src} e CROSS JOIN {cents}
+    ) WHERE rn = 1
+    """
+
+
+register("embedding_kmeans", embedding_kmeans, f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c0 AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS c
+    FROM e ORDER BY vec_id LIMIT {KMEANS_K}
+),
+a1 AS ({_km_assign_sql('e', 'c0')}),
+m1 AS (
+    SELECT cluster, i, round(CAST(AVG(v[i]) AS DOUBLE), 6) AS ci
+    FROM a1, UNNEST(generate_series(1, {KMEANS_DIM})) AS t(i)
+    GROUP BY 1, 2
+),
+c1 AS (SELECT cluster AS j, list(ci ORDER BY i) AS c FROM m1 GROUP BY 1),
+a2 AS ({_km_assign_sql('e', 'c1')})
+SELECT vec_id, cluster FROM a2
+""")
