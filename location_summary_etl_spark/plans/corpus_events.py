@@ -301,3 +301,73 @@ p AS (SELECT bucket, COUNT(*) AS n_purchases FROM b
 SELECT v.bucket AS k_bucket, n_views, n_purchases
 FROM v JOIN p ON v.bucket IS NOT DISTINCT FROM p.bucket
 """)
+
+
+# ------------------------------------------------------------------
+# Hypertable-style rollup cascade: minute -> hour -> day, each coarser
+# grain RE-AGGREGATED FROM THE FINER ROLLUP, never from raw events --
+# the continuous-aggregate / rollup-tree pattern time-series stores
+# run, expressed as one Spark lineage.  count/sum are mergeable
+# partial states, so rollup-of-rollup equals rollup-of-raw; the oracle
+# computes every grain FROM RAW, making that mergeability the exact
+# claim the hash gate checks.  avg is DERIVED (sum/count) at the edge
+# -- averaging averages would be wrong, which is why avg never appears
+# in the cascade itself.
+# Scale: raw events are read and shuffled ONCE (to minute grain, the
+# only wide exchange over event volume); hour and day shuffle
+# aggregate-sized relations.  At 100 TB the minute rollup is the
+# materialization point; coarser grains cost minutes-rows, not events.
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    minute = (
+        ev.withColumn("bucket", tumbling_bucket("ts", 60))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    hour = (
+        minute.withColumn("bucket",
+                          (F.floor(F.col("bucket") / 3600) * 3600))
+        .groupBy("bucket")
+        .agg(F.sum("n_events").alias("n_events"),
+             F.sum("sum_value").alias("sum_value"))
+    )
+    day = (
+        hour.withColumn("bucket",
+                        (F.floor(F.col("bucket") / 86400) * 86400))
+        .groupBy("bucket")
+        .agg(F.sum("n_events").alias("n_events"),
+             F.sum("sum_value").alias("sum_value"))
+    )
+    out = None
+    for grain, df in (("minute", minute), ("hour", hour), ("day", day)):
+        shaped = df.select(
+            F.lit(grain).alias("grain"),
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "n_events",
+            round_portable(F.col("sum_value"), 4).alias("sum_value"),
+            # avg derives from the ROUNDED sum: both engines then
+            # divide the same double, so a sum landing near a 4dp
+            # boundary cannot split the derived average across
+            # engines (observed: 217.41/8 at hour grain).
+            round_portable(
+                round_portable(F.col("sum_value"), 4) / F.col("n_events"), 4)
+            .alias("avg_value"),
+        )
+        out = shaped if out is None else out.unionAll(shaped)
+    return out
+
+
+register("events_rollup_cascade", events_rollup_cascade, """
+WITH g AS (
+    SELECT 'minute' AS grain, 60 AS w UNION ALL
+    SELECT 'hour', 3600 UNION ALL
+    SELECT 'day', 86400
+)
+SELECT g.grain,
+       CAST(floor(epoch(ts) / g.w) * g.w AS BIGINT) AS bucket,
+       COUNT(*) AS n_events,
+       round(CAST(SUM(value) AS DOUBLE), 4) AS sum_value,
+       round(round(CAST(SUM(value) AS DOUBLE), 4) / COUNT(*), 4) AS avg_value
+FROM events CROSS JOIN g
+GROUP BY 1, 2
+""")

@@ -348,3 +348,68 @@ def foreach_batch_upsert(stream_df: DataFrame, target_path: str,
         .foreachBatch(upsert)
         .start()
     )
+
+
+def user_running_stats_tws(events: DataFrame,
+                           watermark: str = "1 hour") -> DataFrame:
+    """Per-user running (count, sum, max) via ``transformWithStateInPandas``
+    -- Spark 4's successor to ``applyInPandasWithState`` (timers, typed
+    state variables, TTL, RocksDB-only state store).  Same semantics as
+    :func:`user_running_stats_stream`, so the cross-check test compares
+    both operators against one batch aggregate; the point of the second
+    implementation is covering the new API's lifecycle (init/
+    handleInputRows/close + ValueState) on a real stream.
+
+    Requires the RocksDB state store provider; the caller's session is
+    switched to it here (OSS transformWithState does not run on the
+    HDFS-backed provider).  Also requires protobuf at run time (the
+    operator's Python driver worker speaks the state-server protocol
+    over it) -- declared by pyspark, absent from this sandbox, so the
+    cross-check test import-skips here.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState(
+                "stats", "n bigint, total double, mx double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            prev = self._stats.get()
+            n, total, mx = prev if prev is not None else (0, 0.0, float("-inf"))
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                mx = max(mx, float(pdf["value"].max()))
+            self._stats.update((n, total, mx))
+            yield pd.DataFrame({
+                "user_id": [user_id], "n_events": [n],
+                "total_value": [total], "max_value": [mx],
+            })
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningStats(),
+            outputStructType=USER_STATS_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

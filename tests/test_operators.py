@@ -799,3 +799,20 @@ def test_write_zorder_localizes_both_columns(spark, tmp_path):
     assert overlap_fraction("x", 0, 15) < 0.5
     assert overlap_fraction("y", 0, 15) < 0.5
     assert spark.read.parquet(path).count() == 65_536
+
+
+def test_kmeans_assign_small_deterministic(spark):
+    """k-means on a trivially separable set: two tight groups must end
+    in different clusters, every id assigned exactly once, and a
+    repeat run must be bit-identical (literal-centroid determinism)."""
+    from location_summary_etl_spark.operators.clustering import kmeans_assign
+
+    rows = [(i, [float(i % 2) * 10.0, 0.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out1 = sorted(map(tuple, kmeans_assign(df, k=2, iters=2).collect()))
+    out2 = sorted(map(tuple, kmeans_assign(df, k=2, iters=2).collect()))
+    assert out1 == out2
+    assert len(out1) == 10
+    evens = {c for i, c in out1 if i % 2 == 0}
+    odds = {c for i, c in out1 if i % 2 == 1}
+    assert len(evens) == 1 and len(odds) == 1 and evens != odds

@@ -346,3 +346,40 @@ def test_pipe_syntax_plans_like_classic_sql(spark, sf_dir):
     plan = plan_of(spark, "orders_pipe_rollup", sf_dir)
     assert "GreaterThanOrEqual(o_orderdate" in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """DPP: when a partitioned fact joins a dimension whose filter is
+    only known at run time, the fact scan must carry a dynamicpruning
+    subquery in its PartitionFilters -- at 100 TB this prunes the
+    fact's directories by the dim filter's surviving keys instead of
+    scanning every partition and filtering post-join.  (Static pruning
+    is covered by test_partitioned_sink_readback_prunes_partitions;
+    this is the runtime variant Spark inserts for star joins.)"""
+    from pyspark.sql import functions as F
+
+    from location_summary_etl_spark.sources.writers import write_summary
+
+    fact = spark.range(0, 1000).select(
+        (F.col("id") % 4).cast("int").alias("part_key"),
+        F.col("id").alias("v"),
+    )
+    path = str(tmp_path / "dpp_fact")
+    write_summary(fact, path, partition_by=["part_key"])
+    dim = spark.createDataFrame(
+        [(k, "keep" if k == 2 else "drop") for k in range(4)],
+        ["d_key", "d_tag"],
+    )
+    back = spark.read.parquet(path)
+    j = back.join(
+        F.broadcast(dim.filter(F.col("d_tag") == "keep")),
+        back["part_key"] == dim["d_key"],
+    )
+    plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        j._jdf.queryExecution(), "formatted"
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "dynamicpruning" in pf[0], (
+        f"no dynamic partition pruning on the fact scan: {pf or plan}"
+    )
+    assert j.count() == 250

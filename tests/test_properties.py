@@ -112,3 +112,26 @@ def test_round_portable_matches_duckdb(spark, vals):
         for i, v in enumerate(vals)
     }
     assert got == pytest.approx(want)
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.sampled_from(["a", "bb", "ccc", "d", "ee", "f"]),
+                min_size=1, max_size=40))
+def test_max_run_fold_equals_counter_max(spark, words):
+    """The sorted run-length fold (textstats._max_run) must equal the
+    classic most-frequent-element count for any multiset."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from location_summary_etl_spark.operators.textstats import _max_run
+
+    expected = max(Counter(words).values())
+    got = (
+        spark.range(1)
+        .select(_max_run(F.array_sort(F.array(
+            *[F.lit(w) for w in words]))).alias("m"))
+        .first()["m"]
+    )
+    assert got == expected

@@ -4,6 +4,8 @@ tumbling counts against the batch formulation."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from location_summary_etl_spark.operators.windows import tumbling_bucket
@@ -423,3 +425,50 @@ def test_python_datasource_stream_restart_no_duplicates(spark, tmp_path):
     assert doc_ids == list(range(400)), (
         f"expected each of 400 docs exactly once, got {len(doc_ids)} rows "
         f"({len(set(doc_ids))} distinct)")
+
+
+def test_transform_with_state_matches_batch(spark, sf_dir):
+    """transformWithStateInPandas running per-user stats == batch
+    groupBy (same discipline as the applyInPandasWithState test; the
+    new API runs on the RocksDB state store).
+
+    The operator's driver-side worker needs protobuf (Spark ships the
+    state-server protocol over it); this sandbox has no protobuf and
+    no network, so the test skips here and runs wherever pyspark's
+    declared deps are actually installed."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState needs protobuf (pyspark[connect] dep)")
+    from location_summary_etl_spark.streaming.jobs import user_running_stats_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    try:
+        stream = read_events_stream(spark, sf_dir)
+        result = run_to_memory(
+            user_running_stats_tws(stream), "user_stats_tws_out", mode="update"
+        )
+        got = {}
+        for r in result.collect():
+            best = got.get(r["user_id"])
+            if best is None or r["n_events"] > best[0]:
+                got[r["user_id"]] = (
+                    r["n_events"], round(r["total_value"], 6),
+                    round(r["max_value"], 6),
+                )
+        assert got
+        batch = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"),
+                 F.max("value").alias("m"))
+        )
+        want = {
+            r["user_id"]: (r["n"], round(r["s"], 6), round(r["m"], 6))
+            for r in batch.collect()
+        }
+        assert got == want
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
