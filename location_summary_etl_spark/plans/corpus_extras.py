@@ -482,3 +482,36 @@ FROM orders JOIN bands
   ON o_totalprice >= lo AND o_totalprice < hi
 GROUP BY band
 """)
+
+
+def segment_right_outer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join coverage (the one join kind the corpus lacked):
+    orders RIGHT JOIN customer keeps order-less customers as NULL fact
+    rows; the aggregate counts them per market segment.  Catalyst plans
+    it as the mirrored left-outer with the preserved side swapped --
+    the point of the entry is that the NULL-extension semantics and
+    the plan both come out right when the preserved side is the
+    build/right input."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(customer, orders["o_custkey"] == customer["c_custkey"],
+                    "right")
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.count_distinct(
+                F.when(F.col("o_orderkey").isNull(), F.col("c_custkey"))
+            ).alias("n_orderless_customers"),
+        )
+    )
+
+
+register("segment_right_outer_coverage", segment_right_outer_coverage, """
+SELECT c_mktsegment,
+       COUNT(o_orderkey) AS n_orders,
+       COUNT(DISTINCT CASE WHEN o_orderkey IS NULL THEN c_custkey END)
+           AS n_orderless_customers
+FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""")

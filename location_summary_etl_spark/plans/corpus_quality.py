@@ -209,3 +209,76 @@ WITH a AS (
 SELECT event_id, user_id, first_click_id, last_click_id, n_prior_clicks
 FROM a WHERE event_type = 'purchase'
 """)
+
+
+# ---------------------------------------------------- per-source report
+def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus report card per ingestion source: doc count, quality
+    keep-rate (composing doc_quality_rules), average length, and the
+    dominant language (max_by argmax — no window).  The one-page
+    summary a corpus build publishes per snapshot; the quality stats
+    stay map-side, so the whole report is ONE aggregate over the
+    documents scan plus a lang-count argmax rejoin."""
+    from location_summary_etl_spark.session import ensure_parallelism
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source")
+    rules = doc_quality_rules(ensure_parallelism(docs)).select(
+        "doc_id", "n_words", "keep")
+    joined = docs.select("doc_id", "lang", "source").join(rules, "doc_id")
+    per_source = joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        round_portable(F.avg(F.col("keep").cast("int")), 4).alias("keep_rate"),
+        round_portable(F.avg("n_words"), 4).alias("avg_words"),
+    )
+    lang_counts = (
+        joined.groupBy("source", "lang").agg(F.count("*").alias("_c"))
+        .groupBy("source")
+        .agg(F.max_by("lang", F.struct(F.col("_c"), F.col("lang")))
+             .alias("top_lang"))
+    )
+    return per_source.join(lang_counts, "source")
+
+
+register("corpus_source_report", corpus_source_report, """
+WITH tok AS (
+    SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+    FROM documents
+),
+w AS (SELECT doc_id, unnest(toks) AS w FROM tok),
+wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2),
+wagg AS (
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+           COUNT(*) AS n_distinct, MAX(c) AS top_word,
+           SUM(c * len(w)) AS sum_len
+    FROM wc GROUP BY 1
+),
+q AS (
+    SELECT doc_id, n_words,
+           (n_words >= 20
+            AND round(CAST(n_distinct AS DOUBLE) / n_words, 4) >= 0.30
+            AND round(CAST(top_word AS DOUBLE) / n_words, 4) <= 0.15
+            AND round(CAST(sum_len AS DOUBLE) / n_words, 4) >= 3.0
+            AND round(CAST(sum_len AS DOUBLE) / n_words, 4) <= 8.0) AS keep
+    FROM wagg
+),
+j AS (SELECT t.doc_id, t.lang, t.source, q.n_words, q.keep
+      FROM tok t JOIN q USING (doc_id)),
+per_source AS (
+    SELECT source, COUNT(*) AS n_docs,
+           round(CAST(AVG(CAST(keep AS INT)) AS DOUBLE), 4) AS keep_rate,
+           round(CAST(AVG(n_words) AS DOUBLE), 4) AS avg_words
+    FROM j GROUP BY 1
+),
+lc AS (SELECT source, lang, COUNT(*) AS c FROM j GROUP BY 1, 2),
+top_lang AS (
+    SELECT source, lang AS top_lang FROM (
+        SELECT source, lang,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY c DESC, lang DESC) AS rn
+        FROM lc
+    ) WHERE rn = 1
+)
+SELECT p.source, p.n_docs, p.keep_rate, p.avg_words, t.top_lang
+FROM per_source p JOIN top_lang t USING (source)
+""")

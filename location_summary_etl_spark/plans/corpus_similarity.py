@@ -240,3 +240,63 @@ c1 AS (SELECT cluster AS j, list(ci ORDER BY i) AS c FROM m1 GROUP BY 1),
 a2 AS ({_km_assign_sql('e', 'c1')})
 SELECT vec_id, cluster FROM a2
 """)
+
+
+# ------------------------------------------- semantic dedup (SemDeDup)
+SEMDEDUP_THRESHOLD = 0.4
+
+
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means clusters as the
+    BLOCKING key, exact cosine pairs only within a cluster.  This is
+    the scale recipe for embedding dedup when no natural block (label,
+    shard) exists: clustering costs k scans, and the pair expansion
+    drops from |corpus|^2 to sum(cluster^2) -- the operator the
+    label-blocked dedup_embedding_cosine can't provide on unlabeled
+    corpora.  Composition: operators/clustering.kmeans_assign ->
+    operators/dedup.embedding_near_dups_pandas(block_col='cluster'),
+    both already oracle-exact, so the composite inherits bit-exact
+    cosine parity."""
+    from location_summary_etl_spark.operators.clustering import kmeans_assign
+    from location_summary_etl_spark.operators.dedup import (
+        embedding_near_dups_pandas,
+    )
+    from location_summary_etl_spark.session import ensure_parallelism
+
+    emb = ensure_parallelism(_emb(spark, sf_dir))
+    clusters = kmeans_assign(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    blocked = emb.join(clusters, "vec_id").select(
+        "vec_id", "embedding", "cluster")
+    return embedding_near_dups_pandas(
+        blocked, block_col="cluster", threshold=SEMDEDUP_THRESHOLD)
+
+
+register("dedup_semantic_kmeans", dedup_semantic_kmeans, f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c0 AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS c
+    FROM e ORDER BY vec_id LIMIT {KMEANS_K}
+),
+a1 AS ({_km_assign_sql('e', 'c0')}),
+m1 AS (
+    SELECT cluster, i, round(CAST(AVG(v[i]) AS DOUBLE), 6) AS ci
+    FROM a1, UNNEST(generate_series(1, {KMEANS_DIM})) AS t(i)
+    GROUP BY 1, 2
+),
+c1 AS (SELECT cluster AS j, list(ci ORDER BY i) AS c FROM m1 GROUP BY 1),
+a2 AS ({_km_assign_sql('e', 'c1')}),
+n AS (
+    SELECT a.vec_id, a.cluster, a.v,
+           sqrt(list_dot_product(a.v, a.v)) AS nrm
+    FROM a2 a
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DOUBLE), 6)
+           AS cosine
+FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE a.nrm > 0 AND b.nrm > 0
+  AND round(CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DOUBLE), 6)
+      >= {SEMDEDUP_THRESHOLD}
+""")
