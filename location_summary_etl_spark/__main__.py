@@ -11,6 +11,8 @@ the idempotent partitioned writer instead of a blind append.
     python -m location_summary_etl_spark run <query> [--sf-dir D] [--limit N]
     python -m location_summary_etl_spark flagship --out PATH [--sf-dir D]
                                                   [--mode append|overwrite|overwrite_partitions]
+    python -m location_summary_etl_spark explain <query> [--sf-dir D]
+                                                  [--mode formatted|simple|extended|cost]
 """
 
 from __future__ import annotations
@@ -35,6 +37,13 @@ def build_parser() -> argparse.ArgumentParser:
     flag.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     flag.add_argument("--mode", default="overwrite_partitions",
                       choices=["append", "overwrite", "overwrite_partitions"])
+
+    exp = sub.add_parser(
+        "explain", help="print a corpus query's physical plan")
+    exp.add_argument("query")
+    exp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    exp.add_argument("--mode", default="formatted",
+                     choices=["formatted", "simple", "extended", "cost"])
     return p
 
 
@@ -49,12 +58,19 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     spark = get_session(app_name=f"lse-{args.cmd}")
-    if args.cmd == "run":
+    if args.cmd in ("run", "explain"):
         qs = corpus.queries()
         if args.query not in qs:
             print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
             return 2
-        qs[args.query](spark, args.sf_dir).show(args.limit, truncate=False)
+        df = qs[args.query](spark, args.sf_dir)
+        if args.cmd == "run":
+            df.show(args.limit, truncate=False)
+        else:
+            # the same explainString API the plan tests assert on
+            print(spark._jvm.org.apache.spark.sql.api.python
+                  .PythonSQLUtils.explainString(
+                      df._jdf.queryExecution(), args.mode))
         return 0
 
     # flagship: compute + write through the idempotent writer, the

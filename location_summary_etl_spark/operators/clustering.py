@@ -65,7 +65,10 @@ def kmeans_assign(emb: DataFrame, id_col: str = "vec_id",
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    dim = len(base.select("_v").first()["_v"])
+    probe = base.select("_v").first()
+    if probe is None or probe["_v"] is None:
+        raise ValueError("kmeans_assign: empty input or NULL vectors")
+    dim = len(probe["_v"])
 
     cents = [
         (j, list(r["_v"]))

@@ -515,3 +515,38 @@ SELECT c_mktsegment,
 FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """)
+
+
+def customer_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((n_name), (c_mktsegment)) — the
+    non-hierarchical member of the grouping-sets family (rollup and
+    cube are covered elsewhere; neither can express two disjoint
+    single-column sets in one pass).  Uses Spark 4's DataFrame
+    ``groupingSets`` API; one ExpandExec feeds one aggregate, so both
+    summaries cost a single scan + shuffle.  grouping_id disambiguates
+    the NULL-extended rows exactly as DuckDB's GROUPING()."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    j = customer.join(
+        F.broadcast(nation),
+        customer["c_nationkey"] == nation["n_nationkey"],
+    )
+    return (
+        j.groupingSets(
+            [["n_name"], ["c_mktsegment"]], "n_name", "c_mktsegment")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("n_customers"),
+            round_portable(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+        )
+    )
+
+
+register("customer_grouping_sets", customer_grouping_sets, """
+SELECT n_name, c_mktsegment,
+       CAST(GROUPING(n_name, c_mktsegment) AS INT) AS gid,
+       COUNT(*) AS n_customers,
+       round(CAST(AVG(c_acctbal) AS DOUBLE), 2) AS avg_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
+""")

@@ -47,3 +47,12 @@ def test_cli_unknown_query_is_an_error():
     from location_summary_etl_spark.__main__ import main
 
     assert main(["run", "no_such_query"]) == 2
+
+
+def test_cli_explain_prints_physical_plan(spark, sf_dir, capsys):
+    from location_summary_etl_spark.__main__ import main
+
+    rc = main(["explain", "pricing_summary", "--sf-dir", sf_dir])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Physical Plan" in out and "HashAggregate" in out
