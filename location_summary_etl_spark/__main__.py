@@ -67,10 +67,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "run":
             df.show(args.limit, truncate=False)
         else:
-            # the same explainString API the plan tests assert on
-            print(spark._jvm.org.apache.spark.sql.api.python
-                  .PythonSQLUtils.explainString(
-                      df._jdf.queryExecution(), args.mode))
+            df.explain(mode=args.mode)
         return 0
 
     # flagship: compute + write through the idempotent writer, the

@@ -59,21 +59,25 @@ def kmeans_assign(emb: DataFrame, id_col: str = "vec_id",
     no full sort).  Each iteration: codegen'd literal-centroid argmin
     assignment, then a k-group per-dimension average, rounded 6dp.
     Empty clusters drop out (both engines derive surviving centroids
-    from the same rounded assignment, so they agree).
+    from the same rounded assignment, so they agree).  Rows with NULL
+    vectors are EXCLUDED from clustering (documented semantics — a
+    NULL vector has no distance; silently argmin-ing NULL scores would
+    assign it an arbitrary cluster).
     """
-    base = emb.select(
+    base = emb.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    probe = base.select("_v").first()
-    if probe is None or probe["_v"] is None:
-        raise ValueError("kmeans_assign: empty input or NULL vectors")
-    dim = len(probe["_v"])
-
+    # The seed collect doubles as the emptiness/dimension probe — no
+    # separate first() job (this repo hunts exactly such constant
+    # factors, see bands.validate_band_rows).
     cents = [
         (j, list(r["_v"]))
         for j, r in enumerate(base.orderBy("_id").limit(k).collect())
     ]
+    if not cents:
+        raise ValueError("kmeans_assign: no non-NULL vectors in input")
+    dim = len(cents[0][1])
 
     def assign(df: DataFrame) -> DataFrame:
         pairs = ", ".join(

@@ -67,8 +67,12 @@ _PACK_MAX_ID = 1 << 42
 
 
 def _pack_posting(id_col: Column, n_grams: Column) -> Column:
-    ok = (id_col >= 0) & (id_col < _PACK_MAX_ID) & (n_grams <= _PACK_MASK)
-    return F.when(ok, F.shiftleft(id_col, _PACK_SHIFT) + n_grams).otherwise(
+    # cast BEFORE shifting: shiftleft preserves the input's int type, so
+    # an IntegerType id would wrap mod 2^32 while the range guard below
+    # still passed.
+    id64 = id_col.cast("long")
+    ok = (id64 >= 0) & (id64 < _PACK_MAX_ID) & (n_grams <= _PACK_MASK)
+    return F.when(ok, F.shiftleft(id64, _PACK_SHIFT) + n_grams).otherwise(
         F.raise_error(F.lit(
             "ngram_jaccard_pairs: doc id or per-doc gram count exceeds "
             "the packed-posting bounds (id < 2^42, grams < 2^21)")))

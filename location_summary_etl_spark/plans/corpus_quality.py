@@ -86,8 +86,10 @@ def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     HIST_MAX_BUCKET) with per-bucket doc counts and average length.
     The length is a map-side ``size(split(...))`` — the histogram is
     one small aggregate, the classic first look at a new corpus."""
+    from location_summary_etl_spark.functions.texts import tokens
+
     docs = load_table(spark, sf_dir, "documents").select("text")
-    n_words = F.size(F.split(F.col("text"), " "))
+    n_words = F.size(tokens("text"))
     bucket = F.least(
         F.floor(n_words / HIST_BUCKET_WORDS), F.lit(HIST_MAX_BUCKET)
     ).cast("int")

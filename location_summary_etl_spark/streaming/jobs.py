@@ -360,23 +360,22 @@ def user_running_stats_tws(events: DataFrame,
     implementation is covering the new API's lifecycle (init/
     handleInputRows/close + ValueState) on a real stream.
 
-    Requires the RocksDB state store provider; the caller's session is
-    switched to it here (OSS transformWithState does not run on the
-    HDFS-backed provider).  Also requires protobuf at run time (the
-    operator's Python driver worker speaks the state-server protocol
-    over it) -- declared by pyspark, absent from this sandbox, so the
-    cross-check test import-skips here.
+    Requires the RocksDB state store provider (OSS transformWithState
+    does not run on the HDFS-backed provider): set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    ``...state.RocksDBStateStoreProvider`` BEFORE starting the query.
+    The conf is deliberately NOT set here -- a construction-time
+    session-wide mutation would silently move every other streaming
+    query in the session onto RocksDB, breaking restarts against
+    checkpoints written with the default provider.  Also requires
+    protobuf at run time (the operator's Python driver worker speaks
+    the state-server protocol over it) -- declared by pyspark, absent
+    from this sandbox, so the cross-check test import-skips here.
     """
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
-    )
-
-    events.sparkSession.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
     )
 
     class RunningStats(StatefulProcessor):

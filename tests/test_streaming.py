@@ -443,6 +443,11 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
 
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     try:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
         stream = read_events_stream(spark, sf_dir)
         result = run_to_memory(
             user_running_stats_tws(stream), "user_stats_tws_out", mode="update"
