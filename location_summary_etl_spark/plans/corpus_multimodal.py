@@ -58,8 +58,23 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# rows-only: the decode runs through mapInPandas (non-SQL-expressible).
-register("multimodal_decode_features", multimodal_decode_features, None)
+# The decode runs through mapInPandas, but the FAKE backend is
+# deterministic byte statistics over an ASCII payload (payload =
+# utf-8(text), verified single-byte for this corpus), so the oracle
+# replicates it exactly: mean_byte == mean of code points.  A real
+# codec backend would drop this oracle and revert to rows-only.
+register("multimodal_decode_features", multimodal_decode_features, """
+SELECT doc_id,
+       'image/fake' AS media_type,
+       CAST(length(text) % 64 + 16 AS INT) AS width,
+       CAST(length(text) % 48 + 12 AS INT) AS height,
+       CAST((length(text) % 64 + 16) * (length(text) % 48 + 12) AS BIGINT)
+           AS n_pixels,
+       round(CAST(list_avg(list_transform(range(1, length(text) + 1),
+                                          i -> ord(text[i]))) AS DOUBLE), 4)
+           AS mean_byte
+FROM documents
+""")
 
 
 def multimodal_resize_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,7 +91,22 @@ def multimodal_resize_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("multimodal_resize_inventory", multimodal_resize_inventory, None)
+# Fake resize = tile/truncate the byte buffer to 32*24 bytes; distinct
+# payload count == distinct tiled-string count (the sha is injective on
+# it), so the oracle needs no sha at all.
+register("multimodal_resize_inventory", multimodal_resize_inventory, """
+WITH r AS (
+    SELECT doc_id,
+           substring(repeat(text, CAST(ceil(768.0 / length(text)) AS INT)),
+                     1, 768) AS resized
+    FROM documents
+)
+SELECT 'image/fake' AS media_type,
+       COUNT(*) AS n_media,
+       CAST(COUNT(*) * 768 AS BIGINT) AS total_bytes,
+       CAST(COUNT(DISTINCT resized) AS BIGINT) AS n_distinct_payloads
+FROM r
+""")
 
 
 def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,4 +122,34 @@ def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("multimodal_frame_stats", multimodal_frame_stats, None)
+# Fake frame sampling: span = max(len // 4, 1), frame f covers
+# [f*span, min((f+1)*span, len)); replayed per frame with a 4-row
+# unnest.  frame_mean per row is an exact integer-sum / len double in
+# both engines.
+register("multimodal_frame_stats", multimodal_frame_stats, """
+WITH d AS (
+    SELECT doc_id, text, length(text) AS n,
+           GREATEST(length(text) // 4, 1) AS span
+    FROM documents WHERE length(text) > 0
+),
+f AS (
+    SELECT doc_id, text, n, span, fno
+    FROM d, UNNEST([0, 1, 2, 3]) AS t(fno)
+    WHERE fno * span < n
+),
+w AS (
+    SELECT doc_id, fno,
+           LEAST(span, n - fno * span) AS fb,
+           list_avg(list_transform(
+               range(fno * span + 1,
+                     fno * span + LEAST(span, n - fno * span) + 1),
+               i -> ord(text[i]))) AS fm
+    FROM f
+)
+SELECT CAST(fno AS INT) AS frame_no,
+       COUNT(*) AS n_frames,
+       CAST(SUM(fb) AS BIGINT) AS total_bytes,
+       round(CAST(AVG(fm) AS DOUBLE), 4) AS avg_frame_mean
+FROM w
+GROUP BY 1
+""")
