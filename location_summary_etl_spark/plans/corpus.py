@@ -68,35 +68,62 @@ _LOADED = False
 
 
 def _ensure_loaded() -> None:
-    """Import every corpus module exactly once (each registers itself)."""
+    """Import every corpus module exactly once (each registers itself),
+    then interleave the registry round-robin across family modules.
+
+    The external correctness gate samples the first N registered entries
+    in insertion order; naive module-at-a-time registration front-loads
+    two families and starves the rest of external verification.  The
+    round-robin rebuild guarantees every family lands at least one entry
+    (with 24 families, at least two) inside any sampling window of 50."""
     global _LOADED
     if _LOADED:
         return
     _LOADED = True
     register("flagship_nation_summary", flagship_nation_summary, FLAGSHIP_ORACLE_SQL)
-    from location_summary_etl_spark.plans import (  # noqa: F401
-        corpus_reference,
-        corpus_extras,
-        corpus_dedup,
-        corpus_text,
-        corpus_similarity,
-        corpus_events,
-        corpus_multimodal,
-        corpus_pipeline,
-        corpus_analytics,
-        corpus_ranking,
-        corpus_behavior,
-        corpus_starjoin,
-        corpus_pandas,
-        corpus_quantize,
-        corpus_subquery,
-        corpus_trainprep,
-        corpus_recursive,
-        corpus_sqlx,
-        corpus_scd,
-        corpus_tpch2,
-        corpus_tpch3,
-        corpus_quality,
-        corpus_warehouse,
-        corpus_partsupp,
-    )
+    families: list[list[str]] = [list(_REGISTRY)]  # flagship is family 0
+    import importlib
+
+    for mod in (
+        "corpus_reference",
+        "corpus_extras",
+        "corpus_dedup",
+        "corpus_text",
+        "corpus_similarity",
+        "corpus_events",
+        "corpus_multimodal",
+        "corpus_pipeline",
+        "corpus_analytics",
+        "corpus_ranking",
+        "corpus_behavior",
+        "corpus_starjoin",
+        "corpus_pandas",
+        "corpus_quantize",
+        "corpus_subquery",
+        "corpus_trainprep",
+        "corpus_recursive",
+        "corpus_sqlx",
+        "corpus_scd",
+        "corpus_tpch2",
+        "corpus_tpch3",
+        "corpus_quality",
+        "corpus_warehouse",
+        "corpus_partsupp",
+    ):
+        before = len(_REGISTRY)
+        importlib.import_module(f"location_summary_etl_spark.plans.{mod}")
+        families.append(list(_REGISTRY)[before:])
+
+    interleaved: list[str] = []
+    cursor = 0
+    while any(families):
+        for fam in families:
+            if cursor < len(fam):
+                interleaved.append(fam[cursor])
+        cursor += 1
+        if all(cursor >= len(fam) for fam in families):
+            break
+    reordered = {name: _REGISTRY[name] for name in interleaved}
+    assert len(reordered) == len(_REGISTRY)
+    _REGISTRY.clear()
+    _REGISTRY.update(reordered)
