@@ -55,6 +55,15 @@ SIMHASH_BITS = 32
 LSH_BANDS = 4
 LSH_ROWS = 4  # bands * rows == len(MINHASH_COEFFS)
 
+# Skew caps are ON BY DEFAULT.  A single ubiquitous shingle / LSH
+# mega-bucket otherwise puts an O(k^2) pair expansion on one task --
+# the classic way a near-dup job that ran fine in staging dies on the
+# first real corpus.  1000 is far above any organic cluster (bench
+# corpora peak at df=25) yet bounds any task's expansion at ~500k
+# pairs.  Pass ``None`` explicitly to run genuinely uncapped.
+DEFAULT_MAX_BUCKET = 1000
+DEFAULT_MAX_DF = 1000
+
 # ngram_jaccard_pairs packs (doc_id, n_grams) into one long so the two
 # heavy aggregates (bucket collect_list, pair count) handle 8-byte
 # primitives instead of structs: pk = (id << SHIFT) | n_grams.
@@ -181,7 +190,7 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text",
                       threshold: float = 0.5,
-                      max_bucket: int | None = None) -> DataFrame:
+                      max_bucket: int | None = DEFAULT_MAX_BUCKET) -> DataFrame:
     """Candidate pairs from banded LSH, scored by estimated Jaccard
     (fraction of equal minhashes), filtered at ``threshold``.
 
@@ -213,7 +222,10 @@ def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
 
     ``max_bucket`` is the skew hard-stop for corpora where exact dedup
     cannot pre-empt the collision (near-identical boilerplate that is
-    not byte-identical): buckets whose membership exceeds it are
+    not byte-identical).  It is ON by default
+    (``DEFAULT_MAX_BUCKET``); pass ``None`` for the uncapped plan,
+    which skips the bucket census entirely.  Buckets whose membership
+    exceeds the cap are
     DROPPED ENTIRELY before any pair list is built -- membership is
     counted with a map-side-combined aggregate (never a collect_list),
     the over-cap (band, band_sig) keys join back as an anti-filter, so
@@ -396,7 +408,7 @@ def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.5,
-                        max_df: int | None = None) -> DataFrame:
+                        max_df: int | None = DEFAULT_MAX_DF) -> DataFrame:
     """Exact Jaccard over distinct word n-grams for pairs sharing at
     least one n-gram (inverted-index self-join -- candidate volume is
     bounded by posting-list sizes, not |docs|^2).
@@ -443,9 +455,10 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     thus costs one counted row instead of one |corpus|^2/2 pair
     expansion; any surviving bucket is <= max_df wide, bounding every
     task at max_df^2/2 pairs.  Costs two extra narrow exchanges (df
-    counts; per-doc regroup), so the default leaves it off -- turn it
-    on for corpora whose gram distribution has a head, which at
-    corpus scale is all of them.
+    counts; per-doc regroup), but every corpus at scale has a headed
+    gram distribution, so the cap is ON by default
+    (``DEFAULT_MAX_DF``); pass ``None`` explicitly for the uncapped
+    two-exchange plan.
 
     The in-bucket expansion is a codegen'd DOUBLE EXPLODE, not nested
     ``transform``/``slice`` lambdas: higher-order functions evaluate

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from location_summary_etl_spark.operators.dedup import (
+    DEFAULT_MAX_BUCKET,
+    DEFAULT_MAX_DF,
     LSH_BANDS,
     LSH_ROWS,
     MINHASH_COEFFS,
@@ -288,7 +290,19 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Default configuration = skew cap ON (DEFAULT_MAX_BUCKET): the
+    # 100 TB-safe plan is the headline entry; the oracle mirrors the
+    # cap at the same value (it never fires at bench scale -- max
+    # organic bucket is 25 at sf0.1 -- so results equal the uncapped
+    # form, but the SQL shape is the faithful one).
     return minhash_near_dups(_docs(spark, sf_dir), threshold=0.5)
+
+
+def dedup_minhash_lsh_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explicitly uncapped variant: no bucket census, one fewer pass.
+    # Only for pre-exact-deduped corpora with a known gram head.
+    return minhash_near_dups(_docs(spark, sf_dir), threshold=0.5,
+                             max_bucket=None)
 
 
 def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -300,7 +314,16 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Default configuration = heavy-gram cap ON (DEFAULT_MAX_DF); the
+    # oracle mirrors the cap at the same value (never fires at bench
+    # scale, max trigram df is 25 at sf0.1).
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+def dedup_ngram_jaccard_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explicitly uncapped: two-exchange plan, no df census.
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5,
+                               max_df=None)
 
 
 def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -332,11 +355,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register("dedup_exact", dedup_exact, EXACT_DEDUP_SQL)
 register("dedup_minhash_signatures", dedup_minhash_signatures, MINHASH_SIG_SQL)
-register("dedup_minhash_lsh", dedup_minhash_lsh, MINHASH_NEAR_DUP_SQL)
+# Headline entries run the default (capped) configuration; their
+# oracles carry the SAME cap so the SQL is the semantic mirror, not
+# just value-equal at this scale.
+register("dedup_minhash_lsh", dedup_minhash_lsh,
+         minhash_near_dup_capped_sql(0.5, DEFAULT_MAX_BUCKET))
 register("dedup_simhash_signatures", dedup_simhash_signatures, SIMHASH_SIG_SQL)
 register("dedup_simhash_pairs", dedup_simhash_pairs, SIMHASH_NEAR_DUP_SQL)
-register("dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_JACCARD_SQL)
+register("dedup_ngram_jaccard", dedup_ngram_jaccard,
+         ngram_jaccard_capped_sql(0.5, DEFAULT_MAX_DF))
 register("dedup_ngram_jaccard_prefix", dedup_ngram_jaccard_prefix,
+         NGRAM_JACCARD_SQL)
+register("dedup_minhash_lsh_uncapped", dedup_minhash_lsh_uncapped,
+         MINHASH_NEAR_DUP_SQL)
+register("dedup_ngram_jaccard_uncapped", dedup_ngram_jaccard_uncapped,
          NGRAM_JACCARD_SQL)
 register("dedup_minhash_lsh_capped", dedup_minhash_lsh_capped,
          minhash_near_dup_capped_sql(0.5, MINHASH_MAX_BUCKET))

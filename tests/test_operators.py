@@ -127,7 +127,7 @@ def test_ngram_max_df_caps_degenerate_corpus(spark):
 
     # threshold=0.01 surfaces every candidate pair that reaches the
     # Jaccard stage -- the quadratic blowup the cap must prevent.
-    uncapped = ngram_jaccard_pairs(docs, threshold=0.01).count()
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.01, max_df=None).count()
     assert uncapped == n_docs * (n_docs - 1) // 2  # every pair collides
 
     capped = ngram_jaccard_pairs(docs, threshold=0.01, max_df=10)
@@ -146,7 +146,7 @@ def test_minhash_max_bucket_caps_degenerate_corpus(spark):
         [(i, "same boilerplate text everywhere repeated") for i in range(30)],
         ["doc_id", "text"],
     )
-    uncapped = minhash_near_dups(docs, threshold=0.5).count()
+    uncapped = minhash_near_dups(docs, threshold=0.5, max_bucket=None).count()
     assert uncapped == 30 * 29 // 2
     assert minhash_near_dups(docs, threshold=0.5, max_bucket=10).count() == 0
     # A mixed corpus: small clusters survive the cap untouched.

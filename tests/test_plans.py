@@ -383,3 +383,82 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
         f"no dynamic partition pruning on the fact scan: {pf or plan}"
     )
     assert j.count() == 250
+
+
+def test_contamination_eval_side_is_constant_bounded(spark):
+    """The contamination check's two broadcasts are licensed by the
+    eval set being a FIXED benchmark: doc_id < EVAL_MAX_DOC_ID caps it
+    at EVAL_MAX_DOC_ID/EVAL_MOD documents no matter how large the
+    corpus grows (a residue class alone is 1/EVAL_MOD of the corpus --
+    a broadcast that scales linearly and OOMs executors at 100x).
+    Verified on a corpus 40x the cap: eval membership stops growing,
+    and both exchanges in the plan are broadcasts, not shuffles of
+    eval-derived relations."""
+    from pyspark.sql import functions as F
+
+    from location_summary_etl_spark.plans.corpus_trainprep import (
+        EVAL_MAX_DOC_ID,
+        EVAL_MOD,
+        corpus_contamination_check,
+    )
+
+    n_docs = EVAL_MAX_DOC_ID * 40
+    docs = spark.range(0, n_docs, 7919).select(  # sparse ids far past the cap
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon zeta eta theta d"),
+                 F.col("id").cast("string")).alias("text"),
+    )
+    import location_summary_etl_spark.sources.registry as registry
+
+    orig = registry.load_table
+    try:
+        registry.load_table = lambda sp, sf, name: docs
+        import location_summary_etl_spark.plans.corpus_trainprep as tp
+        tp_load = tp.load_table
+        tp.load_table = registry.load_table
+        try:
+            out = corpus_contamination_check(spark, "ignored")
+            eval_ids = [r["doc_id"] for r in out.select("doc_id").collect()]
+        finally:
+            tp.load_table = tp_load
+    finally:
+        registry.load_table = orig
+    assert eval_ids, "eval set unexpectedly empty"
+    assert max(eval_ids) < EVAL_MAX_DOC_ID
+    assert len(eval_ids) <= EVAL_MAX_DOC_ID // EVAL_MOD + 1
+    plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_headline_dedup_entries_run_capped_by_default(spark):
+    """The 100 TB-safe skew caps are the DEFAULT configuration: the
+    headline corpus entries must plan the bucket/df census + anti-join
+    (cap machinery in the plan even when the cap never fires at this
+    scale), and the operator signature defaults must be the module cap
+    constants, with None the explicit opt-out."""
+    import inspect
+
+    from location_summary_etl_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET,
+        DEFAULT_MAX_DF,
+        minhash_near_dups,
+        ngram_jaccard_pairs,
+    )
+
+    assert inspect.signature(minhash_near_dups).parameters[
+        "max_bucket"].default == DEFAULT_MAX_BUCKET
+    assert inspect.signature(ngram_jaccard_pairs).parameters[
+        "max_df"].default == DEFAULT_MAX_DF
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma u{i}a u{i}b u{i}c") for i in range(8)],
+        ["doc_id", "text"],
+    )
+    for df in (minhash_near_dups(docs), ngram_jaccard_pairs(docs)):
+        plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        assert "LeftAnti" in plan, f"cap anti-join missing from default plan:\n{plan}"
