@@ -174,6 +174,63 @@ def main() -> None:
             dtimes[name] = round(best, 3)
         detail["duckdb"] = dtimes
 
+    # Scale trend: the same queries at sf0.01 (one pass, warm
+    # min-of-3) and a per-query log-log slope.  This is the empirical
+    # check behind every "survives 100x" claim in SCALE.md: a query
+    # whose floor-adjusted time grows superlinearly in input bytes
+    # (slope > 1.3 over the 10x sf step) has a pair expansion or an
+    # aggregate state that scales worse than its input, and that is
+    # exactly what explodes first on a real corpus.  Times are
+    # floor-adjusted before the ratio because the fixed per-job cost
+    # (scheduling + noop commit, ~10x the whole runtime of the
+    # smallest queries at sf0.01) would otherwise flatten every slope
+    # toward zero and hide the superlinear entries.  Slope is clamped
+    # to queries where both adjusted times clear 20 ms -- below that
+    # the measurement is scheduler jitter, not data-dependent work.
+    trend_dir = os.environ.get(
+        "SPARK_GRAFT_BENCH_TREND_DIR", "/root/testdata/sf0.01")
+    if (os.environ.get("SPARK_GRAFT_BENCH_TREND", "1") != "0"
+            and os.path.realpath(trend_dir) != os.path.realpath(sf_dir)):
+        small: dict[str, float] = {}
+        for name in names:
+            spark.catalog.clearCache()
+            qs[name](spark, trend_dir).write.format("noop").mode("overwrite").save()
+            best = float("inf")
+            for _ in range(repeats):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                qs[name](spark, trend_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            small[name] = round(best, 3)
+            spark.catalog.clearCache()
+        import math
+
+        sf_small = float(trend_dir.rstrip("/").split("sf")[-1])
+        scale_ratio = float(sf) / sf_small
+        slopes: dict[str, float | None] = {}
+        for name in names:
+            a = times[name] - floor
+            b = small[name] - floor
+            if a > 0.02 and b > 0.02:
+                slopes[name] = round(
+                    math.log(a / b) / math.log(scale_ratio), 2)
+            else:
+                slopes[name] = None  # floor-bound at one or both scales
+        detail["trend"] = {
+            "sf_small": sf_small,
+            "scale_ratio": scale_ratio,
+            "small_queries_sec": small,
+            "slope": slopes,
+            "superlinear": sorted(
+                n for n, s in slopes.items() if s is not None and s > 1.3),
+            "method": (
+                "slope = log(t_big-floor / t_small-floor) / log(scale "
+                "ratio); None = floor-bound (<20ms adjusted) at either "
+                "scale; one warm pass + min-of-"
+                f"{repeats} per query at sf_small"
+            ),
+        }
+
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)

@@ -190,7 +190,8 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text",
                       threshold: float = 0.5,
-                      max_bucket: int | None = DEFAULT_MAX_BUCKET) -> DataFrame:
+                      max_bucket: int | None = DEFAULT_MAX_BUCKET,
+                      cap_mode: str = "filter") -> DataFrame:
     """Candidate pairs from banded LSH, scored by estimated Jaccard
     (fraction of equal minhashes), filtered at ``threshold``.
 
@@ -223,29 +224,44 @@ def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
     ``max_bucket`` is the skew hard-stop for corpora where exact dedup
     cannot pre-empt the collision (near-identical boilerplate that is
     not byte-identical).  It is ON by default
-    (``DEFAULT_MAX_BUCKET``); pass ``None`` for the uncapped plan,
-    which skips the bucket census entirely.  Buckets whose membership
-    exceeds the cap are
-    DROPPED ENTIRELY before any pair list is built -- membership is
-    counted with a map-side-combined aggregate (never a collect_list),
-    the over-cap (band, band_sig) keys join back as an anti-filter, so
-    neither the count nor the filter ever materializes a quadratic
-    structure.  Standard LSH practice: an over-cap bucket carries no
+    (``DEFAULT_MAX_BUCKET``); pass ``None`` for the uncapped plan.
+    Over-cap buckets are DROPPED ENTIRELY before any pair is built --
+    standard LSH practice: an over-cap bucket carries no
     discriminative signal, and dropping it trades bounded RECALL (its
     members lose those candidate pairs) for a hard upper bound of
     max_bucket^2/2 on any task's pair expansion.  Pairs that survive
-    are scored identically -- precision is untouched.  The signature
-    relation (one 16-long row per doc, aggregate-sized) is persisted
-    in this mode because the band fan-out is consumed twice (count +
-    filter); it is reclaimed by ``spark.catalog.clearCache()`` or LRU
-    eviction, as with the prefix join's persist.
+    are scored identically -- precision is untouched.  Both
+    ``cap_mode`` physical strategies produce the SAME result:
+
+    - ``"filter"`` (default): the bucket aggregate itself enforces the
+      cap (``size(xs) <= max_bucket`` after the collect) -- zero extra
+      passes, measured +8% over uncapped at sf0.1 vs +80% for the
+      census.  The QUADRATIC expansion is bounded, but an over-cap
+      bucket's member list is materialized (then dropped): memory is
+      linear in the worst bucket, so a corpus that is one giant
+      template (10^7+ docs sharing a band signature, ~GBs in one
+      aggregation buffer) wants census mode.
+    - ``"census"``: membership is counted first with a map-side-
+      combined aggregate (never a collect_list) and over-cap
+      (band, band_sig) keys join back as an anti-filter, so neither
+      the count nor the filter ever materializes even a linear
+      structure per heavy bucket.  Costs a second pass over the
+      signature lineage (persisted: the band fan-out is consumed
+      twice; reclaimed by ``spark.catalog.clearCache()`` or LRU
+      eviction).  AQE turns the anti join into a broadcast at runtime
+      when the heavy set is small (no forced hint -- if a
+      pathological corpus makes it big, the shuffled anti join is the
+      correct fallback, not an OOM).
     """
+    if cap_mode not in ("filter", "census"):
+        raise ValueError(f"cap_mode must be 'filter' or 'census', got {cap_mode!r}")
+    census = max_bucket is not None and cap_mode == "census"
     k = len(MINHASH_COEFFS)
     sig = minhash_signatures(docs, id_col, text_col)
     sigv = sig.select(
         F.col(id_col), F.array(*[f"m{i}" for i in range(k)]).alias("sig")
     )
-    if max_bucket is not None:
+    if census:
         sigv = sigv.persist(StorageLevel.MEMORY_AND_DISK)
     # One parsed expr for the band fan-out (see minhash_signatures on
     # why SQL text beats Column-API construction here).
@@ -262,13 +278,11 @@ def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
     long_form = sigv.select(
         id_col, "sig", F.expr(f"explode(array({band_structs}))").alias("_bs")
     ).select(id_col, "sig", "_bs.band", "_bs.band_sig")
-    if max_bucket is not None:
+    if census:
         # Over-cap buckets, counted map-side-combined: the relation is
         # bounded by |banded rows| / max_bucket keys, Zipf-tiny in
-        # practice; AQE turns the anti join into a broadcast at
-        # runtime when it is (no forced hint -- if a pathological
-        # corpus makes it big, the shuffled anti join is the correct
-        # fallback, not an OOM).
+        # practice (see cap_mode docstring for the broadcast/anti-join
+        # runtime story).
         heavy = (
             long_form.groupBy("band", "band_sig")
             .agg(F.count("*").alias("_c"))
@@ -281,6 +295,11 @@ def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
         .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), "sig")).alias("xs"))
         .filter(F.size("xs") >= 2)
     )
+    if max_bucket is not None and not census:
+        # filter-mode cap: enforced on the one aggregate the plan
+        # already has -- the census's extra signature pass is the cost
+        # this branch deletes.
+        bucketed = bucketed.filter(F.size("xs") <= max_bucket)
     pairs = (
         bucketed.select("band", F.explode("xs").alias("a"), "xs")
         .select("band", "a", F.explode("xs").alias("b"))
@@ -408,7 +427,8 @@ def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.5,
-                        max_df: int | None = DEFAULT_MAX_DF) -> DataFrame:
+                        max_df: int | None = DEFAULT_MAX_DF,
+                        cap_mode: str = "filter") -> DataFrame:
     """Exact Jaccard over distinct word n-grams for pairs sharing at
     least one n-gram (inverted-index self-join -- candidate volume is
     bounded by posting-list sizes, not |docs|^2).
@@ -454,11 +474,32 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     (precision).  A shared-by-every-doc boilerplate shingle at 100 TB
     thus costs one counted row instead of one |corpus|^2/2 pair
     expansion; any surviving bucket is <= max_df wide, bounding every
-    task at max_df^2/2 pairs.  Costs two extra narrow exchanges (df
-    counts; per-doc regroup), but every corpus at scale has a headed
+    task at max_df^2/2 pairs.  Every corpus at scale has a headed
     gram distribution, so the cap is ON by default
     (``DEFAULT_MAX_DF``); pass ``None`` explicitly for the uncapped
-    two-exchange plan.
+    two-exchange plan.  Two ``cap_mode`` physical strategies, same
+    result:
+
+    - ``"filter"`` (default): postings carry RAW packed sizes exactly
+      like the uncapped plan; the one gram aggregate splits into
+      under-cap buckets (pair expansion as usual) and over-cap buckets
+      whose postings fold to per-doc DROP COUNTS, and the final
+      Jaccard subtracts the drops from the raw sizes -- arithmetic
+      identical to recounting over the surviving universe.  When no
+      gram is over-cap the drops relation is empty and AQE broadcasts
+      it for free, so the common case pays only the split + two
+      no-op joins (measured 1.15 s vs 0.96 s uncapped vs 1.57 s
+      census at sf0.1).  An over-cap gram's posting list is
+      materialized (linear) before folding; its pairs never are.
+      The lopsided-pair length pre-filter is NOT applied here: it
+      would test against raw sizes, and a pair whose similarity
+      concentrates in surviving grams of a heavily-dropped doc could
+      be wrongly eliminated (raw sizes overstate the denominator).
+    - ``"census"``: grams' document frequencies are counted map-side-
+      combined BEFORE any posting list exists, over-cap grams
+      anti-join out, and per-doc sizes are re-derived from surviving
+      postings -- never materializes even the heavy gram's linear
+      list, at the cost of a second pass over the shingle lineage.
 
     The in-bucket expansion is a codegen'd DOUBLE EXPLODE, not nested
     ``transform``/``slice`` lambdas: higher-order functions evaluate
@@ -470,6 +511,10 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     lineage twice; the bucket shape keeps one lineage and two
     exchanges at any scale.)
     """
+    if cap_mode not in ("filter", "census"):
+        raise ValueError(f"cap_mode must be 'filter' or 'census', got {cap_mode!r}")
+    census = max_df is not None and cap_mode == "census"
+    filter_cap = max_df is not None and not census
     # The count is zipped INTO the generator input (element, n) pairs:
     # a neighbouring size(...) projection would be re-evaluated per
     # exploded OUTPUT row (measured 15x slower), and a projected-alias
@@ -477,7 +522,7 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     # The 3 per-doc evaluations of the gram array inside arrays_zip/
     # array_repeat are map-side and O(grams), invisible next to either.
     dgrams = F.array_distinct(ngrams_from_tokens(F.col("_toks"), n))
-    if max_df is None:
+    if not census:
         packed = F.explode(
             F.arrays_zip(dgrams, F.array_repeat(F.size(dgrams), F.size(dgrams)))
         )
@@ -524,11 +569,22 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     # ObjectHashAggregate's per-element allocation and the pair
     # aggregate's key width (struct form measured 1.01 s -> 0.88 s
     # end-to-end at sf0.1, same session).
-    buckets = (
-        postings.groupBy("g")
-        .agg(F.collect_list("pk").alias("xs"))
-        .filter(F.size("xs") >= 2)
-    )
+    groups = postings.groupBy("g").agg(F.collect_list("pk").alias("xs"))
+    buckets = groups.filter(F.size("xs") >= 2)
+    drops = None
+    if filter_cap:
+        # filter-mode cap: over-cap grams leave the pair path here and
+        # fold to per-doc drop counts; AQE reuses the one gram-shuffle
+        # stage for both branches at runtime.  Empty when no gram is
+        # over-cap -- the common case's two joins below are broadcast
+        # no-ops.
+        buckets = buckets.filter(F.size("xs") <= max_df)
+        drops = (
+            groups.filter(F.size("xs") > max_df)
+            .select(F.explode("xs").alias("pk"))
+            .select(F.shiftright("pk", _PACK_SHIFT).alias("_did"))
+            .groupBy("_did").agg(F.count("*").alias("_d"))
+        )
     # Size pre-filter at emission: shared <= min(na, nb), so
     # J <= min/(na+nb-min); a pair whose sets are too lopsided to
     # reach the threshold even under full containment --
@@ -546,8 +602,11 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
         # pk order == (id, n_grams) order and n_grams is a function of
         # id, so comparing packed values compares ids.
         .filter(F.col("ka") < F.col("kb"))
-        .filter(F.least(na, nb) * (1.0 + t) >= t * (na + nb))
     )
+    if not filter_cap:
+        # Lopsided-pair length pre-filter (see docstring; unsafe under
+        # filter-mode capping where packed sizes are raw).
+        pairs = pairs.filter(F.least(na, nb) * (1.0 + t) >= t * (na + nb))
     # Group on the packed keys themselves: na/nb are bit-functions of
     # the key, so no min() carry-alongs and the aggregate hashes two
     # longs.
@@ -560,6 +619,21 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
             na.alias("na"), nb.alias("nb"), "shared",
         )
     )
+    if filter_cap:
+        # Subtract each doc's dropped-gram count from its raw size:
+        # arithmetically identical to recounting sizes over the
+        # surviving gram universe (what census mode and the oracle
+        # SQL do), without a second pass over the shingle lineage.
+        da = drops.select(F.col("_did").alias("id_a"), F.col("_d").alias("_da"))
+        db = drops.select(F.col("_did").alias("id_b"), F.col("_d").alias("_db"))
+        shared = (
+            shared.join(da, "id_a", "left").join(db, "id_b", "left")
+            .select(
+                "id_a", "id_b", "shared",
+                (F.col("na") - F.coalesce("_da", F.lit(0))).alias("na"),
+                (F.col("nb") - F.coalesce("_db", F.lit(0))).alias("nb"),
+            )
+        )
     jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
     return shared.select(
         "id_a", "id_b", round_portable(jac, 4).alias("jaccard")

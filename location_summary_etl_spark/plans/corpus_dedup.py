@@ -333,16 +333,19 @@ def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Mega-bucket skew cap ON: the 100 TB-safe configuration
-    # (operators/dedup.minhash_near_dups docstring).
+    # BITING cap (fires at sf0.01) through the census strategy, so the
+    # never-materialize plan stays oracle-tested; the headline entry
+    # covers the default filter strategy.
     return minhash_near_dups(
-        _docs(spark, sf_dir), threshold=0.5, max_bucket=MINHASH_MAX_BUCKET)
+        _docs(spark, sf_dir), threshold=0.5, max_bucket=MINHASH_MAX_BUCKET,
+        cap_mode="census")
 
 
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Heavy-gram skew cap ON: Jaccard over the df<=max_df gram universe.
+    # Biting heavy-gram cap through the census strategy (see above).
     return ngram_jaccard_pairs(
-        _docs(spark, sf_dir), n=3, threshold=0.5, max_df=NGRAM_MAX_DF)
+        _docs(spark, sf_dir), n=3, threshold=0.5, max_df=NGRAM_MAX_DF,
+        cap_mode="census")
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

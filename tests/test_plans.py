@@ -435,10 +435,10 @@ def test_contamination_eval_side_is_constant_bounded(spark):
 
 def test_headline_dedup_entries_run_capped_by_default(spark):
     """The 100 TB-safe skew caps are the DEFAULT configuration: the
-    headline corpus entries must plan the bucket/df census + anti-join
-    (cap machinery in the plan even when the cap never fires at this
-    scale), and the operator signature defaults must be the module cap
-    constants, with None the explicit opt-out."""
+    operator signature defaults must be the module cap constants (None
+    is the explicit opt-out), the default plan must carry the cap
+    machinery (filter-mode size cap on the bucket aggregate), and the
+    census strategy must plan the never-materialize anti-join."""
     import inspect
 
     from location_summary_etl_spark.operators.dedup import (
@@ -457,8 +457,36 @@ def test_headline_dedup_entries_run_capped_by_default(spark):
         [(i, f"alpha beta gamma u{i}a u{i}b u{i}c") for i in range(8)],
         ["doc_id", "text"],
     )
-    for df in (minhash_near_dups(docs), ngram_jaccard_pairs(docs)):
-        plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+
+    def plan_of_df(df):
+        return spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "simple"
         )
-        assert "LeftAnti" in plan, f"cap anti-join missing from default plan:\n{plan}"
+
+    for df in (minhash_near_dups(docs), ngram_jaccard_pairs(docs)):
+        plan = plan_of_df(df)
+        assert f"size(xs" in plan and "LeftAnti" not in plan, (
+            f"default (filter-mode) cap plan wrong:\n{plan}")
+    for df in (minhash_near_dups(docs, max_bucket=3, cap_mode="census"),
+               ngram_jaccard_pairs(docs, max_df=3, cap_mode="census")):
+        assert "LeftAnti" in plan_of_df(df), "census anti-join missing"
+
+
+def test_dedup_cap_modes_agree_when_caps_bite(spark):
+    """filter and census strategies are result-identical even when the
+    cap fires: half the corpus shares boilerplate (over-cap), pairs
+    additionally share rare grams; sizes must reflect the surviving
+    universe in both modes."""
+    from location_summary_etl_spark.operators.dedup import (
+        minhash_near_dups,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [(i, f"x y z w q u{i // 2}a u{i // 2}b u{i // 2}c u{i // 2}d")
+            for i in range(24)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for fn, kw in ((ngram_jaccard_pairs, {"max_df": 4, "threshold": 0.1}),
+                   (minhash_near_dups, {"max_bucket": 4, "threshold": 0.3})):
+        a = sorted(map(tuple, fn(docs, cap_mode="filter", **kw).collect()))
+        b = sorted(map(tuple, fn(docs, cap_mode="census", **kw).collect()))
+        assert a == b and a, f"{fn.__name__}: filter={a[:3]}... census={b[:3]}..."
