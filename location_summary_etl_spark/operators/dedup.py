@@ -151,6 +151,35 @@ def _posting_hashes(docs: DataFrame, id_col: str, text_col: str,
     The relation carries longs, not shingle strings, so downstream
     shuffles move numbers; md5 collisions merge shingles identically
     in Spark and the DuckDB oracle.
+
+    THE MD5 FLOOR, proven by measurement (sf0.1, local[32], warm
+    min-of-5 on the (doc_id, h) stream these operators consume;
+    output-VISIBLE hashes -- MinHash signature values, fingerprints --
+    must replay bit-for-bit in the oracle, so they cannot use a
+    native hash the way the n-gram inverted index's internal keys
+    use ``xxhash64``):
+
+    - shingle explode alone 0.377 s; + codegen'd per-gram md5
+      0.511 s; + ``xxhash64`` instead 0.349 s.  The portability tax
+      is ~0.15 s per hash pass (~30%), and xxhash64 is cheaper than
+      the bare explode baseline's string projection.
+    - Cheaper-pair candidates are dead ends: DuckDB ``hash('abc')`` =
+      14846292297954449589 vs Spark ``xxhash64('abc')`` =
+      1423657621850124518 (different algorithms; DuckDB exposes no
+      xxhash64, Spark no DuckDB-hash); neither engine shares
+      crc32/sha1 cheaply, and md5 is the only common primitive.
+    - Hashing TOKENS once (3x fewer, 3x shorter md5 inputs) and
+      combining arithmetically into gram hashes measured 0.619 s --
+      SLOWER than per-gram md5, because the token hash must run
+      inside an array ``transform`` lambda (interpreted per element;
+      a post-explode token hash would need a per-doc re-assembly
+      shuffle that costs more than it saves).
+
+    So ~0.15 s/pass at sf0.1 is the irreducible portability floor
+    for the signature/fingerprint operators, not a missing
+    optimization; in production (no cross-engine replay contract)
+    swap ``portable_hash32`` for ``xxhash64`` and the floor
+    disappears.
     """
     grams = ngrams_from_tokens(F.col("_toks"), n)
     if distinct:
