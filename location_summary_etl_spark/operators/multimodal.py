@@ -3,9 +3,19 @@
 Design: image/audio/video payloads are opaque ``binary`` columns with a
 typed metadata struct alongside (the lakehouse-standard layout). All
 Spark-side plumbing -- schemas, batch iteration, partitioning, UDF
-signatures -- is real and tested; only the codec call itself is stubbed
-(this container has no image/audio libraries) behind
-``decode_backend='fake'`` / a ``NotImplementedError`` for real codecs.
+signatures -- is real and tested.  Codec status per family:
+
+- **audio**: REAL.  ``attach_wav_audio`` writes genuine RIFF/WAVE
+  containers and ``decode_audio`` parses them with the stdlib ``wave``
+  module -- no third-party dependency, works everywhere.
+- **image**: auto-selected.  ``decode_media(backend='auto')`` uses
+  Pillow where importable (real decode) and the deterministic fake
+  byte-statistics backend otherwise; this container has no Pillow, so
+  only the fake path executes here (the 'pil' path is import-gated
+  with a clear ``NotImplementedError``).
+- **video frame-sample / resize**: fake-only (byte-window statistics
+  with the real fan-out/batch shape); real backends raise until their
+  libraries exist in the image.
 
 Scale notes: payload-bearing rows are processed with ``mapInPandas``
 (Arrow batches stream through executors; nothing accumulates on the
@@ -50,20 +60,87 @@ def attach_fake_media(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def pick_image_backend() -> str:
+    """First importable real image codec, else the deterministic fake.
+
+    The resolution order is the auto-selection contract:
+    ``decode_media(backend='auto')`` decodes real images wherever
+    Pillow is installed and degrades to the fake (schema-identical)
+    backend in codec-less environments like this sandbox."""
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is not None:
+        return "pil"
+    return "fake"
+
+
 def decode_media(media_df: DataFrame, backend: str = "fake") -> DataFrame:
     """Decode payloads to per-media features via Arrow-batched
     ``mapInPandas``.
 
-    ``backend='fake'`` computes deterministic pseudo-features (byte
-    statistics) with the exact batch shape a real decoder would use;
-    any other backend raises ``NotImplementedError`` until the codec
-    libraries exist in the image.
+    Backends:
+
+    - ``'fake'`` (default -- the oracle path): deterministic byte
+      statistics with the exact batch shape a real decoder uses.
+    - ``'pil'``: real decode via Pillow (``Image.open`` on the payload
+      bytes; width/height from the decoded image, mean_byte over the
+      grayscale-converted pixels).  Import-gated: raises
+      ``NotImplementedError`` naming the missing library where Pillow
+      is absent.
+    - ``'auto'``: :func:`pick_image_backend` -- 'pil' where
+      importable, 'fake' otherwise.
+
+    The corpus entries pin ``backend='fake'`` explicitly so the DuckDB
+    oracle replay is environment-independent.
     """
+    if backend == "auto":
+        backend = pick_image_backend()
+    if backend == "pil":
+        import importlib.util
+
+        if importlib.util.find_spec("PIL") is None:
+            raise NotImplementedError(
+                "decode backend 'pil': Pillow is not installed in this "
+                "environment (pip install Pillow); the 'fake' backend "
+                "is the codec-less fallback"
+            )
+
+        def decode_pil(batches):
+            import io
+
+            import numpy as np
+            import pandas as pd
+            from PIL import Image
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids, mts, ws, hs, pxs, means = [], [], [], [], [], []
+                for did, p, m in zip(pdf["doc_id"], pdf["payload"],
+                                     pdf["media"]):
+                    with Image.open(io.BytesIO(p)) as img:
+                        w, h = img.size
+                        gray = np.asarray(img.convert("L"), dtype=np.float64)
+                    ids.append(did)
+                    mts.append(m["media_type"])
+                    ws.append(w)
+                    hs.append(h)
+                    pxs.append(w * h)
+                    means.append(float(gray.mean()))
+                yield pd.DataFrame({
+                    "doc_id": np.array(ids, dtype=np.int64),
+                    "media_type": mts,
+                    "width": np.array(ws, dtype=np.int32),
+                    "height": np.array(hs, dtype=np.int32),
+                    "n_pixels": np.array(pxs, dtype=np.int64),
+                    "mean_byte": np.array(means, dtype=np.float64),
+                })
+
+        return media_df.mapInPandas(decode_pil, DECODED_SCHEMA)
     if backend != "fake":
         raise NotImplementedError(
-            f"decode backend {backend!r}: codec libraries (PIL/ffmpeg) "
-            "are not available in this environment; only the "
-            "deterministic 'fake' backend is implemented"
+            f"decode backend {backend!r}: supported backends are "
+            "'fake', 'pil' (where Pillow is installed), and 'auto'"
         )
 
     def decode(batches):
@@ -202,3 +279,125 @@ def frame_sample(media_df: DataFrame, n_frames: int = 4,
             })
 
     return media_df.mapInPandas(sample, FRAME_SCHEMA)
+
+
+# ------------------------------------------------------------- audio
+# A REAL codec path that needs no third-party library: WAV containers
+# written and parsed with the stdlib ``wave`` module.  The payloads are
+# genuine RIFF/WAVE files (44-byte header + PCM frames), and the decode
+# actually parses the container -- unlike the image path, nothing here
+# is faked, so this is the operator that proves the multimodal plumbing
+# end-to-end against a binary format's real structure.
+AUDIO_SAMPLE_RATE = 8000
+AUDIO_BASE_FRAMES = 64
+AUDIO_FRAME_MOD = 128
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, payload binary, media struct<media_type: string, "
+    "width: int, height: int, n_bytes: bigint, sha: string>"
+)
+
+AUDIO_DECODED_SCHEMA = (
+    "doc_id bigint, n_channels int, sample_rate int, n_frames bigint, "
+    "duration_sec double, mean_abs_amplitude double"
+)
+
+
+def attach_wav_audio(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One real mono 8-bit WAV payload per document, deterministic from
+    the id: ``n_frames = AUDIO_BASE_FRAMES + id % AUDIO_FRAME_MOD``,
+    sample ``t`` is ``(id*31 + t*7) % 256`` (unsigned 8-bit PCM).
+    Deterministic generation is what makes the DECODE oracle-able: the
+    expected header fields and amplitude statistics are pure integer
+    arithmetic over (id, t) that DuckDB replays exactly.
+
+    Payload construction runs in ``mapInPandas`` (the same Arrow
+    batch shape a real ingest-from-object-store would use); metadata
+    reuses the media struct layout with width/height zeroed."""
+
+    def synth(batches):
+        import hashlib
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads, metas = [], []
+            for did in pdf[id_col]:
+                n = AUDIO_BASE_FRAMES + int(did) % AUDIO_FRAME_MOD
+                t = np.arange(n, dtype=np.int64)
+                samples = ((int(did) * 31 + t * 7) % 256).astype(np.uint8)
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(1)
+                    w.setframerate(AUDIO_SAMPLE_RATE)
+                    w.writeframes(samples.tobytes())
+                raw = buf.getvalue()
+                payloads.append(raw)
+                metas.append({
+                    "media_type": "audio/wav",
+                    "width": 0, "height": 0,
+                    "n_bytes": len(raw),
+                    "sha": hashlib.sha256(raw).hexdigest(),
+                })
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].to_numpy(),
+                "payload": payloads,
+                "media": metas,
+            })
+
+    return docs.select(id_col).mapInPandas(synth, AUDIO_SCHEMA)
+
+
+def decode_audio(media_df: DataFrame, backend: str = "wave") -> DataFrame:
+    """Parse WAV payloads with the stdlib ``wave`` module: header
+    fields (channels, rate, frame count) come from the real container
+    parse, amplitude statistics from the decoded PCM frames.  This is
+    a REAL decode -- a malformed payload raises, exactly as a real
+    pipeline wants (fail the task, not silently emit zeros)."""
+    if backend != "wave":
+        raise NotImplementedError(
+            f"audio decode backend {backend!r}: 'wave' (stdlib) is the "
+            "implemented backend; soundfile/ffmpeg variants belong to "
+            "environments that ship them"
+        )
+
+    def decode(batches):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, chans, rates, frames, durs, amps = [], [], [], [], [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(p), "rb") as w:
+                    nch = w.getnchannels()
+                    rate = w.getframerate()
+                    n = w.getnframes()
+                    pcm = np.frombuffer(
+                        w.readframes(n), dtype=np.uint8).astype(np.float64)
+                ids.append(did)
+                chans.append(nch)
+                rates.append(rate)
+                frames.append(n)
+                durs.append(n / rate)
+                amps.append(float(np.abs(pcm - 128.0).mean()) if n else 0.0)
+            yield pd.DataFrame({
+                "doc_id": np.array(ids, dtype=np.int64),
+                "n_channels": np.array(chans, dtype=np.int32),
+                "sample_rate": np.array(rates, dtype=np.int32),
+                "n_frames": np.array(frames, dtype=np.int64),
+                "duration_sec": np.array(durs, dtype=np.float64),
+                "mean_abs_amplitude": np.array(amps, dtype=np.float64),
+            })
+
+    return media_df.mapInPandas(decode, AUDIO_DECODED_SCHEMA)

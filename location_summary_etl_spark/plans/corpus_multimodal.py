@@ -1,9 +1,15 @@
-"""Multimodal corpus: binary-payload plumbing queries.
+"""Multimodal corpus: binary-payload plumbing queries, every entry
+oracle-paired.
 
-``multimodal_inventory`` is fully SQL-expressible (oracle-paired);
-``multimodal_decode_features`` exercises the Arrow-batched decode path
-(mapInPandas) and is deliberately a rows-only check -- it is the
-designated non-SQL-expressible operator.
+The mapInPandas entries are hash-gateable because their compute is
+deterministic and integer-replayable: the image/video entries use the
+fake byte-statistics backend over an ASCII payload, and
+``multimodal_audio_decode`` goes further -- a REAL stdlib-``wave``
+codec writes and parses genuine WAV containers whose deterministic
+synthesis formula the oracle replays arithmetically.  A real IMAGE
+backend (Pillow, auto-selected where installed) would revert
+``multimodal_decode_features`` to rows-only; the audio entry keeps its
+exact oracle even with its real codec.
 """
 
 from __future__ import annotations
@@ -14,6 +20,8 @@ from pyspark.sql import functions as F
 from location_summary_etl_spark.functions.scalars import round_portable
 from location_summary_etl_spark.operators.multimodal import (
     attach_fake_media,
+    attach_wav_audio,
+    decode_audio,
     decode_media,
     frame_sample,
     resize_media,
@@ -152,4 +160,44 @@ SELECT CAST(fno AS INT) AS frame_no,
        round(CAST(AVG(fm) AS DOUBLE), 4) AS avg_frame_mean
 FROM w
 GROUP BY 1
+""")
+
+
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec path: write genuine WAV containers (stdlib ``wave``)
+    per document and parse them back -- header fields and PCM
+    amplitude statistics from an actual binary-format decode.  The
+    payload is deterministic from doc_id, so the oracle replays the
+    expected decode output with pure integer arithmetic (the header
+    constants and the sample formula), making this mapInPandas pair
+    hash-gateable despite the real codec in the middle."""
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_audio(attach_wav_audio(docs))
+    return decoded.select(
+        "doc_id", "n_channels", "sample_rate", "n_frames",
+        round_portable("duration_sec", 6).alias("duration_sec"),
+        round_portable("mean_abs_amplitude", 4).alias("mean_abs_amplitude"),
+    )
+
+
+# Sample t of doc d is (d*31 + t*7) % 256 (unsigned 8-bit PCM, mono,
+# 8 kHz); n_frames = 64 + d % 128.  The decode's amplitude statistic is
+# AVG(ABS(sample - 128)) -- exact integer math over generate_series.
+register("multimodal_audio_decode", multimodal_audio_decode, """
+WITH n AS (
+    SELECT doc_id, 64 + doc_id % 128 AS n_frames FROM documents
+),
+amp AS (
+    SELECT n.doc_id, n.n_frames,
+           AVG(ABS((n.doc_id * 31 + t.t * 7) % 256 - 128)) AS mean_abs
+    FROM n, UNNEST(generate_series(0, n.n_frames - 1)) AS t(t)
+    GROUP BY n.doc_id, n.n_frames
+)
+SELECT doc_id,
+       1 AS n_channels,
+       8000 AS sample_rate,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       round(CAST(n_frames AS DOUBLE) / 8000.0, 6) AS duration_sec,
+       round(CAST(mean_abs AS DOUBLE), 4) AS mean_abs_amplitude
+FROM amp
 """)

@@ -435,7 +435,15 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
     The operator's driver-side worker needs protobuf (Spark ships the
     state-server protocol over it); this sandbox has no protobuf and
     no network, so the test skips here and runs wherever pyspark's
-    declared deps are actually installed."""
+    declared deps are actually installed.
+
+    Un-skip attempts, recorded so the skip is evidence rather than a
+    hole: ``pip download protobuf --no-deps`` fails with "No matching
+    distribution found" (no PyPI reachability from this sandbox,
+    2026-08-14), and vendoring is not viable -- pyspark's generated
+    ``sql/streaming/proto/StateMessage_pb2.py`` requires the real
+    protobuf C/upb runtime (``google.protobuf.descriptor``), not a
+    stub surface."""
     pytest.importorskip(
         "google.protobuf.descriptor",
         reason="transformWithState needs protobuf (pyspark[connect] dep)")
