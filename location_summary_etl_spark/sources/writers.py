@@ -259,3 +259,139 @@ def write_observed(df: DataFrame, path: str, metrics: dict[str, Column],
     observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
     observed.write.mode(mode).parquet(path)
     return obs.get
+
+
+def merge_upsert(spark: SparkSession, updates: DataFrame, path: str,
+                 keys: list[str], partition_by: str | None = None,
+                 delete_col: str | None = None) -> dict:
+    """Keyed MERGE into a parquet table: matched keys are UPDATED (or
+    DELETED when ``delete_col`` is true), unmatched update rows are
+    INSERTED -- the lakehouse-shaped generalization of this module's
+    sink surface (the reference's blind warehouse append at
+    /root/reference/src/main/scala/App.scala:265-270 is the degenerate
+    no-keys case; the SCD2 plan in plans/corpus_scd.py is the
+    keep-history variant of the same matched/unmatched split).
+
+    Copy-on-write at PARTITION granularity: only partitions that can
+    contain a matched key or receive an insert are read, merged
+    (anti-join out the matched rows, union the update rows), and
+    rewritten via dynamic partition overwrite; untouched partitions
+    are never opened.  Affected partitions are the union of the
+    updates' own partition values and the partitions holding matched
+    keys in the target -- the latter found with a key semi-join
+    against a column-pruned scan of (keys, partition) only, which is
+    the honest CoW discovery cost when a key's partition value may
+    change (Delta/Iceberg pay the same pass against file-level
+    stats).  A partition whose rows are ALL deleted is removed through
+    the Hadoop FileSystem API (dynamic overwrite cannot rewrite a
+    partition to empty), so the path works on HDFS/S3A, not just
+    local disk.
+
+    IDEMPOTENT RE-APPLY: running the same merge twice is a no-op on
+    the second pass -- re-matched rows are replaced with identical
+    values, re-inserted rows now match and replace themselves, and
+    re-deleted keys are already gone.  NOT concurrency-safe across
+    writers (parquet has no table-level transaction log; the
+    warehouse connector's staged commit covers the transactional
+    sink story).
+
+    Returns counts: {"inserted", "updated", "deleted", "partitions"}.
+    """
+    if delete_col is not None:
+        deletes = updates.filter(F.col(delete_col)).drop(delete_col)
+        upserts = updates.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))).drop(delete_col)
+    else:
+        deletes = None
+        upserts = updates
+
+    # MERGE requires key-unique updates (a key matched by two update
+    # rows is ambiguous -- real MERGE implementations error too).
+    dup = (updates.groupBy(*keys).count().filter(F.col("count") > 1)
+           .limit(1).collect())
+    if dup:
+        raise ValueError(
+            f"merge_upsert: updates contain duplicate key {tuple(dup[0])[:len(keys)]}")
+
+    try:
+        target = spark.read.parquet(path)
+        exists = True
+    except AnalysisException:
+        exists = False
+
+    if not exists:
+        write_summary(upserts, path,
+                      mode="overwrite_partitions" if partition_by else "overwrite",
+                      partition_by=[partition_by] if partition_by else None)
+        n_ins = upserts.count()
+        return {"inserted": n_ins, "updated": 0, "deleted": 0,
+                "partitions": upserts.select(partition_by).distinct().count()
+                if partition_by else 1}
+
+    touched_keys = updates.select(*keys).distinct()
+    if partition_by is None:
+        # Degenerate CoW: one "partition" = the whole table.
+        survivors = target.join(touched_keys, keys, "left_anti")
+        merged = survivors.unionByName(upserts.select(*target.columns))
+        counts = _merge_counts(target, touched_keys, upserts, deletes, keys)
+        # Materialize before the overwrite destroys the input files.
+        merged.cache()
+        merged.count()
+        try:
+            merged.write.mode("overwrite").parquet(path)
+        finally:
+            merged.unpersist()
+        counts["partitions"] = 1
+        return counts
+
+    # Partitions that hold a matched key (column-pruned scan: keys +
+    # partition column only) union the updates' own partitions.
+    matched_parts = (
+        target.join(touched_keys, keys, "left_semi")
+        .select(partition_by).distinct()
+    )
+    update_parts = upserts.select(partition_by).distinct()
+    affected = [r[0] for r in matched_parts.union(update_parts)
+                .distinct().collect()]
+    if not affected:
+        return {"inserted": 0, "updated": 0, "deleted": 0, "partitions": 0}
+
+    affected_target = target.filter(F.col(partition_by).isin(affected))
+    counts = _merge_counts(affected_target, touched_keys, upserts, deletes, keys)
+    survivors = affected_target.join(touched_keys, keys, "left_anti")
+    merged = survivors.unionByName(upserts.select(*target.columns))
+    merged.cache()
+    try:
+        out_parts = {r[0] for r in
+                     merged.select(partition_by).distinct().collect()}
+        if out_parts:
+            write_summary(merged, path, partition_by=[partition_by])
+        # Partitions emptied by deletes: dynamic overwrite never saw
+        # them, remove their directories through the FileSystem API.
+        emptied = [p for p in affected if p not in out_parts]
+        if emptied:
+            jvm = spark._jvm
+            conf = spark._jsc.hadoopConfiguration()
+            for p in emptied:
+                part_path = jvm.org.apache.hadoop.fs.Path(
+                    f"{path}/{partition_by}={p}")
+                fs = part_path.getFileSystem(conf)
+                fs.delete(part_path, True)
+    finally:
+        merged.unpersist()
+    counts["partitions"] = len(affected)
+    return counts
+
+
+def _merge_counts(target: DataFrame, touched_keys: DataFrame,
+                  upserts: DataFrame, deletes: DataFrame | None,
+                  keys: list[str]) -> dict:
+    """updated = upsert keys present in target; deleted = delete keys
+    present; inserted = the rest of the upserts.  One pass over the
+    (already partition-pruned) target's key columns."""
+    tkeys = target.select(*keys)
+    n_upd = upserts.select(*keys).distinct().join(tkeys, keys, "left_semi").count()
+    n_del = (deletes.select(*keys).distinct().join(tkeys, keys, "left_semi").count()
+             if deletes is not None else 0)
+    n_ins = upserts.select(*keys).distinct().count() - n_upd
+    return {"inserted": n_ins, "updated": n_upd, "deleted": n_del}

@@ -918,3 +918,92 @@ def test_pil_backend_decodes_real_png(spark):
     assert got[1]["width"] == 5 and got[1]["height"] == 3
     assert got[1]["n_pixels"] == 15 and abs(got[1]["mean_byte"] - 200) < 0.5
     assert got[2]["n_pixels"] == 64 and abs(got[2]["mean_byte"] - 17) < 0.5
+
+
+def test_merge_upsert_semantics_and_idempotency(spark, tmp_path):
+    """Keyed MERGE: update matched, insert unmatched, delete flagged;
+    re-applying the identical merge is a no-op on the table state."""
+    from location_summary_etl_spark.sources.writers import merge_upsert
+
+    path = str(tmp_path / "merged")
+    base = spark.createDataFrame(
+        [(1, "2024-01", "a", 10.0), (2, "2024-01", "b", 20.0),
+         (3, "2024-02", "c", 30.0), (4, "2024-03", "d", 40.0)],
+        ["k", "month", "name", "val"],
+    )
+    r0 = merge_upsert(spark, base, path, keys=["k"], partition_by="month")
+    assert r0 == {"inserted": 4, "updated": 0, "deleted": 0, "partitions": 3}
+
+    upd = spark.createDataFrame(
+        [(2, "2024-01", "b2", 21.0, False),   # update in place
+         (5, "2024-02", "e", 50.0, False),    # insert
+         (3, "2024-02", None, 0.0, True)],    # delete
+        ["k", "month", "name", "val", "is_delete"],
+    )
+    r1 = merge_upsert(spark, upd, path, keys=["k"], partition_by="month",
+                      delete_col="is_delete")
+    assert r1 == {"inserted": 1, "updated": 1, "deleted": 1, "partitions": 2}
+
+    def state():
+        return sorted(map(tuple, spark.read.parquet(path)
+                          .select("k", "month", "name", "val").collect()))
+
+    want = [(1, "2024-01", "a", 10.0), (2, "2024-01", "b2", 21.0),
+            (4, "2024-03", "d", 40.0), (5, "2024-02", "e", 50.0)]
+    assert state() == want
+
+    # idempotent re-apply: same updates, same final state
+    r2 = merge_upsert(spark, upd, path, keys=["k"], partition_by="month",
+                      delete_col="is_delete")
+    assert state() == want
+    assert r2["deleted"] == 0          # key 3 already gone
+    assert r2["updated"] == 2          # 2 and 5 now both match
+    assert r2["inserted"] == 0
+
+    # duplicate update keys must error, not silently double-insert
+    dup = spark.createDataFrame(
+        [(9, "2024-01", "x", 1.0), (9, "2024-01", "y", 2.0)],
+        ["k", "month", "name", "val"])
+    try:
+        merge_upsert(spark, dup, path, keys=["k"], partition_by="month")
+        raise AssertionError("expected ValueError on duplicate keys")
+    except ValueError:
+        pass
+
+
+def test_merge_upsert_rewrites_only_affected_partitions(spark, tmp_path):
+    """Copy-on-write granularity: merging into one partition must not
+    rewrite the others' files (mtime-stable), and deleting every row
+    of a partition removes its directory."""
+    import os
+
+    from location_summary_etl_spark.sources.writers import merge_upsert
+
+    path = str(tmp_path / "cow")
+    base = spark.createDataFrame(
+        [(i, f"2024-0{1 + i % 3}", float(i)) for i in range(9)],
+        ["k", "month", "val"],
+    )
+    merge_upsert(spark, base, path, keys=["k"], partition_by="month")
+
+    def files(part):
+        d = os.path.join(path, f"month={part}")
+        return {f: os.path.getmtime(os.path.join(d, f))
+                for f in os.listdir(d) if f.endswith(".parquet")}
+
+    before_2, before_3 = files("2024-02"), files("2024-03")
+    upd = spark.createDataFrame([(0, "2024-01", 99.0)], ["k", "month", "val"])
+    r = merge_upsert(spark, upd, path, keys=["k"], partition_by="month")
+    assert r["partitions"] == 1
+    assert files("2024-02") == before_2 and files("2024-03") == before_3
+
+    # delete every row of month 2024-03 (keys 2, 5, 8)
+    dels = spark.createDataFrame(
+        [(k, "2024-03", 0.0, True) for k in (2, 5, 8)],
+        ["k", "month", "val", "is_delete"])
+    r = merge_upsert(spark, dels, path, keys=["k"], partition_by="month",
+                     delete_col="is_delete")
+    assert r["deleted"] == 3
+    assert not os.path.exists(os.path.join(path, "month=2024-03"))
+    got = spark.read.parquet(path)
+    assert got.count() == 6 and got.filter("month = '2024-03'").count() == 0
