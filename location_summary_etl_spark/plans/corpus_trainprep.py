@@ -58,12 +58,26 @@ CONTAM_NGRAM = 5       # word n-grams compared (real pipelines use 8-13)
 def _ngram_stream(docs: DataFrame, widen: bool = True) -> DataFrame:
     """(doc_id, h): hashed DISTINCT word-5grams per document.
 
+    The hash is INTERNAL -- the check's output is counts and rates,
+    never a hash value -- so it uses codegen ``xxhash64`` (the md5
+    portability floor documented in operators/dedup._posting_hashes
+    does not apply; swapping md5 -> xxhash64 measured 0.63 -> 0.43 s
+    on the whole check at sf0.1, same session A/B).  The oracle therefore compares RAW
+    GRAM STRINGS -- the true semantics ("how many of its distinct
+    5-grams occur in train"), of which the hash stream is the
+    shuffle-20x-fewer-bytes implementation; a 64-bit collision would
+    make the engines disagree by one count with probability ~2^-64
+    per gram pair (~1e-9 across the gate corpus), vs the old
+    md5-prefix-32 design where collisions were EXPECTED at corpus
+    scale and both engines had to replay the same truncated hash to
+    agree.
+
     Per-doc ``array_distinct`` runs map-side before the explode: every
     downstream consumer is dedup-insensitive (the inverted index
     collect_set's doc ids per hash; n_eval_ngrams counts hashes after
-    a groupBy(h)), so within-doc repeats would only pay md5 again --
-    dropping them measured 0.91 -> 0.77 s on the whole check at sf0.1
-    with identical output.
+    a groupBy(h)), so within-doc repeats would only pay the hash again
+    -- dropping them measured 0.91 -> 0.77 s on the whole check at
+    sf0.1 with identical output.
 
     ``widen`` round-robins the narrow scan to core width before the
     CPU-heavy explode+hash (see session.ensure_parallelism); pass
@@ -80,7 +94,7 @@ def _ngram_stream(docs: DataFrame, widen: bool = True) -> DataFrame:
         F.explode(F.array_distinct(
             ngrams_from_tokens(F.col("toks"), CONTAM_NGRAM))).alias("gram"),
     )
-    return grams.select("doc_id", portable_hash32("gram").alias("h"))
+    return grams.select("doc_id", F.xxhash64("gram").alias("h"))
 
 
 def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,34 +145,31 @@ def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EVAL_H = DUCKDB_HASH32.format(x="gram")
-
+# Oracle on raw gram STRINGS (the true semantics; see _ngram_stream on
+# why the Spark side's internal xxhash64 matches it).
 register("corpus_contamination_check", corpus_contamination_check, f"""
 WITH toks AS (
     SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ),
 grams AS (
-    SELECT doc_id,
+    SELECT DISTINCT doc_id,
            toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
            toks[i+3] || ' ' || toks[i+4] AS gram
     FROM toks, UNNEST(generate_series(1, len(toks) - {CONTAM_NGRAM - 1})) AS t(i)
 ),
-hashes AS (
-    SELECT DISTINCT doc_id, {_EVAL_H} AS h FROM grams
-),
 eval_ngrams AS (
-    SELECT * FROM hashes
+    SELECT * FROM grams
     WHERE doc_id % {EVAL_MOD} = 0 AND doc_id < {EVAL_MAX_DOC_ID}
 ),
 train_hits AS (
-    SELECT DISTINCT h FROM hashes
+    SELECT DISTINCT gram FROM grams
     WHERE NOT (doc_id % {EVAL_MOD} = 0 AND doc_id < {EVAL_MAX_DOC_ID})
 )
 SELECT e.doc_id,
        COUNT(*) AS n_eval_ngrams,
-       COUNT(t.h) AS n_contaminated,
-       round(CAST(COUNT(t.h) AS DOUBLE) / COUNT(*), 4) AS contamination_rate
-FROM eval_ngrams e LEFT JOIN train_hits t ON e.h = t.h
+       COUNT(t.gram) AS n_contaminated,
+       round(CAST(COUNT(t.gram) AS DOUBLE) / COUNT(*), 4) AS contamination_rate
+FROM eval_ngrams e LEFT JOIN train_hits t ON e.gram = t.gram
 GROUP BY e.doc_id
 """)
 
