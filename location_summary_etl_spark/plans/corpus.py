@@ -109,6 +109,7 @@ def _ensure_loaded() -> None:
         "corpus_quality",
         "corpus_warehouse",
         "corpus_partsupp",
+        "corpus_streaming",
     ):
         before = len(_REGISTRY)
         importlib.import_module(f"location_summary_etl_spark.plans.{mod}")
