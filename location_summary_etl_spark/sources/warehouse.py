@@ -93,9 +93,71 @@ class _RangePartition(InputPartition):
     where: str | None  # None = unpartitioned single read
 
 
+class TransientWarehouseError(Exception):
+    """Synthetic transient failure raised by the injection harness."""
+
+
+def _connect_with_retries(path: str, options, *, read_only: bool):
+    """Open the warehouse connection under the connector's retry
+    policy: ``max_retries`` attempts (default 3) with exponential
+    backoff starting at ``retry_backoff_ms`` (default 50 ms) --
+    the client-side half of a remote connector's resilience contract
+    (the part that is testable without a network; DNS/TLS/auth belong
+    to a real server).  Retryable: DuckDB IO/connection errors (file
+    locked by a concurrent writer -- the embedded analogue of a
+    dropped connection) and the injected :class:`TransientWarehouseError`.
+
+    FAILURE INJECTION (tests): ``inject_failures=N`` with
+    ``inject_token=<unique>`` makes the first N connection attempts
+    across ALL processes raise TransientWarehouseError.  The attempt
+    counter is a file of appended bytes keyed by the token (executors
+    are separate Python workers, so a module-level counter would
+    reset per process); O_APPEND writes make the count monotone
+    across concurrent tasks."""
+    import time
+
+    import duckdb
+
+    retries = int(options.get("max_retries", 3))
+    backoff = float(options.get("retry_backoff_ms", 50)) / 1000.0
+    inject = int(options.get("inject_failures", 0))
+    token = options.get("inject_token", "default")
+
+    def attempt():
+        if inject:
+            import tempfile
+
+            marker = os.path.join(
+                tempfile.gettempdir(), f"duckwh_inject_{token}")
+            fd = os.open(marker, os.O_CREAT | os.O_WRONLY | os.O_APPEND)
+            try:
+                os.write(fd, b"x")
+                failed_so_far = os.fstat(fd).st_size
+            finally:
+                os.close(fd)
+            if failed_so_far <= inject:
+                raise TransientWarehouseError(
+                    f"injected transient failure {failed_so_far}/{inject}")
+        return duckdb.connect(path, read_only=read_only)
+
+    last: Exception | None = None
+    for i in range(retries):
+        try:
+            return attempt()
+        except (TransientWarehouseError, duckdb.IOException,
+                duckdb.ConnectionException) as e:
+            last = e
+            if i < retries - 1:
+                time.sleep(backoff * (2 ** i))
+    raise ConnectionError(
+        f"duckwarehouse: connection failed after {retries} attempts "
+        f"(last: {last})") from last
+
+
 class _WarehouseReader(DataSourceReader):
     def __init__(self, options):
         self.path = options["path"]
+        self.options = dict(options)
         self.query = _resolve_query(options)
         self.pcol = options.get("partition_column")
         self.n = int(options.get("num_partitions", 1))
@@ -123,9 +185,7 @@ class _WarehouseReader(DataSourceReader):
         return parts
 
     def read(self, partition: _RangePartition):
-        import duckdb
-
-        con = duckdb.connect(self.path, read_only=True)
+        con = _connect_with_retries(self.path, self.options, read_only=True)
         try:
             sql = f"SELECT * FROM ({self.query}) _q"
             if partition.where is not None:
@@ -147,6 +207,7 @@ class _StagedFile(WriterCommitMessage):
 class _WarehouseWriter(DataSourceWriter):
     def __init__(self, options, schema, overwrite: bool):
         self.path = options["path"]
+        self.opts = dict(options)
         self.table = options.get("table") or options.get("dbtable")
         if not self.table:
             raise ValueError("duckwarehouse: need option 'table'/'dbtable'")
@@ -180,10 +241,8 @@ class _WarehouseWriter(DataSourceWriter):
         return _StagedFile(f, len(rows))
 
     def commit(self, messages):
-        import duckdb
-
         files = [m.path for m in messages if m and m.path]
-        con = duckdb.connect(self.path)
+        con = _connect_with_retries(self.path, self.opts, read_only=False)
         try:
             con.execute("BEGIN")
             if self.batch_id is not None:
@@ -244,9 +303,8 @@ class DuckWarehouseDataSource(DataSource):
         return "duckwarehouse"
 
     def schema(self):
-        import duckdb
-
-        con = duckdb.connect(self.options["path"], read_only=True)
+        con = _connect_with_retries(
+            self.options["path"], self.options, read_only=True)
         try:
             probe = con.execute(
                 f"SELECT * FROM ({_resolve_query(self.options)}) _q LIMIT 0"

@@ -1007,3 +1007,48 @@ def test_merge_upsert_rewrites_only_affected_partitions(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, "month=2024-03"))
     got = spark.read.parquet(path)
     assert got.count() == 6 and got.filter("month = '2024-03'").count() == 0
+
+
+def test_warehouse_connector_retries_transient_failures(spark, tmp_path):
+    """Remote-connector resilience contract (the testable half): the
+    first N connection attempts fail transiently; the read must retry
+    with backoff and succeed within the retry budget, fail with a
+    clear ConnectionError beyond it, and the injected-failure counter
+    must show the retries actually happened (not a silent fallback
+    path)."""
+    import os as _os
+    import tempfile
+    import uuid as _uuid
+
+    import duckdb
+
+    from location_summary_etl_spark.sources.warehouse import register_warehouse
+
+    register_warehouse(spark)
+    db = str(tmp_path / "retry.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE t AS SELECT range AS k FROM range(10)")
+    con.close()
+
+    token = _uuid.uuid4().hex
+    got = (spark.read.format("duckwarehouse")
+           .option("path", db).option("dbtable", "t")
+           .option("inject_failures", "2").option("inject_token", token)
+           .option("retry_backoff_ms", "1")
+           .load())
+    assert got.count() == 10
+    marker = _os.path.join(tempfile.gettempdir(), f"duckwh_inject_{token}")
+    assert _os.path.getsize(marker) >= 2  # both failures really fired
+    _os.remove(marker)
+
+    token2 = _uuid.uuid4().hex
+    try:
+        (spark.read.format("duckwarehouse")
+         .option("path", db).option("dbtable", "t")
+         .option("inject_failures", "10").option("inject_token", token2)
+         .option("max_retries", "2").option("retry_backoff_ms", "1")
+         .load().count())
+        raise AssertionError("expected failure beyond the retry budget")
+    except Exception as e:
+        assert "after 2 attempts" in str(e)
+    _os.remove(_os.path.join(tempfile.gettempdir(), f"duckwh_inject_{token2}"))
