@@ -150,3 +150,39 @@ SELECT CAST(floor(epoch(e.ts) / 600) * 600 AS BIGINT) AS window_start,
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1, 2
 """)
+
+
+def streaming_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful escape hatch (``applyInPandasWithState``,
+    RocksDB-capable state store, update mode) under the oracle gate:
+    per-user running (count, sum, max).  The bounded source is one
+    parquet file, so the stream is exactly one micro-batch and the
+    drained update-mode output is one final row per user -- equal to
+    the batch groupBy by construction if (and only if) the state fold
+    is correct."""
+    from location_summary_etl_spark.streaming.jobs import (
+        user_running_stats_stream,
+    )
+
+    tag = _sf_tag(sf_dir)
+    out = _drain(
+        spark,
+        user_running_stats_stream(read_events_stream(spark, sf_dir)),
+        f"stream_userstats_{tag}",
+        mode="update",
+    )
+    return out.select(
+        "user_id", "n_events",
+        round_portable("total_value", 4).alias("total_value"),
+        round_portable("max_value", 4).alias("max_value"),
+    )
+
+
+register("streaming_user_running_stats", streaming_user_running_stats, """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       round(CAST(SUM(value) AS DOUBLE), 4) AS total_value,
+       round(CAST(MAX(value) AS DOUBLE), 4) AS max_value
+FROM events
+GROUP BY user_id
+""")
