@@ -169,3 +169,52 @@ WHERE NOT EXISTS (SELECT 1 FROM upd
 UNION ALL
 SELECT priority, month, n_orders, total_cents FROM upd
 """)
+
+
+def versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse-format life-cycle (sources/versioned.VersionedTable):
+    commit the pre-1996 order slice as v0, append 1996+ as v1, then
+    aggregate BOTH versions through time-travel reads -- v0 must see
+    only the first commit even though v1 exists (snapshot isolation is
+    what the oracle checks: the 'v0' rows replay the date filter, the
+    'v1' rows the full table).  The table is rebuilt from scratch per
+    invocation (fresh temp dir), so re-runs are deterministic."""
+    import shutil
+
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_vt_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = VersionedTable(path)
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    t.commit(orders.filter(F.col("o_orderdate") < "1996-01-01"))
+    t.commit(orders.filter(F.col("o_orderdate") >= "1996-01-01"))
+
+    def agg(df: DataFrame, version: str) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_orders"),
+            F.max(F.col("o_orderdate").cast("string")).alias("max_date"),
+        ).withColumn("version", F.lit(version))
+
+    return agg(t.read(spark, version=0), "v0").unionByName(
+        agg(t.read(spark), "v1"))
+
+
+register("versioned_time_travel", versioned_time_travel, """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(MAX(o_orderdate) AS VARCHAR) AS max_date,
+       'v0' AS version
+FROM orders WHERE o_orderdate < DATE '1996-01-01'
+GROUP BY o_orderpriority
+UNION ALL
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(MAX(o_orderdate) AS VARCHAR) AS max_date,
+       'v1' AS version
+FROM orders
+GROUP BY o_orderpriority
+""")

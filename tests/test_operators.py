@@ -1052,3 +1052,78 @@ def test_warehouse_connector_retries_transient_failures(spark, tmp_path):
     except Exception as e:
         assert "after 2 attempts" in str(e)
     _os.remove(_os.path.join(tempfile.gettempdir(), f"duckwh_inject_{token2}"))
+
+
+def test_versioned_table_snapshot_isolation_and_time_travel(spark, tmp_path):
+    """Manifest-pinned reads: a DataFrame planned at version N is
+    byte-stable across later commits (snapshot isolation); any
+    retained version stays readable (time travel); vacuum deletes
+    exactly the unreferenced files and expired manifests."""
+    import os
+
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "vt"))
+    assert t.commit(spark.range(0, 5).selectExpr("id AS k")) == 0
+    v0_reader = t.read(spark)                 # planned at v0
+    assert t.commit(spark.range(5, 8).selectExpr("id AS k")) == 1
+    assert t.commit(spark.range(100, 102).selectExpr("id AS k"),
+                    mode="overwrite") == 2
+
+    # the v0-planned reader still sees exactly v0 after two commits
+    assert sorted(r["k"] for r in v0_reader.collect()) == list(range(5))
+    assert sorted(r["k"] for r in t.read(spark, version=1).collect()) == \
+        list(range(8))
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [100, 101]
+    assert [h["operation"] for h in t.history()] == \
+        ["append", "append", "overwrite"]
+
+    # vacuum: retain v1+v2 -> v0's files (orphaned by the overwrite
+    # only where unreferenced) deleted, v0 manifest gone, v1 readable
+    removed = t.vacuum(retain_last=2)
+    assert t.versions() == [1, 2]
+    assert sorted(r["k"] for r in t.read(spark, version=1).collect()) == \
+        list(range(8))
+    # v0's files are referenced by v1 (append lineage) so they survive;
+    # nothing was unreferenced here
+    assert removed == []
+    # overwrite-only retention: v2 alone -> v0/v1 data now unreferenced
+    removed = t.vacuum(retain_last=1)
+    assert t.versions() == [2]
+    assert removed and all(os.path.basename(p).endswith(".parquet")
+                           for p in removed)
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [100, 101]
+
+
+def test_versioned_table_concurrent_commit_conflict(spark, tmp_path):
+    """Optimistic concurrency: two writers planning against the same
+    base version -- the second commit must raise, not silently clobber
+    or interleave."""
+    from location_summary_etl_spark.sources.versioned import (
+        ConcurrentWriteError,
+        VersionedTable,
+    )
+
+    path = str(tmp_path / "vt2")
+    a, b = VersionedTable(path), VersionedTable(path)
+    a.commit(spark.range(3).selectExpr("id AS k"))
+
+    # Simulate the race: both writers observe latest == 0, a commits
+    # first; b's commit targets v1 which now exists.
+    base_seen_by_b = b.latest_version()
+    assert base_seen_by_b == 0
+    a.commit(spark.range(10, 13).selectExpr("id AS k"))
+
+    orig = VersionedTable.latest_version
+    try:
+        VersionedTable.latest_version = lambda self: base_seen_by_b
+        try:
+            b.commit(spark.range(20, 23).selectExpr("id AS k"))
+            raise AssertionError("expected ConcurrentWriteError")
+        except ConcurrentWriteError:
+            pass
+    finally:
+        VersionedTable.latest_version = orig
+    # the surviving state is a's lineage, untouched by b's attempt
+    assert sorted(r["k"] for r in a.read(spark).collect()) == \
+        [0, 1, 2, 10, 11, 12]
