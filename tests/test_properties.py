@@ -135,3 +135,47 @@ def test_max_run_fold_equals_counter_max(spark, words):
         .first()["m"]
     )
     assert got == expected
+
+
+# ---------------------------------------------------------------- merge
+# A random batched sequence of upserts/deletes applied through
+# merge_upsert must equal the trivially-correct driver-side dict replay
+# (last write per key wins within the sequence; delete removes).
+_merge_op = st.tuples(
+    st.integers(min_value=0, max_value=9),            # key
+    st.sampled_from(["p0", "p1", "p2"]),              # partition value
+    st.integers(min_value=0, max_value=99),           # payload
+    st.booleans(),                                    # is_delete
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(batches=st.lists(
+    st.lists(_merge_op, min_size=1, max_size=6,
+             unique_by=lambda op: op[0]),             # key-unique per batch
+    min_size=1, max_size=4))
+def test_merge_upsert_equals_dict_replay(spark, tmp_path_factory, batches):
+    from location_summary_etl_spark.sources.writers import merge_upsert
+
+    path = str(tmp_path_factory.mktemp("merge_prop") / "t")
+    model: dict[int, tuple[str, int]] = {}
+    for batch in batches:
+        rows = [(k, p, v, d) for (k, p, v, d) in batch]
+        updates = spark.createDataFrame(
+            rows, "k int, part string, v int, is_delete boolean")
+        merge_upsert(spark, updates, path, keys=["k"], partition_by="part",
+                     delete_col="is_delete")
+        for k, p, v, d in batch:
+            if d:
+                model.pop(k, None)
+            else:
+                model[k] = (p, v)
+    if not model:
+        return  # table may not exist or be empty; nothing to compare
+    try:
+        got = {r["k"]: (r["part"], r["v"])
+               for r in spark.read.parquet(path).collect()}
+    except Exception:
+        got = {}
+    assert got == model
