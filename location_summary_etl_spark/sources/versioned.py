@@ -114,25 +114,27 @@ class VersionedTable:
         prev_files: list[str] = []
         if mode == "append" and base_version is not None:
             prev_files = self._manifest(base_version)["files"]
+        return self._publish(target, mode, prev_files + new_files)
+
+    def _publish(self, target: int, operation: str,
+                 files: list[str]) -> int:
+        """Atomically publish manifest ``target`` (put-if-absent).
+
+        On POSIX, ``link()`` fails with EEXIST when the target exists
+        -- the put-if-absent that ``rename()`` alone cannot give
+        (rename silently replaces an existing target)."""
         manifest = {
             "version": target,
-            "operation": mode,
-            "files": prev_files + new_files,
-            "n_files": len(prev_files) + len(new_files),
+            "operation": operation,
+            "files": files,
+            "n_files": len(files),
         }
         tmp = os.path.join(self.manifest_dir,
                            f".v{target}.json.{uuid.uuid4().hex}.tmp")
         final = os.path.join(self.manifest_dir, f"v{target}.json")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        if os.path.exists(final):   # lost the race before even renaming
-            os.remove(tmp)
-            raise ConcurrentWriteError(
-                f"version {target} was committed concurrently")
         try:
-            # On POSIX, link() fails with EEXIST if the target exists --
-            # the atomic put-if-absent rename() alone cannot give
-            # (rename silently replaces an existing target).
             os.link(tmp, final)
         except FileExistsError:
             raise ConcurrentWriteError(
@@ -140,6 +142,71 @@ class VersionedTable:
         finally:
             os.remove(tmp)
         return target
+
+    def merge(self, spark: SparkSession, updates: DataFrame,
+              keys: list[str], delete_col: str | None = None) -> int:
+        """Keyed MERGE as a new snapshot version -- Delta-style
+        copy-on-write at FILE granularity: only data files that
+        contain a matched key are rewritten; every untouched file is
+        carried into the new manifest BY PATH (it is never read,
+        copied, or moved), and readers at older versions still see
+        the pre-merge state (the property plain-parquet
+        ``merge_upsert`` cannot give, since its dynamic overwrite
+        destroys the partition in place).
+
+        Affected-file discovery is one column-pruned scan of the
+        snapshot projecting (keys, ``input_file_name()``) semi-joined
+        against the update keys -- O(table keys) read, O(changed
+        files) rewrite, the same cost class as Delta without
+        file-level min/max stats (add those to prune the scan too).
+        Matched rows are replaced (or dropped when ``delete_col`` is
+        true), unmatched update rows are appended.  Idempotent
+        re-apply; concurrent commits surface as
+        :class:`ConcurrentWriteError` through the manifest gate."""
+        from pyspark.sql import functions as F
+
+        if delete_col is not None:
+            upserts = updates.filter(
+                ~F.coalesce(F.col(delete_col), F.lit(False))).drop(delete_col)
+        else:
+            upserts = updates
+        base_version = self.latest_version()
+        if base_version is None:
+            # Degenerate: MERGE into nothing = initial commit.
+            return self.commit(upserts, mode="overwrite")
+        dup = (updates.groupBy(*keys).count()
+               .filter(F.col("count") > 1).limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"merge: updates contain duplicate key {tuple(dup[0])[:len(keys)]}")
+
+        current = self._manifest(base_version)["files"]
+        snapshot = spark.read.parquet(*current)
+        touched = updates.select(*keys).distinct()
+        affected = sorted(
+            r["_f"] for r in snapshot
+            .select(*keys, F.input_file_name().alias("_f"))
+            .join(touched, keys, "left_semi")
+            .select("_f").distinct().collect())
+        # input_file_name returns URIs (file://...); manifests store
+        # plain paths -- normalize for the carry-over set difference.
+        affected_paths = {f.removeprefix("file://") for f in affected}
+        carried = [f for f in current if f not in affected_paths]
+
+        survivors = (spark.read.parquet(*sorted(affected_paths))
+                     .join(touched, keys, "left_anti")
+                     if affected_paths else None)
+        rewritten = (survivors.unionByName(upserts.select(*snapshot.columns))
+                     if survivors is not None
+                     else upserts.select(*snapshot.columns))
+
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        out_dir = os.path.join(self.data_dir, f"commit-{uuid.uuid4().hex}")
+        rewritten.write.mode("error").parquet(out_dir)
+        new_files = sorted(
+            os.path.join(out_dir, f) for f in os.listdir(out_dir)
+            if f.endswith(".parquet"))
+        return self._publish(base_version + 1, "merge", carried + new_files)
 
     # ---------------------------------------------------------- vacuum
     def vacuum(self, retain_last: int = 2) -> list[str]:

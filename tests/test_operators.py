@@ -1127,3 +1127,47 @@ def test_versioned_table_concurrent_commit_conflict(spark, tmp_path):
     # the surviving state is a's lineage, untouched by b's attempt
     assert sorted(r["k"] for r in a.read(spark).collect()) == \
         [0, 1, 2, 10, 11, 12]
+
+
+def test_versioned_merge_rewrites_only_matched_files(spark, tmp_path):
+    """Delta-style MERGE: matched keys update/delete, unmatched
+    insert, as a NEW snapshot version -- files without a matched key
+    are carried into the new manifest BY PATH (no rewrite), and the
+    pre-merge version remains time-travelable (what in-place
+    merge_upsert cannot offer)."""
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "vm"))
+    # two commits -> at least two independent file sets
+    t.commit(spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k int, name string, v int")
+        .coalesce(1))
+    t.commit(spark.createDataFrame(
+        [(3, "c", 30), (4, "d", 40)], "k int, name string, v int")
+        .coalesce(1))
+    files_v1 = t._manifest(1)["files"]
+
+    upd = spark.createDataFrame(
+        [(2, "b2", 21, False),   # update (lives in commit-0's file)
+         (5, "e", 50, False),    # insert
+         (1, None, 0, True)],    # delete (same file as the update)
+        "k int, name string, v int, is_delete boolean")
+    v2 = t.merge(spark, upd, keys=["k"], delete_col="is_delete")
+    assert v2 == 2
+
+    got = {r["k"]: (r["name"], r["v"]) for r in t.read(spark).collect()}
+    assert got == {2: ("b2", 21), 3: ("c", 30), 4: ("d", 40), 5: ("e", 50)}
+
+    # commit-1's file held keys 3,4 (unmatched): carried by path
+    files_v2 = set(t._manifest(2)["files"])
+    untouched = [f for f in files_v1 if "commit-" in f and
+                 f in files_v2]
+    assert untouched, "unmatched data file was rewritten instead of carried"
+    # time travel: the pre-merge version still shows the old state
+    pre = {r["k"]: r["v"] for r in t.read(spark, version=1).collect()}
+    assert pre == {1: 10, 2: 20, 3: 30, 4: 40}
+
+    # idempotent re-apply
+    t.merge(spark, upd, keys=["k"], delete_col="is_delete")
+    got2 = {r["k"]: (r["name"], r["v"]) for r in t.read(spark).collect()}
+    assert got2 == got
