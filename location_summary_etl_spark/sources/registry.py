@@ -16,6 +16,7 @@ API or SQL against the same relations.
 
 from __future__ import annotations
 
+import functools as _functools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -170,3 +171,32 @@ def load_table_any_format(spark: SparkSession, path: str, name: str,
     if name in POST_TRANSFORMS:
         df = POST_TRANSFORMS[name](df)
     return df
+
+
+@_functools.lru_cache(maxsize=64)
+def compile_tiny_dim(sf_dir: str, name: str, columns: tuple[str, ...],
+                     max_rows: int = 200) -> tuple[tuple, ...] | None:
+    """Driver-side read of a SCHEMA-BOUNDED dimension as plan-time
+    literals, or ``None`` when the table is too big to compile.
+
+    The tiny static dimensions (region: 5 rows, nation: 25 -- bounded
+    by the data model, not the scale factor) cost a broadcast-exchange
+    stage per join at runtime; reading them with pyarrow on the driver
+    (~ms, no Spark job -- the createDataFrame route costs a full job,
+    see plans/bands.py) lets a plan inline them as IN-filters and CASE
+    maps, deleting those stages.  This is broadcast-by-compilation:
+    same data flow, resolved at plan time.
+
+    The ``max_rows`` cap is the scale guard: a dimension that grew
+    past it (someone pointed the loader at customer) returns None and
+    the caller MUST fall back to the broadcast join -- compiling an
+    unbounded relation into a SQL literal is how plans stop being
+    plans.  Cached per (sf_dir, table, columns): the dims are static
+    within a run."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(table_path(sf_dir, name), columns=list(columns))
+    if t.num_rows > max_rows:
+        return None
+    d = t.to_pydict()
+    return tuple(zip(*(d[c] for c in columns)))

@@ -490,3 +490,30 @@ def test_dedup_cap_modes_agree_when_caps_bite(spark):
         a = sorted(map(tuple, fn(docs, cap_mode="filter", **kw).collect()))
         b = sorted(map(tuple, fn(docs, cap_mode="census", **kw).collect()))
         assert a == b and a, f"{fn.__name__}: filter={a[:3]}... census={b[:3]}..."
+
+
+def test_q5_compiled_dims_match_broadcast_fallback(spark, sf_dir):
+    """The compiled-literal dimension path and the broadcast-join
+    fallback (what runs when a 'dim' outgrows the literal cap) must
+    produce identical results, and the compiled plan must carry no
+    extra broadcast for nation/region."""
+    import location_summary_etl_spark.sources.registry as registry
+    from location_summary_etl_spark.plans.corpus_starjoin import (
+        region_local_supplier_volume,
+    )
+
+    compiled = sorted(map(tuple,
+                          region_local_supplier_volume(spark, sf_dir).collect()))
+    orig = registry.compile_tiny_dim
+    try:
+        registry.compile_tiny_dim = lambda *a, **k: None
+        fallback = sorted(map(tuple,
+                              region_local_supplier_volume(spark, sf_dir).collect()))
+    finally:
+        registry.compile_tiny_dim = orig
+    assert compiled == fallback and compiled
+
+    plan = plan_of(spark, "region_local_supplier_volume", sf_dir,
+                   mode="formatted")
+    assert "nation.parquet" not in plan and "region.parquet" not in plan, (
+        "compiled path still scans the dimension tables")
