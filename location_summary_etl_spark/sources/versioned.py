@@ -229,7 +229,16 @@ class VersionedTable:
                 if f.endswith(".parquet") and p not in referenced:
                     os.remove(p)
                     removed.append(p)
-        for root, dirs, files in list(os.walk(self.data_dir, topdown=False)):
-            if not dirs and not files and root != self.data_dir:
-                os.rmdir(root)
+        # Commit dirs with no referenced file left hold only sidecars
+        # (_SUCCESS, .crc) -- including those of CRASHED commits that
+        # never published a manifest; remove the whole dir.
+        import shutil
+
+        for name in os.listdir(self.data_dir) if os.path.isdir(
+                self.data_dir) else []:
+            d = os.path.join(self.data_dir, name)
+            if os.path.isdir(d) and not any(
+                    os.path.join(r, f) in referenced
+                    for r, _ds, fs in os.walk(d) for f in fs):
+                shutil.rmtree(d, ignore_errors=True)
         return removed

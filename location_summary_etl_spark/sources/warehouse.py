@@ -212,8 +212,21 @@ class _WarehouseWriter(DataSourceWriter):
         if not self.table:
             raise ValueError("duckwarehouse: need option 'table'/'dbtable'")
         self.overwrite = overwrite
-        self.stage_dir = options.get(
+        self.staging_root = options.get(
             "staging_dir", self.path + ".staging")
+        # Per-JOB staging subdir: Spark's Python Data Source does NOT
+        # invoke writer.abort() when a task failure kills the job
+        # (verified on 4.1 -- the job dies before any driver-side
+        # writer callback), so a crashed job inevitably strands its
+        # staged files.  Correctness is unaffected (commit loads ONLY
+        # the files named in its commit messages), but the disk leak
+        # must be collectable: isolating each job's stages under a
+        # uuid dir lets the NEXT successful commit sweep stale job
+        # dirs by mtime (``stale_stage_ttl_s``, default 24 h) without
+        # ever racing a concurrent in-flight job's fresh stages.
+        self.stage_dir = os.path.join(
+            self.staging_root, f"job-{uuid.uuid4().hex}")
+        self.stale_ttl = float(options.get("stale_stage_ttl_s", 86400))
         self.columns = [f.name for f in schema.fields]
         # Exactly-once marker for streaming foreachBatch appends: when
         # set, commit() inserts (table, batch_id) into the commit log
@@ -283,6 +296,9 @@ class _WarehouseWriter(DataSourceWriter):
         self._cleanup([m.path for m in messages if m and m.path])
 
     def _cleanup(self, files):
+        import shutil
+        import time
+
         for f in files:
             try:
                 os.remove(f)
@@ -290,6 +306,19 @@ class _WarehouseWriter(DataSourceWriter):
                 pass
         try:
             os.rmdir(self.stage_dir)
+        except OSError:
+            pass
+        # Sweep job dirs stranded by crashed jobs (abort() is never
+        # invoked on job failure -- see __init__).  mtime-gated so a
+        # concurrent job's fresh stages are never touched.
+        try:
+            cutoff = time.time() - self.stale_ttl
+            for name in os.listdir(self.staging_root):
+                p = os.path.join(self.staging_root, name)
+                if (name.startswith("job-") and p != self.stage_dir
+                        and os.path.isdir(p) and os.path.getmtime(p) < cutoff):
+                    shutil.rmtree(p, ignore_errors=True)
+            os.rmdir(self.staging_root)  # gone when fully empty
         except OSError:
             pass
 

@@ -1171,3 +1171,72 @@ def test_versioned_merge_rewrites_only_matched_files(spark, tmp_path):
     t.merge(spark, upd, keys=["k"], delete_col="is_delete")
     got2 = {r["k"]: (r["name"], r["v"]) for r in t.read(spark).collect()}
     assert got2 == got
+
+
+def test_warehouse_sink_crashed_job_stages_are_swept(spark, tmp_path):
+    """Spark's Python Data Source never calls writer.abort() on a job
+    failure (verified on 4.1), so a crashed job strands its staged
+    files.  The contract is therefore: (1) the strand is isolated in
+    a per-job dir and can NEVER pollute a later commit's file list,
+    (2) the warehouse holds no partial table, and (3) the next
+    successful commit sweeps stale job dirs past the TTL."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from location_summary_etl_spark.sources.warehouse import register_warehouse
+
+    register_warehouse(spark)
+    db = str(tmp_path / "abort.duckdb")
+    staging = db + ".staging"
+    # one poisoned row: the task fails AFTER other tasks staged files
+    df = (spark.range(0, 100, 1, 8)
+          .withColumn("v", F.expr(
+              "CASE WHEN id = 99 THEN raise_error('poison') ELSE id END")))
+    try:
+        (df.write.format("duckwarehouse")
+         .option("path", db).option("table", "t").mode("append").save())
+        raise AssertionError("expected the poisoned write to fail")
+    except Exception as e:
+        assert "poison" in str(e)
+    stranded = [d for d in os.listdir(staging)] if os.path.isdir(staging) else []
+    assert stranded and all(d.startswith("job-") for d in stranded)
+
+    # the warehouse must not contain a partial table
+    import duckdb
+    con = duckdb.connect(db)
+    tables = [r[0] for r in con.execute("SHOW TABLES").fetchall()]
+    con.close()
+    assert "t" not in tables
+
+    # next commit (TTL 0) sweeps the strand and commits only its own rows
+    ok = spark.range(5).selectExpr("id AS k", "id AS v")
+    (ok.write.format("duckwarehouse")
+     .option("path", db).option("table", "t")
+     .option("stale_stage_ttl_s", "0").mode("append").save())
+    assert not os.path.isdir(staging)   # fully swept and removed
+    con = duckdb.connect(db)
+    n = con.execute("SELECT COUNT(*) FROM t").fetchone()[0]
+    con.close()
+    assert n == 5
+
+
+def test_versioned_vacuum_collects_crashed_commit_orphans(spark, tmp_path):
+    """A commit that crashed between writing data files and publishing
+    the manifest leaves unreferenced files; vacuum must delete exactly
+    those and leave every referenced file intact."""
+    import os
+
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "vc"))
+    t.commit(spark.range(5).selectExpr("id AS k"))
+    # simulate the crash: data files land, no manifest ever appears
+    orphan_dir = os.path.join(t.data_dir, "commit-crashed")
+    spark.range(100, 105).selectExpr("id AS k").write.parquet(orphan_dir)
+    assert os.path.isdir(orphan_dir)
+
+    removed = t.vacuum(retain_last=1)
+    assert removed and all("commit-crashed" in p for p in removed)
+    assert not os.path.isdir(orphan_dir)
+    assert sorted(r["k"] for r in t.read(spark).collect()) == list(range(5))
