@@ -250,3 +250,39 @@ GROUP BY l_linestatus, measure
 """
 
 register("lineitem_melt_profile", lineitem_melt_profile, LINEITEM_MELT_SQL)
+
+
+def skew_salted_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-dim equi-join under the oracle gate: lineitem joins
+    the (deliberately small here, hot-keyed at scale) orders relation
+    16-way salted -- the fact side derives a deterministic salt from
+    its own columns (task-retry safe; rand() would reshuffle rows to a
+    different salt mid-query) and the dim side explodes across all
+    salts, so one hot join key spreads over n_salts tasks instead of
+    one straggler.  Salting changes only the physical distribution:
+    the oracle is the PLAIN join, which is exactly the point -- the
+    gate certifies result-equivalence of the skew-resistant plan."""
+    from location_summary_etl_spark.operators.skew import salted_join
+
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate")
+    joined = salted_join(lineitem, orders, "l_orderkey", n_salts=16)
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(F.count("*").alias("n_lines"),
+             round_portable(F.sum("l_extendedprice"), 2)
+             .alias("urgent_revenue"))
+    )
+
+
+register("skew_salted_fact_join", skew_salted_fact_join, """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       COUNT(*) AS n_lines,
+       round(CAST(SUM(l_extendedprice) AS DOUBLE), 2) AS urgent_revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY 1
+""")
