@@ -179,3 +179,78 @@ def test_merge_upsert_equals_dict_replay(spark, tmp_path_factory, batches):
     except Exception:
         got = {}
     assert got == model
+
+
+# ------------------------------------------------------- versioned table
+# A random sequence of append/overwrite/merge commits must equal an
+# in-memory model at EVERY version (time travel included).
+_vt_op = st.one_of(
+    st.tuples(st.just("append"),
+              st.lists(st.tuples(st.integers(0, 6), st.integers(0, 99)),
+                       min_size=1, max_size=4)),
+    st.tuples(st.just("overwrite"),
+              st.lists(st.tuples(st.integers(0, 6), st.integers(0, 99)),
+                       min_size=1, max_size=4)),
+    st.tuples(st.just("merge"),
+              st.lists(st.tuples(st.integers(0, 6), st.integers(0, 99),
+                                 st.booleans()),
+                       min_size=1, max_size=4,
+                       unique_by=lambda r: r[0])),
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=st.lists(_vt_op, min_size=1, max_size=4))
+def test_versioned_table_matches_model_at_every_version(
+        spark, tmp_path_factory, ops):
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(str(tmp_path_factory.mktemp("vt_prop") / "t"))
+    model_history: list[list[tuple[int, int]]] = []
+
+    def snap_rows(model):
+        return sorted(model)
+
+    model: list[tuple[int, int]] = []   # bag of (k, v) rows
+    merged: dict[int, int] = {}
+    for op, rows in ops:
+        if op == "append":
+            df = spark.createDataFrame(rows, "k int, v int")
+            t.commit(df, mode="append")
+            model = model + rows
+        elif op == "overwrite":
+            df = spark.createDataFrame(rows, "k int, v int")
+            t.commit(df, mode="overwrite")
+            model = list(rows)
+        else:  # merge: last state keyed -- model must be key-unique for
+            # MERGE semantics, so normalize the bag to last-write-wins
+            # before merging (mirrors preparing a keyed table).
+            keyed = {}
+            for k, v in model:
+                keyed[k] = v
+            df = spark.createDataFrame(rows, "k int, v int, d boolean")
+            # merge requires a keyed table: overwrite with the keyed view
+            t.commit(spark.createDataFrame(
+                sorted(keyed.items()), "k int, v int"), mode="overwrite")
+            model_history.append(snap_rows(model := sorted(keyed.items())))
+            t.merge(spark, df, keys=["k"], delete_col="d")
+            for k, v, d in rows:
+                if d:
+                    keyed.pop(k, None)
+                else:
+                    keyed[k] = v
+            model = sorted(keyed.items())
+        model_history.append(snap_rows(model))
+
+    # latest state matches
+    got = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+    assert got == snap_rows(model)
+    # every retained version matches its recorded model snapshot
+    assert len(t.versions()) == len(model_history)
+    for ver, expected in zip(t.versions(), model_history):
+        if not expected:
+            continue  # empty versions read as empty parquet unions
+        got_v = sorted((r["k"], r["v"])
+                       for r in t.read(spark, version=ver).collect())
+        assert got_v == expected, f"version {ver} diverged"
