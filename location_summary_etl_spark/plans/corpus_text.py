@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from location_summary_etl_spark.functions.texts import STOPWORDS
+from location_summary_etl_spark.functions.texts import STOPWORDS, tokens
 from location_summary_etl_spark.operators.textstats import (
     EN_TRIGRAMS,
     doc_fingerprints,
@@ -283,3 +283,61 @@ def _pii_scrub_sql() -> str:
 
 
 register("text_pii_scrub", text_pii_scrub, _pii_scrub_sql())
+
+
+def text_approx_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-memory frequent-items via Spark 4's ``approx_top_k``
+    sketch aggregate -- the mergeable-sketch path for when an exact
+    token groupBy's state would blow past executor memory (each task
+    tracks maxItemsTracked counters; partials merge associatively, so
+    the shuffle carries one sketch per partition, not one row per
+    distinct token).
+
+    Accuracy contract (the orders_approx_stats pattern): at gate scale
+    the vocabulary fits the sketch entirely, so the sketch IS exact --
+    an in-plan ``raise_error`` guard compares every sketched count to
+    the exact aggregate and fails the query on divergence, and the
+    OUTPUT is tie-robust (count of items, sum and min of top-k counts:
+    boundary ties have equal counts, so which tied token the sketch
+    surfaces cannot change the row).  At corpus scale the guard comes
+    off and the error bound is the sketch's documented epsilon."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = 20
+    sketch = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .agg(F.expr(f"approx_top_k(tok, {k}, 10000)").alias("top"))
+        .select(F.explode("top").alias("e"))
+        .select(F.col("e.item").alias("tok"), F.col("e.count").alias("c"))
+    )
+    exact = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok").agg(F.count("*").alias("c_exact"))
+    )
+    checked = (
+        sketch.join(exact, "tok", "left")
+        .select(
+            F.when(F.col("c") == F.col("c_exact"), F.col("c"))
+            .otherwise(F.raise_error(
+                "approx_top_k diverged from exact counts at gate scale"))
+            .alias("c"))
+    )
+    return checked.agg(
+        F.count("*").alias("k_items"),
+        F.sum("c").alias("sum_topk"),
+        F.min("c").alias("min_topk"),
+    )
+
+
+register("text_approx_topk_sketch", text_approx_topk_sketch, """
+WITH tok AS (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+counts AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+topk AS (SELECT c FROM counts ORDER BY c DESC, tok LIMIT 20)
+SELECT COUNT(*) AS k_items,
+       SUM(c) AS sum_topk,
+       MIN(c) AS min_topk
+FROM topk
+""")
