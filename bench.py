@@ -174,6 +174,36 @@ def main() -> None:
             dtimes[name] = round(best, 3)
         detail["duckdb"] = dtimes
 
+    # Extras: round-4+ families timed with the same discipline but
+    # kept OUT of the headline total so cross-round totals stay
+    # comparable.  Streaming entries include real stream start/drain
+    # (seconds of fixed cost by design); merge/versioned include their
+    # table life-cycle writes.
+    EXTRAS = [
+        "dedup_minhash_lsh_uncapped",
+        "dedup_ngram_jaccard_uncapped",
+        "multimodal_audio_decode",
+        "merge_upsert_orders",
+        "versioned_time_travel",
+        "skew_salted_fact_join",
+        "text_approx_topk_sketch",
+        "streaming_tumbling_counts",
+        "streaming_user_running_stats",
+    ]
+    extras: dict[str, float] = {}
+    for name in [n for n in EXTRAS if n in qs]:
+        spark.catalog.clearCache()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = float("inf")
+        for _ in range(repeats):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        extras[name] = round(best, 3)
+        spark.catalog.clearCache()
+    detail["extras"] = extras
+
     # Scale trend: the same queries at sf0.01 (one pass, warm
     # min-of-3) and a per-query log-log slope.  This is the empirical
     # check behind every "survives 100x" claim in SCALE.md: a query
