@@ -136,7 +136,7 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     updates = summarize(orders).filter(F.col("month") >= "1996-06")
     merge_upsert(spark, updates, path, keys=["priority", "month"],
-                 partition_by="priority")
+                 partition_by="priority", collect_metrics=False)
     got = spark.read.parquet(path)
     return got.select("priority", "month", "n_orders", "total_cents")
 

@@ -263,7 +263,8 @@ def write_observed(df: DataFrame, path: str, metrics: dict[str, Column],
 
 def merge_upsert(spark: SparkSession, updates: DataFrame, path: str,
                  keys: list[str], partition_by: str | None = None,
-                 delete_col: str | None = None) -> dict:
+                 delete_col: str | None = None,
+                 collect_metrics: bool = True) -> dict:
     """Keyed MERGE into a parquet table: matched keys are UPDATED (or
     DELETED when ``delete_col`` is true), unmatched update rows are
     INSERTED -- the lakehouse-shaped generalization of this module's
@@ -296,6 +297,9 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, path: str,
     sink story).
 
     Returns counts: {"inserted", "updated", "deleted", "partitions"}.
+    ``collect_metrics=False`` skips the three counting aggregations
+    (the merge itself never needs them) and returns -1 counts -- the
+    cheap mode for pipelines that only want the table mutated.
     """
     if delete_col is not None:
         deletes = updates.filter(F.col(delete_col)).drop(delete_col)
@@ -333,7 +337,9 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, path: str,
         # Degenerate CoW: one "partition" = the whole table.
         survivors = target.join(touched_keys, keys, "left_anti")
         merged = survivors.unionByName(upserts.select(*target.columns))
-        counts = _merge_counts(target, touched_keys, upserts, deletes, keys)
+        counts = (_merge_counts(target, touched_keys, upserts, deletes, keys)
+                  if collect_metrics else
+                  {"inserted": -1, "updated": -1, "deleted": -1})
         # Materialize before the overwrite destroys the input files.
         merged.cache()
         merged.count()
@@ -357,7 +363,9 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, path: str,
         return {"inserted": 0, "updated": 0, "deleted": 0, "partitions": 0}
 
     affected_target = target.filter(F.col(partition_by).isin(affected))
-    counts = _merge_counts(affected_target, touched_keys, upserts, deletes, keys)
+    counts = (_merge_counts(affected_target, touched_keys, upserts, deletes, keys)
+              if collect_metrics else
+              {"inserted": -1, "updated": -1, "deleted": -1})
     survivors = affected_target.join(touched_keys, keys, "left_anti")
     merged = survivors.unionByName(upserts.select(*target.columns))
     merged.cache()
