@@ -712,6 +712,16 @@ def ngram_jaccard_pairs_prefix(docs: DataFrame, id_col: str = "doc_id",
     4.4s end-to-end).  Both stay in the corpus: selectivity, not
     asymptotics, picks the winner, and the crossover flips on
     real-text gram distributions.
+
+    SKEW POSTURE: this formulation carries NO df cap -- a ubiquitous
+    gram that lands in many documents' prefixes still builds one
+    quadratic posting list.  Prefix filtering mitigates (only grams in
+    the first ~(1-t)|A|+1 of each doc's sorted set post at all, so a
+    boilerplate gram must also hash LOW to be hot), but does not
+    bound.  It exists as the alternate physical strategy under the
+    exact-Jaccard oracle; the production default for skewed corpora is
+    :func:`ngram_jaccard_pairs`, whose ``max_df`` cap is on by
+    default.
     """
     from location_summary_etl_spark.session import broadcast_if_small
 
