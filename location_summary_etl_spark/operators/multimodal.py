@@ -383,14 +383,27 @@ def decode_audio(media_df: DataFrame, backend: str = "wave") -> DataFrame:
                     nch = w.getnchannels()
                     rate = w.getframerate()
                     n = w.getnframes()
-                    pcm = np.frombuffer(
-                        w.readframes(n), dtype=np.uint8).astype(np.float64)
+                    width = w.getsampwidth()
+                    raw = w.readframes(n)
+                # WAV PCM is unsigned-biased at 8 bits, signed
+                # little-endian at 16 -- decoding 16-bit frames as
+                # bytes would halve the frame count and scramble the
+                # amplitudes, so the width switch is load-bearing.
+                if width == 1:
+                    pcm = np.frombuffer(raw, dtype=np.uint8).astype(
+                        np.float64) - 128.0
+                elif width == 2:
+                    pcm = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                else:
+                    raise ValueError(
+                        f"doc {did}: unsupported WAV sample width {width} "
+                        "(8- and 16-bit PCM implemented)")
                 ids.append(did)
                 chans.append(nch)
                 rates.append(rate)
                 frames.append(n)
                 durs.append(n / rate)
-                amps.append(float(np.abs(pcm - 128.0).mean()) if n else 0.0)
+                amps.append(float(np.abs(pcm).mean()) if n else 0.0)
             yield pd.DataFrame({
                 "doc_id": np.array(ids, dtype=np.int64),
                 "n_channels": np.array(chans, dtype=np.int32),

@@ -1240,3 +1240,40 @@ def test_versioned_vacuum_collects_crashed_commit_orphans(spark, tmp_path):
     assert removed and all("commit-crashed" in p for p in removed)
     assert not os.path.isdir(orphan_dir)
     assert sorted(r["k"] for r in t.read(spark).collect()) == list(range(5))
+
+
+def test_wav_decode_handles_16bit_stereo(spark):
+    """The real codec must parse format variants, not just the
+    synthesizer's own output: a 16-bit stereo WAV built independently
+    with the stdlib writer decodes with the right channel count,
+    frame count, and signed-PCM amplitude (decoding 16-bit frames as
+    bytes would double the frame count and scramble amplitudes)."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    from location_summary_etl_spark.operators.multimodal import decode_audio
+
+    n = 50
+    left = np.array([(3 * t) % 2000 - 1000 for t in range(n)], dtype="<i2")
+    right = -left
+    inter = np.empty(2 * n, dtype="<i2")
+    inter[0::2], inter[1::2] = left, right
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(inter.tobytes())
+    media = spark.createDataFrame(
+        [(7, buf.getvalue(), None)],
+        "doc_id bigint, payload binary, media struct<media_type: string, "
+        "width: int, height: int, n_bytes: bigint, sha: string>")
+    row = decode_audio(media).collect()[0]
+    assert row["n_channels"] == 2
+    assert row["sample_rate"] == 16000
+    assert row["n_frames"] == n
+    assert row["duration_sec"] == n / 16000
+    exp = float(np.abs(inter.astype(np.float64)).mean())
+    assert abs(row["mean_abs_amplitude"] - exp) < 1e-9
