@@ -50,6 +50,10 @@ class ConcurrentWriteError(Exception):
     """Another writer committed the version this commit targeted."""
 
 
+class SchemaEvolutionError(Exception):
+    """The commit's schema is not an additive extension of the table's."""
+
+
 class VersionedTable:
     def __init__(self, path: str):
         self.path = path
@@ -83,6 +87,17 @@ class VersionedTable:
         files = self._manifest(version)["files"]
         if not files:
             raise ValueError(f"version {version} is an empty table")
+        schema_json = self._manifest(version).get("schema")
+        if schema_json:
+            # Pin the read to the MANIFEST's schema: an additively
+            # evolved table has files with different physical schemas,
+            # and a bare parquet read would resolve to whichever file
+            # it samples first (older files' missing columns read as
+            # null under the pinned schema -- the lakehouse semantics).
+            from pyspark.sql.types import StructType
+
+            return spark.read.schema(
+                StructType.fromJson(json.loads(schema_json))).parquet(*files)
         return spark.read.parquet(*files)
 
     def history(self) -> list[dict]:
@@ -102,6 +117,8 @@ class VersionedTable:
         os.makedirs(self.manifest_dir, exist_ok=True)
         base_version = self.latest_version()
         target = 0 if base_version is None else base_version + 1
+        if mode == "append" and base_version is not None:
+            self._check_additive(df, base_version)
 
         # Data files first (never referenced until the manifest lands,
         # so a crash here leaves only unreferenced garbage for vacuum).
@@ -114,10 +131,31 @@ class VersionedTable:
         prev_files: list[str] = []
         if mode == "append" and base_version is not None:
             prev_files = self._manifest(base_version)["files"]
-        return self._publish(target, mode, prev_files + new_files)
+        return self._publish(target, mode, prev_files + new_files,
+                             schema=df.schema)
+
+    def _check_additive(self, df: DataFrame, base_version: int) -> None:
+        """Appends/merges may ADD nullable columns, never drop or
+        retype existing ones -- old files under the evolved schema
+        read their missing columns as null; a dropped/retyped column
+        would silently corrupt every pinned reader instead."""
+        prev_json = self._manifest(base_version).get("schema")
+        if not prev_json:
+            return
+        prev = {f["name"]: f["type"] for f in json.loads(prev_json)["fields"]}
+        new_fields = {f.name: f.jsonValue()["type"] for f in df.schema.fields}
+        for name, typ in prev.items():
+            if name not in new_fields:
+                raise SchemaEvolutionError(
+                    f"column {name!r} missing from the commit (drops are "
+                    "not additive; use overwrite for a new table shape)")
+            if new_fields[name] != typ:
+                raise SchemaEvolutionError(
+                    f"column {name!r} retyped {typ!r} -> "
+                    f"{new_fields[name]!r} (retypes are not additive)")
 
     def _publish(self, target: int, operation: str,
-                 files: list[str]) -> int:
+                 files: list[str], schema=None) -> int:
         """Atomically publish manifest ``target`` (put-if-absent).
 
         On POSIX, ``link()`` fails with EEXIST when the target exists
@@ -129,6 +167,8 @@ class VersionedTable:
             "files": files,
             "n_files": len(files),
         }
+        if schema is not None:
+            manifest["schema"] = json.dumps(schema.jsonValue())
         tmp = os.path.join(self.manifest_dir,
                            f".v{target}.json.{uuid.uuid4().hex}.tmp")
         final = os.path.join(self.manifest_dir, f"v{target}.json")
@@ -206,7 +246,8 @@ class VersionedTable:
         new_files = sorted(
             os.path.join(out_dir, f) for f in os.listdir(out_dir)
             if f.endswith(".parquet"))
-        return self._publish(base_version + 1, "merge", carried + new_files)
+        return self._publish(base_version + 1, "merge", carried + new_files,
+                             schema=snapshot.schema)
 
     # ---------------------------------------------------------- vacuum
     def vacuum(self, retain_last: int = 2) -> list[str]:

@@ -1277,3 +1277,35 @@ def test_wav_decode_handles_16bit_stereo(spark):
     assert row["duration_sec"] == n / 16000
     exp = float(np.abs(inter.astype(np.float64)).mean())
     assert abs(row["mean_abs_amplitude"] - exp) < 1e-9
+
+
+def test_versioned_table_additive_schema_evolution(spark, tmp_path):
+    """Appends may add nullable columns (old files read the new column
+    as null under the manifest-pinned schema); drops and retypes must
+    raise SchemaEvolutionError instead of silently corrupting pinned
+    readers."""
+    from location_summary_etl_spark.sources.versioned import (
+        SchemaEvolutionError,
+        VersionedTable,
+    )
+
+    t = VersionedTable(str(tmp_path / "ev"))
+    t.commit(spark.createDataFrame([(1, 10)], "k int, v int"))
+    # additive: a new column arrives
+    t.commit(spark.createDataFrame([(2, 20, "x")],
+                                   "k int, v int, tag string"))
+    got = {r["k"]: (r["v"], r["tag"]) for r in t.read(spark).collect()}
+    assert got == {1: (10, None), 2: (20, "x")}
+    # time travel at v0 still reads the original two columns
+    assert t.read(spark, version=0).columns == ["k", "v"]
+
+    for bad, why in [
+        (spark.createDataFrame([(3,)], "k int"), "drop"),
+        (spark.createDataFrame([(3, "oops", "y")],
+                               "k int, v string, tag string"), "retype"),
+    ]:
+        try:
+            t.commit(bad)
+            raise AssertionError(f"expected SchemaEvolutionError on {why}")
+        except SchemaEvolutionError:
+            pass
