@@ -67,6 +67,11 @@ def test_relational_corpus_has_no_cartesian_products(spark, sf_dir):
     for name in contract.queries():
         if name.startswith("multimodal"):
             continue  # mapInPandas plans, no joins
+        if name.startswith("streaming_"):
+            # constructing these DataFrames RUNS a full stream; the
+            # returned plan is a memory-table scan with no joins --
+            # nothing for this assertion to see, at seconds of cost.
+            continue
         plan = plan_of(spark, name, sf_dir, mode="simple")
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian"
 
@@ -94,6 +99,10 @@ def test_no_python_udfs_in_relational_corpus(spark, sf_dir):
     for name in contract.queries():
         if name in arrow_ok:
             continue
+        if name.startswith("streaming_"):
+            continue  # constructing these runs a stream; the returned
+            # plan is a memory scan (their Python usage --
+            # applyInPandasWithState -- is deliberate and streaming-side)
         plan = plan_of(spark, name, sf_dir, mode="simple")
         assert "BatchEvalPython" not in plan, f"{name} uses a Python UDF"
         assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF"
