@@ -218,3 +218,36 @@ SELECT o_orderpriority,
 FROM orders
 GROUP BY o_orderpriority
 """)
+
+
+def versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution under the oracle gate: v0 commits a
+    two-column nation summary, v1 appends rows carrying a NEW column
+    -- the manifest-pinned read resolves v0's files with the evolved
+    schema, so pre-evolution rows surface the new column as NULL (the
+    lakehouse semantics, replayed by the oracle's CASE)."""
+    import shutil
+
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ev_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    t = VersionedTable(path)
+
+    nation = load_table(spark, sf_dir, "nation")
+    old_half = nation.filter(F.col("n_nationkey") < 12).select(
+        "n_nationkey", "n_name")
+    new_half = nation.filter(F.col("n_nationkey") >= 12).select(
+        "n_nationkey", "n_name",
+        F.col("n_regionkey").alias("region_key"))
+    t.commit(old_half)
+    t.commit(new_half, mode="append")
+    return t.read(spark).select("n_nationkey", "n_name", "region_key")
+
+
+register("versioned_schema_evolution", versioned_schema_evolution, """
+SELECT n_nationkey, n_name,
+       CASE WHEN n_nationkey >= 12 THEN n_regionkey END AS region_key
+FROM nation
+""")
