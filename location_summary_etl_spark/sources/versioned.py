@@ -249,6 +249,43 @@ class VersionedTable:
         return self._publish(base_version + 1, "merge", carried + new_files,
                              schema=snapshot.schema)
 
+    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+        """Rewrite the current snapshot's file set into
+        ``target_files`` files as a new version -- the small-file
+        compaction every streaming-ingested table eventually needs
+        (thousands of per-batch files make every scan pay open/footer
+        costs).  Data is byte-identical; only layout changes, and
+        readers pinned to older versions keep their exact file lists
+        until vacuum.  At scale, compact per partition/key-range
+        instead of globally -- this is the whole-table degenerate
+        form."""
+        base_version = self.latest_version()
+        if base_version is None:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        snapshot = self.read(spark, base_version)
+        out_dir = os.path.join(self.data_dir, f"commit-{uuid.uuid4().hex}")
+        snapshot.coalesce(target_files).write.mode("error").parquet(out_dir)
+        new_files = sorted(
+            os.path.join(out_dir, f) for f in os.listdir(out_dir)
+            if f.endswith(".parquet"))
+        return self._publish(base_version + 1, "compact", new_files,
+                             schema=snapshot.schema)
+
+    def restore(self, version: int) -> int:
+        """Publish a NEW version whose file list (and schema) is an
+        exact copy of ``version``'s -- roll the table back without
+        rewriting a byte or losing the intermediate history (they
+        remain time-travelable until vacuum)."""
+        m = self._manifest(version)
+        target = self.latest_version() + 1
+        schema = None
+        if m.get("schema"):
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(m["schema"]))
+        return self._publish(target, f"restore(v{version})", m["files"],
+                             schema=schema)
+
     # ---------------------------------------------------------- vacuum
     def vacuum(self, retain_last: int = 2) -> list[str]:
         """Drop manifests older than the last ``retain_last`` versions

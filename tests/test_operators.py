@@ -1309,3 +1309,38 @@ def test_versioned_table_additive_schema_evolution(spark, tmp_path):
             raise AssertionError(f"expected SchemaEvolutionError on {why}")
         except SchemaEvolutionError:
             pass
+
+
+def test_versioned_compact_and_restore(spark, tmp_path):
+    """compact() rewrites the snapshot into fewer files with identical
+    data (layout-only change; prior versions untouched); restore()
+    rolls back by republishing an old version's exact file list
+    without rewriting a byte."""
+    import os
+
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "cr"))
+    for lo in range(0, 40, 10):  # 4 appends -> >= 4 files
+        t.commit(spark.range(lo, lo + 10).selectExpr("id AS k")
+                 .repartition(2), mode="append")
+    pre = t._manifest(t.latest_version())
+    assert pre["n_files"] >= 4
+
+    v = t.compact(spark, target_files=1)
+    post = t._manifest(v)
+    assert post["n_files"] == 1
+    assert sorted(r["k"] for r in t.read(spark).collect()) == list(range(40))
+    # the pre-compaction version still reads its original files
+    assert sorted(r["k"] for r in t.read(spark, version=v - 1).collect()) == \
+        list(range(40))
+
+    rv = t.restore(1)  # back to the first two appends
+    assert t._manifest(rv)["files"] == t._manifest(1)["files"]  # zero copy
+    assert sorted(r["k"] for r in t.read(spark).collect()) == list(range(20))
+    # history intact: the compacted state is still reachable
+    assert sorted(r["k"] for r in t.read(spark, version=v).collect()) == \
+        list(range(40))
+    # vacuum after restore keeps exactly what retained manifests need
+    t.vacuum(retain_last=2)
+    assert sorted(r["k"] for r in t.read(spark).collect()) == list(range(20))
