@@ -264,7 +264,8 @@ def write_observed(df: DataFrame, path: str, metrics: dict[str, Column],
 def merge_upsert(spark: SparkSession, updates: DataFrame, path: str,
                  keys: list[str], partition_by: str | None = None,
                  delete_col: str | None = None,
-                 collect_metrics: bool = True) -> dict:
+                 collect_metrics: bool = True,
+                 assume_partition_stable: bool = False) -> dict:
     """Keyed MERGE into a parquet table: matched keys are UPDATED (or
     DELETED when ``delete_col`` is true), unmatched update rows are
     INSERTED -- the lakehouse-shaped generalization of this module's
@@ -300,6 +301,16 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, path: str,
     ``collect_metrics=False`` skips the three counting aggregations
     (the merge itself never needs them) and returns -1 counts -- the
     cheap mode for pipelines that only want the table mutated.
+
+    ``assume_partition_stable=True`` is the 100 TB discovery
+    shortcut: when the caller GUARANTEES a key's partition value
+    never changes (the usual case -- partition derived from the key,
+    e.g. month in a (month, id) key), affected partitions are just
+    the updates' own partition values and the full-table key scan is
+    skipped entirely.  The guarantee is the caller's: a matched row
+    living in a different partition than its update row would be
+    missed (left as a stale duplicate), so only set this when the
+    invariant genuinely holds.
     """
     if delete_col is not None:
         deletes = updates.filter(F.col(delete_col)).drop(delete_col)
@@ -351,14 +362,23 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, path: str,
         return counts
 
     # Partitions that hold a matched key (column-pruned scan: keys +
-    # partition column only) union the updates' own partitions.
-    matched_parts = (
-        target.join(touched_keys, keys, "left_semi")
-        .select(partition_by).distinct()
-    )
-    update_parts = upserts.select(partition_by).distinct()
-    affected = [r[0] for r in matched_parts.union(update_parts)
-                .distinct().collect()]
+    # partition column only) union the updates' own partitions --
+    # unless the caller guarantees partition-stable keys, in which
+    # case the updates' partitions ARE the affected set and the
+    # full-table key scan is skipped.
+    if assume_partition_stable:
+        # deletes included: under the stable guarantee a delete's rows
+        # live in the delete row's own partition.
+        affected = [r[0] for r in
+                    updates.select(partition_by).distinct().collect()]
+    else:
+        matched_parts = (
+            target.join(touched_keys, keys, "left_semi")
+            .select(partition_by).distinct()
+        )
+        update_parts = upserts.select(partition_by).distinct()
+        affected = [r[0] for r in matched_parts.union(update_parts)
+                    .distinct().collect()]
     if not affected:
         return {"inserted": 0, "updated": 0, "deleted": 0, "partitions": 0}
 

@@ -1344,3 +1344,36 @@ def test_versioned_compact_and_restore(spark, tmp_path):
     # vacuum after restore keeps exactly what retained manifests need
     t.vacuum(retain_last=2)
     assert sorted(r["k"] for r in t.read(spark).collect()) == list(range(20))
+
+
+def test_merge_upsert_partition_stable_shortcut(spark, tmp_path):
+    """assume_partition_stable skips the full-table key scan: results
+    equal the discovery path when the invariant holds, and only the
+    updates' own partitions are rewritten."""
+    import os
+
+    from location_summary_etl_spark.sources.writers import merge_upsert
+
+    path = str(tmp_path / "stable")
+    base = spark.createDataFrame(
+        [(i, f"p{i % 3}", float(i)) for i in range(9)],
+        ["k", "part", "v"])
+    merge_upsert(spark, base, path, keys=["k"], partition_by="part")
+
+    def mtimes(p):
+        d = os.path.join(path, f"part={p}")
+        return {f: os.path.getmtime(os.path.join(d, f))
+                for f in os.listdir(d) if f.endswith(".parquet")}
+
+    before_p1, before_p2 = mtimes("p1"), mtimes("p2")
+    upd = spark.createDataFrame(
+        [(0, "p0", 100.0, False), (3, "p0", 300.0, True)],
+        ["k", "part", "v", "is_delete"])
+    r = merge_upsert(spark, upd, path, keys=["k"], partition_by="part",
+                     delete_col="is_delete", assume_partition_stable=True)
+    assert r["partitions"] == 1
+    assert mtimes("p1") == before_p1 and mtimes("p2") == before_p2
+    got = sorted((row["k"], row["v"]) for row in
+                 spark.read.parquet(path).collect())
+    assert got == [(0, 100.0), (1, 1.0), (2, 2.0), (4, 4.0), (5, 5.0),
+                   (6, 6.0), (7, 7.0), (8, 8.0)]
