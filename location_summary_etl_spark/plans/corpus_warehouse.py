@@ -135,8 +135,11 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     base.write.mode("overwrite").partitionBy("priority").parquet(path)
 
     updates = summarize(orders).filter(F.col("month") >= "1996-06")
+    # partition (priority) is part of the key, so partition-stability
+    # holds by construction -- the discovery shortcut is sound here.
     merge_upsert(spark, updates, path, keys=["priority", "month"],
-                 partition_by="priority", collect_metrics=False)
+                 partition_by="priority", collect_metrics=False,
+                 assume_partition_stable=True)
     got = spark.read.parquet(path)
     return got.select("priority", "month", "n_orders", "total_cents")
 
