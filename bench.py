@@ -21,6 +21,20 @@ import os
 import sys
 import time
 
+# Timed separately from HEADLINE (see the extras section in main):
+# write life-cycles, streaming drains, and alternate dedup configs.
+EXTRAS = [
+    "dedup_minhash_lsh_uncapped",
+    "dedup_ngram_jaccard_uncapped",
+    "multimodal_audio_decode",
+    "merge_upsert_orders",
+    "versioned_time_travel",
+    "skew_salted_fact_join",
+    "text_approx_topk_sketch",
+    "streaming_tumbling_counts",
+    "streaming_user_running_stats",
+]
+
 HEADLINE = [
     "flagship_nation_summary",
     "pricing_summary",
@@ -173,23 +187,27 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             dtimes[name] = round(best, 3)
         detail["duckdb"] = dtimes
+        # Extras' oracles, kept under a separate key: several are
+        # WRITE life-cycles whose Spark time includes table mutation
+        # while the oracle only recomputes the final relation, so
+        # folding them into the headline ratio would be
+        # apples-to-oranges.
+        dextras: dict[str, float] = {}
+        for name in [n for n in EXTRAS if n in qs and n in oracles]:
+            con.execute(oracles[name]).fetchall()
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                con.execute(oracles[name]).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            dextras[name] = round(best, 3)
+        detail["duckdb_extras"] = dextras
 
     # Extras: round-4+ families timed with the same discipline but
     # kept OUT of the headline total so cross-round totals stay
     # comparable.  Streaming entries include real stream start/drain
     # (seconds of fixed cost by design); merge/versioned include their
     # table life-cycle writes.
-    EXTRAS = [
-        "dedup_minhash_lsh_uncapped",
-        "dedup_ngram_jaccard_uncapped",
-        "multimodal_audio_decode",
-        "merge_upsert_orders",
-        "versioned_time_travel",
-        "skew_salted_fact_join",
-        "text_approx_topk_sketch",
-        "streaming_tumbling_counts",
-        "streaming_user_running_stats",
-    ]
     extras: dict[str, float] = {}
     for name in [n for n in EXTRAS if n in qs]:
         spark.catalog.clearCache()
