@@ -54,6 +54,10 @@ class SchemaEvolutionError(Exception):
     """The commit's schema is not an additive extension of the table's."""
 
 
+class ConstraintViolationError(Exception):
+    """A CHECK constraint failed; the commit was abandoned unpublished."""
+
+
 class VersionedTable:
     def __init__(self, path: str):
         self.path = path
@@ -107,11 +111,22 @@ class VersionedTable:
         ]
 
     # ----------------------------------------------------------- write
-    def commit(self, df: DataFrame, mode: str = "append") -> int:
+    def commit(self, df: DataFrame, mode: str = "append",
+               constraints: list[str] | None = None) -> int:
         """Write ``df``'s rows as new data files, then atomically
         publish the next manifest.  ``append`` unions the new files
         with the current version's; ``overwrite`` replaces the file
-        set.  Returns the committed version number."""
+        set.  Returns the committed version number.
+
+        ``constraints``: CHECK expressions (SQL strings over the
+        commit's columns, e.g. ``"v >= 0"``, ``"k IS NOT NULL"``) that
+        every committed row must satisfy.  Validated with ZERO extra
+        passes: an ``observe()`` aggregates violation counts DURING
+        the data-file write, and on any violation the manifest is
+        simply never published -- the files become unreferenced
+        garbage for vacuum and the table is untouched (the same
+        never-referenced-until-manifest property that makes crashes
+        safe makes constraint abandonment atomic)."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown commit mode {mode!r}")
         os.makedirs(self.manifest_dir, exist_ok=True)
@@ -122,8 +137,34 @@ class VersionedTable:
 
         # Data files first (never referenced until the manifest lands,
         # so a crash here leaves only unreferenced garbage for vacuum).
+        obs = None
+        if constraints:
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
+            obs = Observation()
+            df = df.observe(obs, *[
+                # SQL CHECK semantics: a NULL predicate PASSES (only
+                # definite violations count) -- match it so "v >= 0"
+                # admits null v unless "v IS NOT NULL" is also given.
+                F.sum(F.when(~F.expr(c), 1).otherwise(0))
+                .alias(f"_viol_{i}")
+                for i, c in enumerate(constraints)
+            ])
         out_dir = os.path.join(self.data_dir, f"commit-{uuid.uuid4().hex}")
         df.write.mode("error").parquet(out_dir)
+        if obs is not None:
+            got = obs.get
+            bad = [(c, got[f"_viol_{i}"])
+                   for i, c in enumerate(constraints)
+                   if (got[f"_viol_{i}"] or 0) > 0]
+            if bad:
+                import shutil
+
+                shutil.rmtree(out_dir, ignore_errors=True)
+                raise ConstraintViolationError(
+                    "; ".join(f"CHECK ({c}) violated by {n} row(s)"
+                              for c, n in bad))
         new_files = sorted(
             os.path.join(out_dir, f) for f in os.listdir(out_dir)
             if f.endswith(".parquet"))

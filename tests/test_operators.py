@@ -1377,3 +1377,33 @@ def test_merge_upsert_partition_stable_shortcut(spark, tmp_path):
                  spark.read.parquet(path).collect())
     assert got == [(0, 100.0), (1, 1.0), (2, 2.0), (4, 4.0), (5, 5.0),
                    (6, 6.0), (7, 7.0), (8, 8.0)]
+
+
+def test_versioned_commit_check_constraints(spark, tmp_path):
+    """CHECK constraints validate during the write (observe metrics,
+    no extra scan) and a violation abandons the commit atomically:
+    manifest unpublished, table state untouched, orphan files left
+    for vacuum."""
+    from location_summary_etl_spark.sources.versioned import (
+        ConstraintViolationError,
+        VersionedTable,
+    )
+
+    t = VersionedTable(str(tmp_path / "ck"))
+    t.commit(spark.createDataFrame([(1, 10.0)], "k int, v double"),
+             constraints=["v >= 0", "k IS NOT NULL"])
+    assert t.latest_version() == 0
+
+    bad = spark.createDataFrame([(2, 5.0), (3, -1.0), (None, 7.0)],
+                                "k int, v double")
+    try:
+        t.commit(bad, constraints=["v >= 0", "k IS NOT NULL"])
+        raise AssertionError("expected ConstraintViolationError")
+    except ConstraintViolationError as e:
+        assert "v >= 0" in str(e) and "1 row" in str(e)
+    # table untouched: still version 0 with the original row
+    assert t.latest_version() == 0
+    assert [tuple(r) for r in t.read(spark).collect()] == [(1, 10.0)]
+    # the abandoned files are gone (cleaned eagerly) or vacuumable
+    assert t.vacuum(retain_last=1) == []
+    assert [tuple(r) for r in t.read(spark).collect()] == [(1, 10.0)]
