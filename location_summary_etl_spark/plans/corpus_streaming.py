@@ -186,3 +186,34 @@ SELECT user_id,
 FROM events
 GROUP BY user_id
 """)
+
+
+def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once repair under the gate: the event stream unioned
+    with ITSELF (every event delivered twice -- the duplicate-delivery
+    shape a retried ingest produces) through
+    ``dropDuplicatesWithinWatermark`` must restore exact
+    distinctness.  The drained append-mode output is aggregated per
+    event type so the oracle is a plain distinct count over events."""
+    tag = _sf_tag(sf_dir)
+    doubled = read_events_stream(spark, sf_dir).unionByName(
+        read_events_stream(spark, sf_dir))
+    from location_summary_etl_spark.streaming.jobs import dedup_events_stream
+
+    out = _drain(spark, dedup_events_stream(doubled),
+                 f"stream_dedup_{tag}")
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_id").alias("n_distinct_ids"),
+        round_portable(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+register("streaming_dedup_replay", streaming_dedup_replay, """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT event_id) AS n_distinct_ids,
+       round(CAST(SUM(value) AS DOUBLE), 4) AS sum_value
+FROM events
+GROUP BY event_type
+""")
