@@ -225,7 +225,8 @@ class VersionedTable:
         return target
 
     def merge(self, spark: SparkSession, updates: DataFrame,
-              keys: list[str], delete_col: str | None = None) -> int:
+              keys: list[str], delete_col: str | None = None,
+              constraints: list[str] | None = None) -> int:
         """Keyed MERGE as a new snapshot version -- Delta-style
         copy-on-write at FILE granularity: only data files that
         contain a matched key are rewritten; every untouched file is
@@ -282,8 +283,29 @@ class VersionedTable:
                      else upserts.select(*snapshot.columns))
 
         os.makedirs(self.manifest_dir, exist_ok=True)
+        obs = None
+        if constraints:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            rewritten = rewritten.observe(obs, *[
+                F.sum(F.when(~F.expr(c), 1).otherwise(0)).alias(f"_viol_{i}")
+                for i, c in enumerate(constraints)
+            ])
         out_dir = os.path.join(self.data_dir, f"commit-{uuid.uuid4().hex}")
         rewritten.write.mode("error").parquet(out_dir)
+        if obs is not None:
+            got = obs.get
+            bad = [(c, got[f"_viol_{i}"])
+                   for i, c in enumerate(constraints)
+                   if (got[f"_viol_{i}"] or 0) > 0]
+            if bad:
+                import shutil
+
+                shutil.rmtree(out_dir, ignore_errors=True)
+                raise ConstraintViolationError(
+                    "; ".join(f"CHECK ({c}) violated by {n} row(s)"
+                              for c, n in bad))
         new_files = sorted(
             os.path.join(out_dir, f) for f in os.listdir(out_dir)
             if f.endswith(".parquet"))

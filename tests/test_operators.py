@@ -1407,3 +1407,29 @@ def test_versioned_commit_check_constraints(spark, tmp_path):
     # the abandoned files are gone (cleaned eagerly) or vacuumable
     assert t.vacuum(retain_last=1) == []
     assert [tuple(r) for r in t.read(spark).collect()] == [(1, 10.0)]
+
+
+def test_versioned_merge_respects_constraints(spark, tmp_path):
+    """A MERGE whose rewritten rows violate a CHECK abandons the new
+    version atomically -- the pre-merge snapshot stays latest."""
+    from location_summary_etl_spark.sources.versioned import (
+        ConstraintViolationError,
+        VersionedTable,
+    )
+
+    t = VersionedTable(str(tmp_path / "mc"))
+    t.commit(spark.createDataFrame([(1, 10.0), (2, 20.0)],
+                                   "k int, v double"))
+    bad = spark.createDataFrame([(2, -5.0)], "k int, v double")
+    try:
+        t.merge(spark, bad, keys=["k"], constraints=["v >= 0"])
+        raise AssertionError("expected ConstraintViolationError")
+    except ConstraintViolationError:
+        pass
+    assert t.latest_version() == 0
+    assert sorted(map(tuple, t.read(spark).collect())) == \
+        [(1, 10.0), (2, 20.0)]
+    ok = spark.createDataFrame([(2, 25.0)], "k int, v double")
+    t.merge(spark, ok, keys=["k"], constraints=["v >= 0"])
+    assert sorted(map(tuple, t.read(spark).collect())) == \
+        [(1, 10.0), (2, 25.0)]
