@@ -14,11 +14,12 @@ what parquet + an atomic rename can give):
   lists files, writer rewrites them, reader reads half-new half-old)
   cannot happen.
 - **Atomic commit**: the manifest is staged to a temp name and
-  ``os.rename``'d into place.  POSIX rename is atomic; on HDFS the
-  same call maps to an atomic namenode op.  On S3-class object stores
-  the rename would be a copy -- there the commit needs a
-  put-if-absent (S3 conditional PUT) or a log service, which is
-  exactly the part Delta's LogStore abstracts; documented, not faked.
+  hard-``link``'d into place -- on POSIX, ``link()`` fails with
+  EEXIST when the target exists, the put-if-absent that a bare
+  ``rename()`` cannot give (rename silently replaces).  On S3-class
+  object stores the equivalent is a conditional PUT or a log
+  service, which is exactly the part Delta's LogStore abstracts;
+  documented, not faked.
 - **Optimistic concurrency**: the commit targets version N+1 read at
   plan time; if ``v{N+1}.json`` already exists the writer lost the
   race and gets :class:`ConcurrentWriteError` -- retry by re-reading
@@ -244,7 +245,15 @@ class VersionedTable:
         Matched rows are replaced (or dropped when ``delete_col`` is
         true), unmatched update rows are appended.  Idempotent
         re-apply; concurrent commits surface as
-        :class:`ConcurrentWriteError` through the manifest gate."""
+        :class:`ConcurrentWriteError` through the manifest gate.
+
+        ``constraints`` validate the REWRITTEN rows only (carried
+        files were validated by their own commits -- under a
+        consistent constraint policy the whole table is covered
+        inductively).  Schema evolution through MERGE is not
+        supported: update columns outside the table's schema raise
+        ``SchemaEvolutionError`` (evolve with an append first) rather
+        than being silently dropped."""
         from pyspark.sql import functions as F
 
         if delete_col is not None:
@@ -264,6 +273,12 @@ class VersionedTable:
 
         current = self._manifest(base_version)["files"]
         snapshot = spark.read.parquet(*current)
+        extra = (set(upserts.columns) - set(snapshot.columns))
+        if extra:
+            raise SchemaEvolutionError(
+                f"merge updates carry columns {sorted(extra)} not in the "
+                "table schema; evolve additively with commit(mode='append') "
+                "first (silent column dropping would lose data)")
         touched = updates.select(*keys).distinct()
         affected = sorted(
             r["_f"] for r in snapshot

@@ -1433,3 +1433,22 @@ def test_versioned_merge_respects_constraints(spark, tmp_path):
     t.merge(spark, ok, keys=["k"], constraints=["v >= 0"])
     assert sorted(map(tuple, t.read(spark).collect())) == \
         [(1, 10.0), (2, 25.0)]
+
+
+def test_versioned_merge_rejects_unknown_columns(spark, tmp_path):
+    """MERGE must not silently drop update columns outside the table
+    schema -- that is data loss; it raises with the evolve-first
+    remedy instead."""
+    from location_summary_etl_spark.sources.versioned import (
+        SchemaEvolutionError,
+        VersionedTable,
+    )
+
+    t = VersionedTable(str(tmp_path / "mu"))
+    t.commit(spark.createDataFrame([(1, 10)], "k int, v int"))
+    upd = spark.createDataFrame([(1, 11, "new")], "k int, v int, extra string")
+    try:
+        t.merge(spark, upd, keys=["k"])
+        raise AssertionError("expected SchemaEvolutionError")
+    except SchemaEvolutionError as e:
+        assert "extra" in str(e)
