@@ -285,3 +285,96 @@ SELECT doc_id, shard,
             AS BIGINT) AS pos_in_shard
 FROM keyed
 """)
+
+
+# ------------------------------------------------ mixture resampling
+# Target mixture weights per source-group (what fraction of the final
+# training mix each group should be).  Deliberately non-uniform so the
+# derived per-source rates differ.
+MIX_WEIGHTS = [("src0", 3.0), ("src1", 3.0), ("src2", 1.0), ("src3", 1.0),
+               ("src4", 1.0), ("src5", 1.0)]
+MIX_BUDGET_FRACTION = 0.5   # of the docs in the targeted sources
+MIX_SALT = "mix42"
+
+
+def corpus_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic resampling to a TARGET source mixture -- the
+    data-mixing step before training (upweight curated sources,
+    downweight crawl).  Unlike ``corpus_stratified_sample`` (static
+    per-language rates), the per-source keep-fraction is DERIVED from
+    the observed counts in-plan: frac_s = min(1, weight_s * budget /
+    n_s), where the counts and the budget ride broadcast joins of
+    aggregate-sized relations -- no driver collect, so the plan
+    recomputes correctly on any corpus.  Row selection is the same
+    salted-hash bucket trick as the stratified sampler: corpus-
+    independent, so re-runs and incremental batches keep identical
+    rows.
+
+    Output is the per-source audit row (kept counts + achieved
+    mixture share), which is what the pipeline operator logs; the
+    kept rows themselves are the same relation before the final
+    groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(MIX_WEIGHTS, "source string, w double")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    sized = (counts.join(F.broadcast(weights), "source")
+             .withColumn("_wsum", F.sum("w").over(Window.partitionBy()))
+             .withColumn("_ntot", F.sum("n_s").over(Window.partitionBy())))
+    # budget rows for source s: (w_s / sum w) * (budget_frac * n_total)
+    frac = F.least(
+        F.lit(1.0),
+        (F.col("w") / F.col("_wsum")) * F.lit(MIX_BUDGET_FRACTION)
+        * F.col("_ntot") / F.col("n_s"))
+    rates = sized.select("source", frac.alias("frac"))
+    bucket = (
+        portable_hash32(
+            F.concat_ws("|", F.lit(MIX_SALT), F.col("doc_id").cast("string"))
+        ) % 1_000_000
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(bucket < (F.col("frac") * 1_000_000).cast("bigint"))
+    )
+    return (
+        kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+        .withColumn(
+            "achieved_share",
+            round_portable(
+                F.col("n_kept")
+                / F.sum("n_kept").over(Window.partitionBy()), 4))
+    )
+
+
+_MIX_H = DUCKDB_HASH32.format(
+    x=f"concat_ws('|', '{MIX_SALT}', CAST(doc_id AS VARCHAR))")
+_MIX_VALUES = ", ".join(f"('{s}', {w})" for s, w in MIX_WEIGHTS)
+
+register("corpus_mixture_resample", corpus_mixture_resample, f"""
+WITH weights(source, w) AS (VALUES {_MIX_VALUES}),
+counts AS (
+    SELECT d.source, COUNT(*) AS n_s
+    FROM documents d JOIN weights USING (source)
+    GROUP BY d.source
+),
+sized AS (
+    SELECT c.source, c.n_s, w.w,
+           SUM(w.w) OVER () AS wsum,
+           SUM(c.n_s) OVER () AS ntot
+    FROM counts c JOIN weights w USING (source)
+),
+rates AS (
+    SELECT source,
+           LEAST(1.0, (w / wsum) * {MIX_BUDGET_FRACTION} * ntot / n_s) AS frac
+    FROM sized
+),
+kept AS (
+    SELECT d.source
+    FROM documents d JOIN rates r USING (source)
+    WHERE {_MIX_H} % 1000000 < CAST(r.frac * 1000000 AS BIGINT)
+)
+SELECT source, COUNT(*) AS n_kept,
+       round(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 4)
+           AS achieved_share
+FROM kept
+GROUP BY source
+""")
