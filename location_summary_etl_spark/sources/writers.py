@@ -311,6 +311,16 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, path: str,
     living in a different partition than its update row would be
     missed (left as a stale duplicate), so only set this when the
     invariant genuinely holds.
+
+    Partition-value caveats, stated rather than implied: values
+    needing Hive directory escaping (spaces, ``/``, ``=``...) are not
+    supported by the emptied-partition delete (the raw
+    ``col=value`` path would miss the escaped directory name) --
+    keep partition values filesystem-plain, which every sane layout
+    does; and rows with a NULL partition value are never selected as
+    affected (``isin`` is NULL-false), so merge them under an
+    explicit sentinel partition instead.  ``VersionedTable.merge``
+    has neither restriction (file-granular, no directory naming).
     """
     if delete_col is not None:
         deletes = updates.filter(F.col(delete_col)).drop(delete_col)
