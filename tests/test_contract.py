@@ -13,9 +13,11 @@ import __spark_entry__ as contract
 from tests.oracle_utils import compare, duckdb_con
 
 # The conf-sensitive queries: event-time bucketing (TZ), pandas-UDF
-# path (Arrow).
+# path (Arrow), and a real streaming execution (watermark + window
+# boundaries + the unix_timestamp output conversion all ride the
+# session timezone -- the exact shape the driver's own session runs).
 SENSITIVE = ["events_tumbling_10min", "events_user_gapfill",
-             "ann_topk_bruteforce_pandas"]
+             "ann_topk_bruteforce_pandas", "streaming_tumbling_counts"]
 
 
 @pytest.fixture()
