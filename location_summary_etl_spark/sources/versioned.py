@@ -32,10 +32,13 @@ what parquet + an atomic rename can give):
 
 At 100 TB the manifest lists file PATHS (thousands of entries, KBs of
 JSON), never data; commits move O(changed files) bytes; readers prune
-to the pinned list before Spark's parquet reader ever globs.  What
-this deliberately does NOT have: column-level stats pruning, manifest
-compaction, and multi-table transactions -- named so the gap is
-explicit rather than implied away.
+to the pinned list before Spark's parquet reader ever globs.
+Optional per-file column min/max stats (``stats_columns``) enable
+Delta-style data skipping: ``read(where=(col, lo, hi))`` drops files
+whose recorded range cannot intersect the predicate before Spark
+opens a single footer.  What this deliberately does NOT have:
+manifest compaction and multi-table transactions -- named so the gap
+is explicit rather than implied away.
 """
 
 from __future__ import annotations
@@ -83,16 +86,38 @@ class VersionedTable:
         with open(os.path.join(self.manifest_dir, f"v{version}.json")) as f:
             return json.load(f)
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """DataFrame pinned to one manifest's exact file list."""
+    def read(self, spark: SparkSession, version: int | None = None,
+             where: tuple[str, object, object] | None = None) -> DataFrame:
+        """DataFrame pinned to one manifest's exact file list.
+
+        ``where=(col, lo, hi)``: data skipping -- files whose recorded
+        [min, max] for ``col`` cannot intersect [lo, hi] are dropped
+        from the scan BEFORE Spark opens anything (files without
+        recorded stats are conservatively kept).  This prunes the
+        FILE LIST only; apply the actual row filter on the returned
+        DataFrame as usual -- skipping is an optimization, never the
+        predicate."""
         if version is None:
             version = self.latest_version()
         if version is None:
             raise FileNotFoundError(f"no committed version at {self.path}")
-        files = self._manifest(version)["files"]
+        m = self._manifest(version)
+        files = m["files"]
+        if where is not None:
+            col, lo, hi = where
+            stats = m.get("stats", {})
+            files = [
+                f for f in files
+                if (st := stats.get(f, {}).get(col)) is None
+                or (st[0] is None or st[1] is None)
+                or not (st[0] > hi or st[1] < lo)
+            ]
         if not files:
-            raise ValueError(f"version {version} is an empty table")
-        schema_json = self._manifest(version).get("schema")
+            raise ValueError(f"version {version} is an empty table"
+                             if not m["files"] else
+                             "data skipping pruned every file; the "
+                             "predicate selects no rows")
+        schema_json = m.get("schema")
         if schema_json:
             # Pin the read to the MANIFEST's schema: an additively
             # evolved table has files with different physical schemas,
@@ -113,7 +138,8 @@ class VersionedTable:
 
     # ----------------------------------------------------------- write
     def commit(self, df: DataFrame, mode: str = "append",
-               constraints: list[str] | None = None) -> int:
+               constraints: list[str] | None = None,
+               stats_columns: list[str] | None = None) -> int:
         """Write ``df``'s rows as new data files, then atomically
         publish the next manifest.  ``append`` unions the new files
         with the current version's; ``overwrite`` replaces the file
@@ -127,7 +153,12 @@ class VersionedTable:
         simply never published -- the files become unreferenced
         garbage for vacuum and the table is untouched (the same
         never-referenced-until-manifest property that makes crashes
-        safe makes constraint abandonment atomic)."""
+        safe makes constraint abandonment atomic).
+
+        ``stats_columns``: record per-file [min, max] for these
+        columns in the manifest (read from the freshly written
+        parquet FOOTERS -- metadata already on disk, no data scan),
+        enabling ``read(where=...)`` data skipping."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown commit mode {mode!r}")
         os.makedirs(self.manifest_dir, exist_ok=True)
@@ -171,10 +202,16 @@ class VersionedTable:
             if f.endswith(".parquet"))
 
         prev_files: list[str] = []
+        prev_stats: dict = {}
         if mode == "append" and base_version is not None:
-            prev_files = self._manifest(base_version)["files"]
+            prev_m = self._manifest(base_version)
+            prev_files = prev_m["files"]
+            prev_stats = prev_m.get("stats", {})
+        stats = dict(prev_stats)
+        if stats_columns:
+            stats.update(_footer_stats(new_files, stats_columns))
         return self._publish(target, mode, prev_files + new_files,
-                             schema=df.schema)
+                             schema=df.schema, stats=stats or None)
 
     def _check_additive(self, df: DataFrame, base_version: int) -> None:
         """Appends/merges may ADD nullable columns, never drop or
@@ -197,7 +234,7 @@ class VersionedTable:
                     f"{new_fields[name]!r} (retypes are not additive)")
 
     def _publish(self, target: int, operation: str,
-                 files: list[str], schema=None) -> int:
+                 files: list[str], schema=None, stats=None) -> int:
         """Atomically publish manifest ``target`` (put-if-absent).
 
         On POSIX, ``link()`` fails with EEXIST when the target exists
@@ -211,6 +248,8 @@ class VersionedTable:
         }
         if schema is not None:
             manifest["schema"] = json.dumps(schema.jsonValue())
+        if stats:
+            manifest["stats"] = stats
         tmp = os.path.join(self.manifest_dir,
                            f".v{target}.json.{uuid.uuid4().hex}.tmp")
         final = os.path.join(self.manifest_dir, f"v{target}.json")
@@ -398,3 +437,32 @@ class VersionedTable:
                     for r, _ds, fs in os.walk(d) for f in fs):
                 shutil.rmtree(d, ignore_errors=True)
         return removed
+
+
+def _footer_stats(files: list[str], columns: list[str]) -> dict:
+    """Per-file [min, max] for ``columns`` from parquet FOOTER
+    metadata (row-group statistics the writer already recorded --
+    no data is read).  Non-comparable or statless columns record
+    None bounds, which the skipping read treats as always-keep."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        name_to_idx = {md.schema.column(i).name: i
+                       for i in range(md.num_columns)}
+        per_col: dict[str, list] = {}
+        for c in columns:
+            i = name_to_idx.get(c)
+            lo = hi = None
+            if i is not None:
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(i).statistics
+                    if st is None or not st.has_min_max:
+                        lo = hi = None
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+            per_col[c] = [lo, hi]
+        out[f] = per_col
+    return out

@@ -1452,3 +1452,37 @@ def test_versioned_merge_rejects_unknown_columns(spark, tmp_path):
         raise AssertionError("expected SchemaEvolutionError")
     except SchemaEvolutionError as e:
         assert "extra" in str(e)
+
+
+def test_versioned_data_skipping_prunes_files(spark, tmp_path):
+    """Per-file min/max stats from parquet footers drive file-list
+    pruning: a range predicate over sorted-batch commits must scan
+    only the intersecting files, and the pruned read returns exactly
+    the rows a full read + filter would."""
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "ds"))
+    for lo in (0, 100, 200, 300):  # disjoint k-ranges per commit
+        t.commit(spark.range(lo, lo + 100).selectExpr("id AS k")
+                 .coalesce(1), mode="append", stats_columns=["k"])
+    m = t._manifest(t.latest_version())
+    assert len(m["files"]) == 4 and len(m["stats"]) == 4
+
+    pruned = t.read(spark, where=("k", 150, 160))
+    assert len(pruned.inputFiles()) == 1          # one file intersects
+    got = sorted(r["k"] for r in
+                 pruned.filter("k BETWEEN 150 AND 160").collect())
+    assert got == list(range(150, 161))
+
+    # predicate across a boundary keeps exactly the two spanning files
+    assert len(t.read(spark, where=("k", 190, 210)).inputFiles()) == 2
+    # a predicate outside every range raises the explicit empty error
+    try:
+        t.read(spark, where=("k", 5000, 6000))
+        raise AssertionError("expected the pruned-to-nothing error")
+    except ValueError as e:
+        assert "pruned every file" in str(e)
+    # files without recorded stats are conservatively kept
+    t.commit(spark.range(400, 410).selectExpr("id AS k").coalesce(1),
+             mode="append")  # no stats_columns
+    assert len(t.read(spark, where=("k", 150, 160)).inputFiles()) == 2
