@@ -66,6 +66,70 @@ def oracle_sql() -> dict[str, str]:
 
 _LOADED = False
 
+# Entries that already earned an external driver row (union of the keys
+# in CORRECTNESS_r01-r04.json).  The round-robin guarantees FAMILY
+# coverage in the external gate's first-50 sampling window, but 59 of
+# 151 entries had never been externally verified after four rounds --
+# so each family now leads with its never-sampled entries (relative
+# registration order preserved within each tier).
+_DRIVER_SAMPLED_PRIOR = frozenset({
+    "ann_topk_bruteforce", "ann_topk_bruteforce_pandas", "ann_topk_ivf",
+    "ann_topk_lsh", "ann_topk_quantized", "corpus_chunk_documents",
+    "corpus_contamination_check", "corpus_length_histogram",
+    "corpus_quality_rules", "corpus_train_val_split",
+    "cte_latest_order_sql", "customer_cohort_retention",
+    "customer_grouping_sets", "customer_nation_renamed",
+    "customer_order_chain_lengths", "customer_order_count_distribution",
+    "customer_order_recency", "customer_order_running_totals",
+    "customer_order_timeline", "customer_scd2_merge",
+    "customers_with_urgent_orders", "customers_without_urgent_orders",
+    "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_minhash_lsh_capped", "dedup_minhash_signatures",
+    "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped",
+    "dedup_ngram_jaccard_prefix", "dedup_simhash_pairs",
+    "dedup_simhash_signatures", "doc_chunks_udtf", "embedding_label_norms",
+    "embedding_quantize_int8", "events_funnel", "events_interval_join",
+    "events_json_kpis", "events_json_schema_parse",
+    "excess_stock_suppliers", "flagship_nation_summary",
+    "forecast_revenue_change", "full_outer_nation_counts",
+    "global_latest_orders", "latest_order_per_customer",
+    "lineitem_derived_columns", "merge_upsert_orders", "min_cost_supplier",
+    "multimodal_decode_features", "multimodal_inventory",
+    "nation_balance_score", "nation_distinct_segments",
+    "nation_market_share", "nation_name_fuzzy_pairs",
+    "nation_order_extremes", "nation_top2_orders_lateral",
+    "nations_with_both", "order_priority_checking",
+    "order_shipping_priority", "orders_approx_stats",
+    "orders_bitmap_distinct", "orders_month_status_pivot",
+    "orders_price_banded", "orders_price_banded_compiled",
+    "orders_rank_analytics", "part_brand_size_cube",
+    "part_small_quantity_revenue", "pricing_summary",
+    "product_profit_by_nation_year", "region_local_supplier_volume",
+    "region_nation_rollup", "returnflag_profile",
+    "segment_customers_in_region", "segment_price_quantiles",
+    "segment_right_outer_coverage", "segment_without_urgent_orders",
+    "select_star_passthrough", "streaming_session_windows",
+    "streaming_tumbling_counts", "text_bpe_token_counts",
+    "text_fingerprints", "text_lang_id", "text_pii_scrub",
+    "text_tfidf_top_terms", "text_token_stats", "text_vocab_top20",
+    "top_orders_global", "top_orders_per_nation",
+    "union_customer_supplier_names", "user_activity_cogroup",
+    "user_value_ewma", "warehouse_roundtrip",
+})
+
+# Entries that MUST re-enter the sampling window this round: the two
+# r4 hash-red rows, hardened in r5 (all-integer output; per-invocation
+# tempdir) -- a fresh green driver row is the only proof that counts.
+_WINDOW_PINNED = ("multimodal_inventory", "merge_upsert_orders")
+
+# Never-sampled entries that should lead their family's never-sampled
+# tier (round-4 additions whose semantics are the most novel -- a
+# driver row on these is worth more than on a near-duplicate variant).
+_WINDOW_PREFERRED = frozenset({
+    "versioned_time_travel", "skew_salted_fact_join",
+    "streaming_dedup_replay", "multimodal_audio_decode",
+})
+
 
 def _ensure_loaded() -> None:
     """Import every corpus module exactly once (each registers itself),
@@ -114,6 +178,15 @@ def _ensure_loaded() -> None:
         before = len(_REGISTRY)
         importlib.import_module(f"location_summary_etl_spark.plans.{mod}")
         families.append(list(_REGISTRY)[before:])
+
+    def _tier(name: str) -> int:
+        if name in _WINDOW_PINNED:
+            return 0
+        if name in _WINDOW_PREFERRED:
+            return 1
+        return 2 if name not in _DRIVER_SAMPLED_PRIOR else 3
+
+    families = [sorted(fam, key=_tier) for fam in families]  # stable
 
     interleaved: list[str] = []
     cursor = 0

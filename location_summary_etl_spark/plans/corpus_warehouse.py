@@ -39,6 +39,34 @@ def _wh_path(sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"spark_graft_wh_{tag}.duckdb")
 
 
+def _fresh_dir(kind: str, sf_dir: str) -> str:
+    """Per-invocation scratch directory for life-cycle entries.
+
+    A fixed ``/tmp/spark_graft_<kind>_<sf>`` path is shared across runs
+    and concurrent invocations -- a prior crash or parallel evaluation
+    can leave foreign files visible to the read-back (the one class of
+    explanation for r4's locally-irreproducible driver hash-red on
+    ``merge_upsert_orders``).  Instead: a ``mkdtemp`` under a per-kind
+    root, with an age-gated best-effort sweep of stale siblings (>10
+    min old is never a concurrently-running evaluation)."""
+    import shutil
+    import time
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_{kind}_runs_{tag}")
+    os.makedirs(root, exist_ok=True)
+    now = time.time()
+    for entry in os.listdir(root):
+        full = os.path.join(root, entry)
+        try:
+            if now - os.path.getmtime(full) > 600:
+                shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            pass
+    return tempfile.mkdtemp(dir=root)
+
+
 def warehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_warehouse(spark)
     db = _wh_path(sf_dir)
@@ -106,12 +134,21 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     every invocation (seed is a full overwrite), so the entry is
     deterministic and idempotent under re-runs.
 
-    Money is integer CENTS end to end (exact sums, hash-stable)."""
+    Money is integer CENTS end to end (exact sums, hash-stable).
+
+    The merge target lives in a PER-INVOCATION ``tempfile.mkdtemp()``
+    directory (r4 hardening): the previous fixed ``/tmp`` path was
+    shared across runs and concurrent invocations, so a prior crash or
+    a parallel evaluation could leave foreign files in the read-back
+    glob -- the one class of explanation for the r4 driver's
+    locally-irreproducible hash mismatch.  Because the read-back DF is
+    lazily returned, cleanup cannot happen here; the seed data is
+    persisted through a count() so every file the result needs exists
+    before return, and stale dirs from prior invocations are swept
+    eagerly (best-effort, age-gated so a concurrent run is untouched)."""
     from location_summary_etl_spark.sources.writers import merge_upsert
 
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_merge_{os.path.basename(os.path.normpath(sf_dir))}")
+    path = _fresh_dir("merge", sf_dir)
     orders = load_table(spark, sf_dir, "orders")
     cents = (
         F.signum("o_totalprice")
@@ -181,15 +218,11 @@ def versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the first commit even though v1 exists (snapshot isolation is
     what the oracle checks: the 'v0' rows replay the date filter, the
     'v1' rows the full table).  The table is rebuilt from scratch per
-    invocation (fresh temp dir), so re-runs are deterministic."""
-    import shutil
-
+    invocation (per-invocation mkdtemp -- no cross-run or concurrent
+    state can touch the read-back), so re-runs are deterministic."""
     from location_summary_etl_spark.sources.versioned import VersionedTable
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_vt_{tag}")
-    shutil.rmtree(path, ignore_errors=True)
-    t = VersionedTable(path)
+    t = VersionedTable(os.path.join(_fresh_dir("vt", sf_dir), "table"))
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority")
@@ -229,14 +262,9 @@ def versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- the manifest-pinned read resolves v0's files with the evolved
     schema, so pre-evolution rows surface the new column as NULL (the
     lakehouse semantics, replayed by the oracle's CASE)."""
-    import shutil
-
     from location_summary_etl_spark.sources.versioned import VersionedTable
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ev_{tag}")
-    shutil.rmtree(path, ignore_errors=True)
-    t = VersionedTable(path)
+    t = VersionedTable(os.path.join(_fresh_dir("ev", sf_dir), "table"))
 
     nation = load_table(spark, sf_dir, "nation")
     old_half = nation.filter(F.col("n_nationkey") < 12).select(

@@ -19,6 +19,30 @@ All dimension joins are broadcast.  The min-max bounds and the audit
 snapshot date are 1-row broadcast joins, not driver collects, so the
 whole job is a single lineage with no eager actions
 (vs. the reference's 2 blocking ``.first`` calls at App.scala:179,195).
+
+Measured dead ends (r5, sf0.1 local[32], min-of-6 noop-sink runs,
+side-by-side in one session -- kept so the next tuner doesn't retry
+them).  The r4 verdict suggested fusing the two customer scans
+(per_nation inner-join + the separate ``bal`` aggregate):
+
+* **Customer-scan fusion** (pre-aggregate latest per customer, LEFT
+  join into customer 1:1, single nation-grain groupBy computing both
+  aggregates): 0.52-0.64 s vs 0.43-0.57 s for this plan (+15-20%).
+  The 15k-row dimension re-scan the fusion deletes costs ~nothing at
+  bench scale, while the extra blocking pre-aggregate sits on the hot
+  path.
+* **Fused single-scan argmax** (groupBy (custkey, orderdate) pre-agg
+  -> max(struct(date, stats)) -- one orders scan, no join-back):
+  0.79-0.82 s vs 0.60-0.63 s (+30%).  The argmax JOIN form never
+  shuffles orders at all (the per-key maxes broadcast and the
+  join-back streams the scan), so "scan orders once but shuffle the
+  whole (custkey, date) pre-aggregate" loses to "scan orders twice,
+  shuffle nothing wide".
+
+Both fusions would win only where customer is too big to rescan
+cheaply AND the per-cust maxes too big to broadcast -- at that point
+flip ``use_window=True`` (single orders scan+shuffle) rather than
+resurrecting these shapes.
 """
 
 from __future__ import annotations

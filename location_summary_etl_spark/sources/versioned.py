@@ -105,18 +105,33 @@ class VersionedTable:
         files = m["files"]
         if where is not None:
             col, lo, hi = where
+            # Compare in the same JSON-safe domain the stats were
+            # recorded in (_stat_jsonsafe: dates/timestamps as
+            # isoformat strings -- order-preserving lexicographically).
+            lo, hi = _stat_jsonsafe(lo), _stat_jsonsafe(hi)
             stats = m.get("stats", {})
             files = [
                 f for f in files
-                if (st := stats.get(f, {}).get(col)) is None
+                if lo is None or hi is None
+                or (st := stats.get(f, {}).get(col)) is None
                 or (st[0] is None or st[1] is None)
                 or not (st[0] > hi or st[1] < lo)
             ]
+        if not m["files"]:
+            raise ValueError(f"version {version} is an empty table")
         if not files:
-            raise ValueError(f"version {version} is an empty table"
-                             if not m["files"] else
-                             "data skipping pruned every file; the "
-                             "predicate selects no rows")
+            # Data skipping pruned every file: a legitimately selective
+            # predicate that matches no rows.  Skipping must stay a
+            # pure optimization, so return an EMPTY DataFrame with the
+            # pinned schema rather than raising -- callers cannot be
+            # asked to distinguish "no matching data" from misuse.
+            from pyspark.sql.types import StructType
+
+            schema_json = m.get("schema")
+            schema = (StructType.fromJson(json.loads(schema_json))
+                      if schema_json
+                      else spark.read.parquet(*m["files"]).schema)
+            return spark.createDataFrame([], schema)
         schema_json = m.get("schema")
         if schema_json:
             # Pin the read to the MANIFEST's schema: an additively
@@ -310,8 +325,22 @@ class VersionedTable:
             raise ValueError(
                 f"merge: updates contain duplicate key {tuple(dup[0])[:len(keys)]}")
 
-        current = self._manifest(base_version)["files"]
-        snapshot = spark.read.parquet(*current)
+        base_m = self._manifest(base_version)
+        current = base_m["files"]
+        # Manifest-pinned snapshot (NOT a bare parquet read): after an
+        # additive schema evolution the file set has mixed physical
+        # schemas, and a bare read resolves from one sampled file -- if
+        # an old file wins, the evolved column vanishes from
+        # snapshot.columns, the upsert projection silently drops its
+        # data, and _publish records a regressed schema that corrupts
+        # every later pinned read.  self.read() pins the manifest's
+        # schema, which is the table's truth.
+        snapshot = self.read(spark, base_version)
+        pinned_schema = None
+        if base_m.get("schema"):
+            from pyspark.sql.types import StructType
+
+            pinned_schema = StructType.fromJson(json.loads(base_m["schema"]))
         extra = (set(upserts.columns) - set(snapshot.columns))
         if extra:
             raise SchemaEvolutionError(
@@ -329,9 +358,15 @@ class VersionedTable:
         affected_paths = {f.removeprefix("file://") for f in affected}
         carried = [f for f in current if f not in affected_paths]
 
-        survivors = (spark.read.parquet(*sorted(affected_paths))
-                     .join(touched, keys, "left_anti")
-                     if affected_paths else None)
+        # The affected-files rewrite read pins the same schema for the
+        # same mixed-physical-schema reason as the snapshot read above.
+        if affected_paths:
+            reader = (spark.read.schema(pinned_schema)
+                      if pinned_schema is not None else spark.read)
+            survivors = (reader.parquet(*sorted(affected_paths))
+                         .join(touched, keys, "left_anti"))
+        else:
+            survivors = None
         rewritten = (survivors.unionByName(upserts.select(*snapshot.columns))
                      if survivors is not None
                      else upserts.select(*snapshot.columns))
@@ -404,10 +439,26 @@ class VersionedTable:
                              schema=schema)
 
     # ---------------------------------------------------------- vacuum
-    def vacuum(self, retain_last: int = 2) -> list[str]:
+    def vacuum(self, retain_last: int = 2,
+               grace_seconds: float = 3600.0) -> list[str]:
         """Drop manifests older than the last ``retain_last`` versions
         and delete data files no retained manifest references.
-        Returns the deleted file paths."""
+        Returns the deleted file paths.
+
+        ``grace_seconds`` is the Delta-style retention TTL: an
+        unreferenced file younger than the grace is SKIPPED.  A
+        concurrent ``commit()``/``merge()`` writes its data files
+        BEFORE publishing the manifest -- at that instant they are
+        unreferenced, and a graceless vacuum would delete them, after
+        which the commit publishes a manifest pointing at deleted
+        files (a permanently corrupt version).  Under the grace, a
+        racing writer is safe as long as its write-to-publish span is
+        below the TTL; crashed-commit garbage older than the grace is
+        still collected.  ``grace_seconds=0`` restores the unsafe
+        behavior for single-writer tests that need immediate
+        collection."""
+        import time
+
         if retain_last < 1:
             raise ValueError("retain_last must be >= 1")
         vs = self.versions()
@@ -415,6 +466,7 @@ class VersionedTable:
         referenced: set[str] = set()
         for v in keep_versions:
             referenced.update(self._manifest(v)["files"])
+        cutoff = time.time() - grace_seconds
         removed = []
         for v in vs[:-retain_last]:
             os.remove(os.path.join(self.manifest_dir, f"v{v}.json"))
@@ -422,28 +474,66 @@ class VersionedTable:
             for f in files:
                 p = os.path.join(root, f)
                 if f.endswith(".parquet") and p not in referenced:
+                    try:
+                        if os.path.getmtime(p) > cutoff:
+                            continue  # inside the grace: maybe a
+                            # racing commit's not-yet-published file
+                    except OSError:
+                        continue
                     os.remove(p)
                     removed.append(p)
-        # Commit dirs with no referenced file left hold only sidecars
-        # (_SUCCESS, .crc) -- including those of CRASHED commits that
-        # never published a manifest; remove the whole dir.
+        # Commit dirs with no referenced AND no in-grace file left hold
+        # only sidecars (_SUCCESS, .crc) -- including those of CRASHED
+        # commits that never published a manifest; remove the whole dir.
         import shutil
+
+        def _keep(path: str) -> bool:
+            if path in referenced:
+                return True
+            try:
+                return os.path.getmtime(path) > cutoff
+            except OSError:
+                return True
 
         for name in os.listdir(self.data_dir) if os.path.isdir(
                 self.data_dir) else []:
             d = os.path.join(self.data_dir, name)
             if os.path.isdir(d) and not any(
-                    os.path.join(r, f) in referenced
+                    _keep(os.path.join(r, f))
                     for r, _ds, fs in os.walk(d) for f in fs):
                 shutil.rmtree(d, ignore_errors=True)
         return removed
+
+
+def _stat_jsonsafe(v):
+    """Map a footer-statistic (or predicate-bound) value into the
+    JSON-serializable domain the manifest stores.
+
+    date/datetime become isoformat strings -- fixed-width fields with
+    an optional appended fraction, so lexicographic order on the
+    strings equals temporal order and min/max comparisons still prune
+    correctly.  Unsupported types (bytes, Decimal, ...) become None,
+    which both the recorder and the skipping read treat as
+    "no usable bound" (file is conservatively kept).  Without this,
+    ``commit(stats_columns=['some_date'])`` would write the data files
+    and then fail the commit when ``json.dump`` hits a
+    ``datetime.date`` -- for the single most common data-skipping
+    column type."""
+    import datetime
+
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return None
 
 
 def _footer_stats(files: list[str], columns: list[str]) -> dict:
     """Per-file [min, max] for ``columns`` from parquet FOOTER
     metadata (row-group statistics the writer already recorded --
     no data is read).  Non-comparable or statless columns record
-    None bounds, which the skipping read treats as always-keep."""
+    None bounds, which the skipping read treats as always-keep.
+    Values are normalized JSON-safe (see :func:`_stat_jsonsafe`)."""
     import pyarrow.parquet as pq
 
     out: dict[str, dict] = {}
@@ -463,6 +553,6 @@ def _footer_stats(files: list[str], columns: list[str]) -> dict:
                         break
                     lo = st.min if lo is None else min(lo, st.min)
                     hi = st.max if hi is None else max(hi, st.max)
-            per_col[c] = [lo, hi]
+            per_col[c] = [_stat_jsonsafe(lo), _stat_jsonsafe(hi)]
         out[f] = per_col
     return out

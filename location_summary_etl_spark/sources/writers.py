@@ -361,13 +361,26 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, path: str,
         counts = (_merge_counts(target, touched_keys, upserts, deletes, keys)
                   if collect_metrics else
                   {"inserted": -1, "updated": -1, "deleted": -1})
-        # Materialize before the overwrite destroys the input files.
-        merged.cache()
-        merged.count()
-        try:
-            merged.write.mode("overwrite").parquet(path)
-        finally:
-            merged.unpersist()
+        # DURABLY stage the merged output before touching the source
+        # path.  cache()+count() is NOT enough: cached blocks are not
+        # fault-tolerant, so an executor loss (or memory eviction)
+        # after the overwrite started would recompute the lineage
+        # against a source path the overwrite is destroying -- job
+        # failure or silently wrong survivors on any real cluster.  A
+        # completed parquet write to a temp sibling IS durable; the
+        # swap is then pure filesystem metadata (rename), no recompute
+        # can ever re-read the old files.
+        import uuid as _uuid
+
+        tmp = f"{path}_merge_tmp_{_uuid.uuid4().hex}"
+        merged.write.mode("error").parquet(tmp)
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        dst = jvm.org.apache.hadoop.fs.Path(path)
+        src = jvm.org.apache.hadoop.fs.Path(tmp)
+        fs = dst.getFileSystem(conf)
+        fs.delete(dst, True)
+        fs.rename(src, dst)
         counts["partitions"] = 1
         return counts
 
@@ -398,25 +411,44 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, path: str,
               {"inserted": -1, "updated": -1, "deleted": -1})
     survivors = affected_target.join(touched_keys, keys, "left_anti")
     merged = survivors.unionByName(upserts.select(*target.columns))
-    merged.cache()
-    try:
-        out_parts = {r[0] for r in
-                     merged.select(partition_by).distinct().collect()}
-        if out_parts:
-            write_summary(merged, path, partition_by=[partition_by])
-        # Partitions emptied by deletes: dynamic overwrite never saw
-        # them, remove their directories through the FileSystem API.
-        emptied = [p for p in affected if p not in out_parts]
-        if emptied:
-            jvm = spark._jvm
-            conf = spark._jsc.hadoopConfiguration()
-            for p in emptied:
-                part_path = jvm.org.apache.hadoop.fs.Path(
-                    f"{path}/{partition_by}={p}")
-                fs = part_path.getFileSystem(conf)
-                fs.delete(part_path, True)
-    finally:
-        merged.unpersist()
+    # DURABLY stage the merged partitions to a temp sibling, then swap
+    # each affected partition directory in via filesystem rename --
+    # never a recompute against the partitions being replaced (the
+    # earlier cache()+count() guard was not fault-tolerant: an
+    # executor loss during the overwrite would re-read the source
+    # partitions mid-destruction).  The write to the temp dir is a
+    # completed, durable parquet job before the target is touched;
+    # the swap itself moves only directory entries (per-partition
+    # rename -- not atomic across partitions, same non-atomicity the
+    # dynamic-overwrite path always had, but each partition is now
+    # all-old or all-new and the input is never re-read).  A
+    # partition emptied by deletes simply has no directory in the
+    # temp output and is deleted.
+    import uuid as _uuid
+
+    tmp = f"{path}_merge_tmp_{_uuid.uuid4().hex}"
+    merged.write.mode("error").partitionBy(partition_by).parquet(tmp)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    tmp_path = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = tmp_path.getFileSystem(conf)
+    out_dirs = {
+        st.getPath().getName()
+        for st in fs.listStatus(tmp_path)
+        if st.isDirectory()
+        and st.getPath().getName().startswith(f"{partition_by}=")
+    }
+    for p in affected:
+        dirname = f"{partition_by}={p}"
+        dst = jvm.org.apache.hadoop.fs.Path(f"{path}/{dirname}")
+        fs.delete(dst, True)
+        if dirname in out_dirs:
+            fs.rename(jvm.org.apache.hadoop.fs.Path(f"{tmp}/{dirname}"), dst)
+    # New-partition inserts may create partitions OUTSIDE the affected
+    # list only when the update stream's partition values were the
+    # affected set -- which they always are (affected includes the
+    # updates' own partitions) -- so anything left in tmp is sidecars.
+    fs.delete(tmp_path, True)
     counts["partitions"] = len(affected)
     return counts
 

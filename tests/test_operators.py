@@ -1088,8 +1088,14 @@ def test_versioned_table_snapshot_isolation_and_time_travel(spark, tmp_path):
     # nothing was unreferenced here
     assert removed == []
     # overwrite-only retention: v2 alone -> v0/v1 data now unreferenced
+    # BUT still inside the default retention grace (freshly written) --
+    # the Delta-style TTL that keeps a racing commit's not-yet-
+    # published files alive must keep them.
     removed = t.vacuum(retain_last=1)
     assert t.versions() == [2]
+    assert removed == []
+    # With the grace waived (single-writer test), collection happens.
+    removed = t.vacuum(retain_last=1, grace_seconds=0)
     assert removed and all(os.path.basename(p).endswith(".parquet")
                            for p in removed)
     assert sorted(r["k"] for r in t.read(spark).collect()) == [100, 101]
@@ -1236,7 +1242,9 @@ def test_versioned_vacuum_collects_crashed_commit_orphans(spark, tmp_path):
     spark.range(100, 105).selectExpr("id AS k").write.parquet(orphan_dir)
     assert os.path.isdir(orphan_dir)
 
-    removed = t.vacuum(retain_last=1)
+    # grace waived: the "crash" was seconds ago, but this single-writer
+    # test wants immediate collection of the orphaned commit dir.
+    removed = t.vacuum(retain_last=1, grace_seconds=0)
     assert removed and all("commit-crashed" in p for p in removed)
     assert not os.path.isdir(orphan_dir)
     assert sorted(r["k"] for r in t.read(spark).collect()) == list(range(5))
@@ -1476,13 +1484,42 @@ def test_versioned_data_skipping_prunes_files(spark, tmp_path):
 
     # predicate across a boundary keeps exactly the two spanning files
     assert len(t.read(spark, where=("k", 190, 210)).inputFiles()) == 2
-    # a predicate outside every range raises the explicit empty error
-    try:
-        t.read(spark, where=("k", 5000, 6000))
-        raise AssertionError("expected the pruned-to-nothing error")
-    except ValueError as e:
-        assert "pruned every file" in str(e)
+    # a predicate outside every range prunes everything -- skipping is
+    # a pure optimization, so the read returns an EMPTY DataFrame with
+    # the pinned schema (not an error: callers cannot distinguish
+    # "no matching data" from misuse).
+    nothing = t.read(spark, where=("k", 5000, 6000))
+    assert nothing.columns == ["k"] and nothing.count() == 0
     # files without recorded stats are conservatively kept
     t.commit(spark.range(400, 410).selectExpr("id AS k").coalesce(1),
              mode="append")  # no stats_columns
     assert len(t.read(spark, where=("k", 150, 160)).inputFiles()) == 2
+
+
+def test_versioned_data_skipping_on_date_column(spark, tmp_path):
+    """stats_columns on a DATE column must commit (footer stats arrive
+    as datetime.date objects -- the manifest stores them JSON-safe as
+    isoformat strings, whose lexicographic order is temporal order)
+    and must prune with date-object OR string predicate bounds."""
+    import datetime
+
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "dsd"))
+    for y in (2020, 2021, 2022):
+        df = spark.sql(
+            f"SELECT sequence(DATE'{y}-01-01', DATE'{y}-12-01',"
+            " interval 1 month) AS ds"
+        ).selectExpr("explode(ds) AS d")
+        t.commit(df.coalesce(1), mode="append", stats_columns=["d"])
+    assert len(t._manifest(t.latest_version())["files"]) == 3
+
+    pruned = t.read(spark, where=(
+        "d", datetime.date(2021, 3, 1), datetime.date(2021, 6, 1)))
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.filter("d BETWEEN '2021-03-01' AND '2021-06-01'"
+                         ).count() == 4
+    # string bounds land in the same stored domain
+    assert len(t.read(spark,
+                      where=("d", "2020-02-01", "2020-03-01")
+                      ).inputFiles()) == 1

@@ -15,6 +15,7 @@ import pandas as pd
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from location_summary_etl_spark.operators.asof import asof_join_backward
 from location_summary_etl_spark.operators.windows import sessionize
@@ -254,3 +255,51 @@ def test_versioned_table_matches_model_at_every_version(
         got_v = sorted((r["k"], r["v"])
                        for r in t.read(spark, version=ver).collect())
         assert got_v == expected, f"version {ver} diverged"
+
+
+# ------------------------------------------- merge-path convergence
+# merge_upsert (partition-granular CoW over a plain parquet layout,
+# writers.py) and VersionedTable.merge (file-granular CoW over a
+# manifest-pinned layout, versioned.py) implement the SAME MERGE
+# semantics over different physical layouts.  Drive both with one
+# random seed + update stream and assert identical post-merge row
+# sets at every step, so the two paths can never drift apart
+# (round-4 VERDICT item 7).
+_conv_update = st.lists(
+    st.tuples(st.integers(0, 9),                  # key
+              st.integers(0, 99),                 # payload
+              st.booleans()),                     # is_delete
+    min_size=1, max_size=6, unique_by=lambda r: r[0])
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.lists(st.tuples(st.integers(0, 9), st.integers(0, 99)),
+                     min_size=1, max_size=8, unique_by=lambda r: r[0]),
+       stream=st.lists(_conv_update, min_size=1, max_size=3))
+def test_merge_paths_converge(spark, tmp_path_factory, seed, stream):
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+    from location_summary_etl_spark.sources.writers import merge_upsert
+
+    root = tmp_path_factory.mktemp("merge_conv")
+    flat_path = str(root / "flat")
+    seed_df = spark.createDataFrame(seed, "k int, v int") \
+        .withColumn("part", (F.col("k") % 2).cast("string"))
+    seed_df.write.partitionBy("part").parquet(flat_path)
+    vt = VersionedTable(str(root / "vt"))
+    vt.commit(seed_df)
+
+    for batch in stream:
+        updates = spark.createDataFrame(batch, "k int, v int, d boolean") \
+            .withColumn("part", (F.col("k") % 2).cast("string"))
+        merge_upsert(spark, updates, flat_path, keys=["k"],
+                     partition_by="part", delete_col="d",
+                     collect_metrics=False)
+        vt.merge(spark, updates, keys=["k"], delete_col="d")
+        # str() on part: the flat layout round-trips it through a Hive
+        # partition DIRECTORY whose value Spark re-infers as int.
+        flat = sorted((r["k"], r["v"], str(r["part"]))
+                      for r in spark.read.parquet(flat_path).collect())
+        versioned = sorted((r["k"], r["v"], str(r["part"]))
+                           for r in vt.read(spark).collect())
+        assert flat == versioned, "merge paths diverged"
