@@ -56,28 +56,38 @@ CONTAM_NGRAM = 5       # word n-grams compared (real pipelines use 8-13)
 
 
 def _ngram_stream(docs: DataFrame, widen: bool = True) -> DataFrame:
-    """(doc_id, h): hashed DISTINCT word-5grams per document.
+    """(doc_id, h): hashed word-5grams, NOT de-duplicated (every
+    downstream consumer distincts or is dedup-insensitive).
 
     The hash is INTERNAL -- the check's output is counts and rates,
     never a hash value -- so it uses codegen ``xxhash64`` (the md5
     portability floor documented in operators/dedup._posting_hashes
     does not apply; swapping md5 -> xxhash64 measured 0.63 -> 0.43 s
-    on the whole check at sf0.1, same session A/B).  The oracle therefore compares RAW
-    GRAM STRINGS -- the true semantics ("how many of its distinct
-    5-grams occur in train"), of which the hash stream is the
-    shuffle-20x-fewer-bytes implementation; a 64-bit collision would
-    make the engines disagree by one count with probability ~2^-64
-    per gram pair (~1e-9 across the gate corpus), vs the old
-    md5-prefix-32 design where collisions were EXPECTED at corpus
-    scale and both engines had to replay the same truncated hash to
-    agree.
+    on the whole check at sf0.1, same session A/B).  The oracle
+    therefore compares RAW GRAM STRINGS -- the true semantics ("how
+    many of its distinct 5-grams occur in train"), of which the hash
+    stream is the shuffle-20x-fewer-bytes implementation; a 64-bit
+    collision would make the engines disagree by one count with
+    probability ~2^-64 per gram pair (~1e-9 across the gate corpus).
 
-    Per-doc ``array_distinct`` runs map-side before the explode: every
-    downstream consumer is dedup-insensitive (the inverted index
-    collect_set's doc ids per hash; n_eval_ngrams counts hashes after
-    a groupBy(h)), so within-doc repeats would only pay the hash again
-    -- dropping them measured 0.91 -> 0.77 s on the whole check at
-    sf0.1 with identical output.
+    r5 shape: FLAT posexplode + multi-column hash, no HOF and no
+    string building.  Spark never code-generates lambda functions, so
+    the previous ``transform(positions, i -> concat_ws(' ', 5 x
+    element_at))`` built every gram string interpreted; exploding the
+    position sequence instead and hashing the five ``element_at``
+    lookups directly (``xxhash64(t0..t4)`` -- no gram string ever
+    materializes) keeps the whole stream inside WholeStageCodegen.
+    Same-session interleaved A/B at sf0.1, min-of-6: 0.61/0.77 s
+    (HOF + per-doc array_distinct) -> 0.555/0.659 s flat (~10-15%),
+    identical output at both gate scales.  The per-doc array_distinct
+    went with the lambda: in flat form duplicates just re-hash and
+    re-probe (cheap) and the eval side distincts (doc_id, h) exactly
+    where it always aggregated.  Also measured, rejected: an
+    eval-vocabulary token pre-filter before gram assembly -- the gate
+    corpus has a 31-token vocabulary fully shared between splits, so
+    100% of train positions survive and the filter is pure overhead
+    (on a real corpus with disjoint vocab it would help; the
+    broadcast semi-join already bounds the shuffle either way).
 
     ``widen`` round-robins the narrow scan to core width before the
     CPU-heavy explode+hash (see session.ensure_parallelism); pass
@@ -85,16 +95,20 @@ def _ngram_stream(docs: DataFrame, widen: bool = True) -> DataFrame:
     costs more than the parallelism buys."""
     from location_summary_etl_spark.session import ensure_parallelism
 
+    n = CONTAM_NGRAM
     base = docs.select("doc_id", "text")
     if widen:
         base = ensure_parallelism(base)
     toks = base.select("doc_id", tokens("text").alias("toks"))
-    grams = toks.select(
+    idx = F.when(
+        F.size("toks") >= n, F.sequence(F.lit(1), F.size("toks") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    pos = toks.select("doc_id", "toks", F.explode(idx).alias("i"))
+    return pos.select(
         "doc_id",
-        F.explode(F.array_distinct(
-            ngrams_from_tokens(F.col("toks"), CONTAM_NGRAM))).alias("gram"),
+        F.xxhash64(*[F.element_at(F.col("toks"), F.col("i") + k)
+                     for k in range(n)]).alias("h"),
     )
-    return grams.select("doc_id", F.xxhash64("gram").alias("h"))
 
 
 def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
