@@ -8,11 +8,15 @@ signatures -- is real and tested.  Codec status per family:
 - **audio**: REAL.  ``attach_wav_audio`` writes genuine RIFF/WAVE
   containers and ``decode_audio`` parses them with the stdlib ``wave``
   module -- no third-party dependency, works everywhere.
-- **image**: auto-selected.  ``decode_media(backend='auto')`` uses
-  Pillow where importable (real decode) and the deterministic fake
-  byte-statistics backend otherwise; this container has no Pillow, so
-  only the fake path executes here (the 'pil' path is import-gated
-  with a clear ``NotImplementedError``).
+- **image**: REAL for PNG.  ``attach_png_images`` writes genuine PNG
+  files (signature, IHDR/IDAT/IEND chunks, CRC32s, zlib-compressed
+  scanlines cycling through all five filter types) and ``decode_png``
+  parses them back with nothing but ``zlib`` + ``struct`` -- chunk
+  walk with CRC verification, IHDR decode, inflate, and per-row
+  unfiltering (None/Sub/Up/Average/Paeth).  Pillow remains an
+  auto-selected optional backend for formats beyond PNG
+  (``decode_media(backend='auto')``); the deterministic fake
+  byte-statistics backend is the codec-less fallback.
 - **video frame-sample / resize**: fake-only (byte-window statistics
   with the real fan-out/batch shape); real backends raise until their
   libraries exist in the image.
@@ -414,3 +418,238 @@ def decode_audio(media_df: DataFrame, backend: str = "wave") -> DataFrame:
             })
 
     return media_df.mapInPandas(decode, AUDIO_DECODED_SCHEMA)
+
+
+# ------------------------------------------------------------- image/png
+# The second REAL codec that needs no third-party library: PNG is zlib
+# (stdlib) + per-scanline byte filters + CRC-checked chunks.  The
+# encoder cycles through ALL FIVE filter types (row y uses type y % 5)
+# so the decoder's unfilter logic -- the only genuinely algorithmic part
+# of a PNG parse -- is exercised on every image taller than 4 rows, not
+# just the filter-0 fast path a lazy roundtrip would settle into.
+# Mirrors the WAV pattern (attach_wav_audio/decode_audio above): real
+# container both ways, deterministic pixel formula, exact integer
+# oracle.  Reference scope note: the reference app (App.scala) has no
+# media handling at all -- this extends the engine toward the
+# training-data-pipeline north star.
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+PNG_BASE_W, PNG_W_MOD = 4, 6   # width  = 4 + doc_id % 6  -> 4..9
+PNG_BASE_H, PNG_H_MOD = 3, 5   # height = 3 + doc_id % 5  -> 3..7
+
+PNG_DECODED_SCHEMA = (
+    "doc_id bigint, width int, height int, color_type int, "
+    "n_pixels bigint, sum_rgb bigint"
+)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(pixels) -> bytes:
+    """Serialize an (H, W, 3) uint8 array to a genuine PNG file.
+
+    Bit depth 8, color type 2 (truecolor RGB), no interlace; scanline
+    y carries filter type ``y % 5`` with the filter arithmetic applied
+    for real (Sub/Up/Average/Paeth deltas, mod 256)."""
+    import struct
+    import zlib
+
+    h, w = pixels.shape[0], pixels.shape[1]
+    bpp = 3
+    raw = bytearray()
+    prior = bytes(w * bpp)
+    for y in range(h):
+        line = pixels[y].tobytes()
+        ftype = y % 5
+        raw.append(ftype)
+        for i in range(len(line)):
+            x = line[i]
+            a = line[i - bpp] if i >= bpp else 0
+            b = prior[i]
+            c = prior[i - bpp] if i >= bpp else 0
+            if ftype == 1:
+                x = (x - a) & 0xFF
+            elif ftype == 2:
+                x = (x - b) & 0xFF
+            elif ftype == 3:
+                x = (x - (a + b) // 2) & 0xFF
+            elif ftype == 4:
+                x = (x - _paeth(a, b, c)) & 0xFF
+            raw.append(x)
+        prior = line
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def parse_png(data: bytes):
+    """Parse a PNG: signature, CRC-verified chunk walk, IHDR fields,
+    inflate IDAT, undo all five scanline filters.
+
+    Returns ``(width, height, color_type, pixels: bytes)`` where
+    ``pixels`` is the unfiltered scanline payload (RGB or RGBA order).
+    Supports bit depth 8, color types 2 (RGB) and 6 (RGBA), no
+    interlace -- malformed input raises (fail the task, not silently
+    emit zeros), including a stored CRC that does not match."""
+    import struct
+    import zlib
+
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", data[pos + 8 + length:pos + 12 + length])
+        if zlib.crc32(tag + body) != crc:
+            raise ValueError(f"PNG chunk {tag!r}: CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG: missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or ctype not in (2, 6) or interlace != 0:
+        raise ValueError(
+            f"PNG: unsupported format (depth={depth}, color_type={ctype}, "
+            f"interlace={interlace}); 8-bit RGB/RGBA non-interlaced "
+            "implemented")
+    bpp = 3 if ctype == 2 else 4
+    raw = zlib.decompress(bytes(idat))
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG: IDAT length does not match dimensions")
+    out = bytearray()
+    prior = bytes(stride)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        if ftype == 1:
+            for i in range(len(line)):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + a) & 0xFF
+        elif ftype == 2:
+            for i in range(len(line)):
+                line[i] = (line[i] + prior[i]) & 0xFF
+        elif ftype == 3:
+            for i in range(len(line)):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (a + prior[i]) // 2) & 0xFF
+        elif ftype == 4:
+            for i in range(len(line)):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prior[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(a, prior[i], c)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"PNG: unknown filter type {ftype}")
+        out.extend(line)
+        prior = bytes(line)
+    return w, h, ctype, bytes(out)
+
+
+def attach_png_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One real 8-bit RGB PNG payload per document, deterministic from
+    the id: ``width = 4 + id % 6``, ``height = 3 + id % 5``, channel
+    ``c`` of pixel ``(x, y)`` is ``(id*31 + y*17 + x*7 + c*11) % 256``.
+    Deterministic generation is what makes the DECODE oracle-able --
+    the decoded dimensions and channel sums are pure integer arithmetic
+    over (id, x, y, c) that DuckDB replays exactly, even though a real
+    zlib inflate + unfilter pass sits in the middle."""
+
+    def synth(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads, metas = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                w = PNG_BASE_W + did % PNG_W_MOD
+                h = PNG_BASE_H + did % PNG_H_MOD
+                y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                px = ((did * 31 + y * 17 + x * 7 + c * 11) % 256).astype(
+                    np.uint8)
+                raw = encode_png(px)
+                payloads.append(raw)
+                metas.append({
+                    "media_type": "image/png",
+                    "width": w, "height": h,
+                    "n_bytes": len(raw),
+                    "sha": hashlib.sha256(raw).hexdigest(),
+                })
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].to_numpy(),
+                "payload": payloads,
+                "media": metas,
+            })
+
+    return docs.select(id_col).mapInPandas(synth, AUDIO_SCHEMA)
+
+
+def decode_png(media_df: DataFrame, backend: str = "zlib") -> DataFrame:
+    """Parse PNG payloads with :func:`parse_png` (stdlib zlib+struct):
+    dimensions from the real IHDR, pixel statistics from the inflated,
+    unfiltered scanlines.  Output is ALL-INTEGER (``sum_rgb`` instead
+    of a mean) -- the r4 driver gate taught us that hash-gated entries
+    should not carry floats that integers can express."""
+    if backend != "zlib":
+        raise NotImplementedError(
+            f"png decode backend {backend!r}: 'zlib' (stdlib) is the "
+            "implemented backend; Pillow/libpng variants belong to "
+            "environments that ship them"
+        )
+
+    def decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, ws, hs, cts, pxs, sums = [], [], [], [], [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, ctype, pixels = parse_png(p)
+                buf = np.frombuffer(pixels, dtype=np.uint8)
+                if ctype == 6:  # sum RGB only, alpha excluded
+                    buf = buf.reshape(-1, 4)[:, :3]
+                ids.append(did)
+                ws.append(w)
+                hs.append(h)
+                cts.append(ctype)
+                pxs.append(w * h)
+                sums.append(int(buf.astype(np.int64).sum()))
+            yield pd.DataFrame({
+                "doc_id": np.array(ids, dtype=np.int64),
+                "width": np.array(ws, dtype=np.int32),
+                "height": np.array(hs, dtype=np.int32),
+                "color_type": np.array(cts, dtype=np.int32),
+                "n_pixels": np.array(pxs, dtype=np.int64),
+                "sum_rgb": np.array(sums, dtype=np.int64),
+            })
+
+    return media_df.mapInPandas(decode, PNG_DECODED_SCHEMA)

@@ -3,13 +3,14 @@ oracle-paired.
 
 The mapInPandas entries are hash-gateable because their compute is
 deterministic and integer-replayable: the image/video entries use the
-fake byte-statistics backend over an ASCII payload, and
-``multimodal_audio_decode`` goes further -- a REAL stdlib-``wave``
-codec writes and parses genuine WAV containers whose deterministic
-synthesis formula the oracle replays arithmetically.  A real IMAGE
-backend (Pillow, auto-selected where installed) would revert
-``multimodal_decode_features`` to rows-only; the audio entry keeps its
-exact oracle even with its real codec.
+fake byte-statistics backend over an ASCII payload, and two entries go
+further with REAL codecs that keep exact oracles: a stdlib-``wave``
+WAV roundtrip (``multimodal_audio_decode``) and a stdlib-``zlib`` PNG
+roundtrip (``multimodal_png_decode`` -- CRC-checked chunks, inflate,
+all five scanline filters).  A real THIRD-PARTY image backend (Pillow,
+auto-selected where installed) would revert
+``multimodal_decode_features`` to rows-only; the codec entries keep
+their exact oracles because their payloads are deterministic.
 """
 
 from __future__ import annotations
@@ -20,9 +21,11 @@ from pyspark.sql import functions as F
 from location_summary_etl_spark.functions.scalars import round_portable
 from location_summary_etl_spark.operators.multimodal import (
     attach_fake_media,
+    attach_png_images,
     attach_wav_audio,
     decode_audio,
     decode_media,
+    decode_png,
     frame_sample,
     resize_media,
 )
@@ -185,6 +188,42 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_portable("duration_sec", 6).alias("duration_sec"),
         round_portable("mean_abs_amplitude", 4).alias("mean_abs_amplitude"),
     )
+
+
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec path: write genuine PNG files per document
+    (stdlib zlib; IHDR/IDAT/IEND with CRC32s; scanline y filtered with
+    type y % 5 so all five PNG filters are exercised) and parse them
+    back -- dimensions from the real IHDR, pixel sums from the
+    inflated, unfiltered scanlines.  Deterministic pixel formula =>
+    the oracle replays the decode output with pure integer arithmetic.
+    All-integer output by design (the r4 all-BIGINT discipline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_png(attach_png_images(docs))
+
+
+# Channel c of pixel (x, y) of doc d is (d*31 + y*17 + x*7 + c*11) % 256,
+# width = 4 + d % 6, height = 3 + d % 5 -- sum_rgb is an exact integer
+# triple-unnest sum.  A real zlib inflate + unfilter pass sits between
+# the Spark side and these numbers; agreement proves the codec.
+register("multimodal_png_decode", multimodal_png_decode, """
+WITH d AS (
+    SELECT doc_id, 4 + doc_id % 6 AS w, 3 + doc_id % 5 AS h
+    FROM documents
+)
+SELECT d.doc_id,
+       CAST(d.w AS INT) AS width,
+       CAST(d.h AS INT) AS height,
+       2 AS color_type,
+       CAST(d.w * d.h AS BIGINT) AS n_pixels,
+       CAST(SUM((d.doc_id * 31 + y.y * 17 + x.x * 7 + c.c * 11) % 256)
+            AS BIGINT) AS sum_rgb
+FROM d,
+     UNNEST(generate_series(0, d.h - 1)) AS y(y),
+     UNNEST(generate_series(0, d.w - 1)) AS x(x),
+     UNNEST([0, 1, 2]) AS c(c)
+GROUP BY d.doc_id, d.w, d.h
+""")
 
 
 # Sample t of doc d is (d*31 + t*7) % 256 (unsigned 8-bit PCM, mono,
