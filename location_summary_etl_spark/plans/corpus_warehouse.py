@@ -256,6 +256,69 @@ GROUP BY o_orderpriority
 """)
 
 
+def versioned_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC over the lakehouse format: seed v0 with the orders slice
+    whose key ends in 0-8, MERGE a deterministic update set (keys
+    ending in 3 get +100 cents, keys ending in 9 are new inserts, keys
+    ending in 6 are flagged deletes), then reconstruct the row-level
+    change feed from the manifest file diff with
+    ``VersionedTable.changes(0, keys=...)``.  The merge rewrites WHOLE
+    affected files (copy-on-write), so the raw file diff contains
+    every carried neighbor row too -- the oracle passing proves the
+    netting cancels exactly the carried rows and classifies the rest
+    (update pre/post images, inserts, deletes) from content + key
+    alone.  Money is integer cents; the table lives in a
+    per-invocation mkdtemp (r4 discipline)."""
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(os.path.join(_fresh_dir("cdc", sf_dir), "table"))
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (
+        F.signum("o_totalprice")
+        * F.floor(F.abs(F.col("o_totalprice")) * F.lit(100.0) + F.lit(0.5))
+    ).cast("long")
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        cents.alias("cents"),
+    )
+    last = F.col("o_orderkey") % 10
+    t.commit(base.filter(last != 9), mode="overwrite")
+    updates = (
+        base.filter(last.isin(3, 6, 9))
+        .withColumn("cents",
+                    F.when(last == 6, F.col("cents"))
+                    .otherwise(F.col("cents") + 100))
+        .withColumn("is_delete", last == 6)
+    )
+    t.merge(spark, updates, keys=["o_orderkey"], delete_col="is_delete")
+    return t.changes(spark, 0, keys=["o_orderkey"])
+
+
+register("versioned_change_feed", versioned_change_feed, """
+WITH c AS (
+    SELECT o_orderkey,
+           o_orderpriority AS priority,
+           CAST(CASE WHEN o_totalprice >= 0
+                     THEN floor(o_totalprice * 100.0 + 0.5)
+                     ELSE -floor(-o_totalprice * 100.0 + 0.5)
+                END AS BIGINT) AS cents
+    FROM orders
+)
+SELECT o_orderkey, priority, cents, 'update_preimage' AS _change_type
+FROM c WHERE o_orderkey % 10 = 3
+UNION ALL
+SELECT o_orderkey, priority, cents + 100, 'update_postimage'
+FROM c WHERE o_orderkey % 10 = 3
+UNION ALL
+SELECT o_orderkey, priority, cents + 100, 'insert'
+FROM c WHERE o_orderkey % 10 = 9
+UNION ALL
+SELECT o_orderkey, priority, cents, 'delete'
+FROM c WHERE o_orderkey % 10 = 6
+""")
+
+
 def versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive schema evolution under the oracle gate: v0 commits a
     two-column nation summary, v1 appends rows carrying a NEW column

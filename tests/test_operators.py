@@ -1610,3 +1610,64 @@ def test_png_parse_external_fixture_and_corruption():
     bad[-20] ^= 0xFF
     with _pytest.raises(ValueError, match="CRC"):
         parse_png(bytes(bad))
+
+
+def test_versioned_change_feed_netting(spark, tmp_path):
+    """changes(keys=...) nets the file diff to row semantics: identical
+    carried rows cancel (including NULL-valued columns, which a
+    join-based diff would mishandle under SQL null-equality), duplicate
+    rows net by count (bag semantics), and survivors classify as
+    update pre/post images, inserts, and deletes."""
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "t"))
+    cols = ["k", "tag", "v"]
+    v0 = spark.createDataFrame(
+        [(1, "a", 10), (2, None, 20), (3, "c", 30), (3, "c", 30)], cols)
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, None, 25), (3, "c", 30), (4, "d", 40)], cols)
+    t.commit(v0, mode="overwrite")
+    t.commit(v1, mode="overwrite")
+
+    feed = sorted(
+        tuple(r) for r in t.changes(spark, 0, keys=["k"]).collect())
+    assert feed == sorted([
+        (2, None, 20, "update_preimage"),
+        (2, None, 25, "update_postimage"),
+        (3, "c", 30, "delete"),   # ONE of the two duplicates went away
+        (4, "d", 40, "insert"),
+    ])
+
+    # keys=None: the raw file diff -- overwrite removed and re-added
+    # every file, so even identical rows surface as delete+insert
+    raw = t.changes(spark, 0)
+    assert raw.filter("_change_type = 'insert'").count() == 4
+    assert raw.filter("_change_type = 'delete'").count() == 4
+
+    # same version on both sides: empty feed, schema intact
+    same = t.changes(spark, 1, 1, keys=["k"])
+    assert same.count() == 0
+    assert same.columns == cols + ["_change_type"]
+
+
+def test_versioned_change_feed_after_merge(spark, tmp_path):
+    """After a file-granular MERGE, the keyed feed contains exactly the
+    merge's logical changes -- carried neighbors inside rewritten files
+    cancel out."""
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "t"))
+    rows = [(i, i * 10) for i in range(20)]
+    t.commit(spark.createDataFrame(rows, ["k", "v"]), mode="overwrite")
+    updates = spark.createDataFrame(
+        [(3, 999, False), (25, 250, False), (7, 0, True)],
+        ["k", "v", "is_del"])
+    t.merge(spark, updates, keys=["k"], delete_col="is_del")
+
+    feed = sorted(tuple(r) for r in t.changes(spark, 0, keys=["k"]).collect())
+    assert feed == sorted([
+        (3, 30, "update_preimage"),
+        (3, 999, "update_postimage"),
+        (25, 250, "insert"),
+        (7, 70, "delete"),
+    ])
