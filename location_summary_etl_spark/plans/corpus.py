@@ -123,12 +123,19 @@ _DRIVER_SAMPLED_PRIOR = frozenset({
 _WINDOW_PINNED = ("multimodal_inventory", "merge_upsert_orders")
 
 # Never-sampled entries that should lead their family's never-sampled
-# tier (round-4 additions whose semantics are the most novel -- a
-# driver row on these is worth more than on a near-duplicate variant).
-_WINDOW_PREFERRED = frozenset({
+# tier (r4/r5 additions whose semantics are the most novel -- a driver
+# row on these is worth more than on a near-duplicate variant).  The
+# tuple is ORDERED: earlier names outrank later ones within a family,
+# overriding registration order (each family contributes ~2 entries to
+# the external gate's 50-window, so which preferred entry leads
+# matters: r5 puts the change feed ahead of time travel -- its plan is
+# a superset of the versioned machinery -- and the PNG codec ahead of
+# the audio codec).
+_WINDOW_PREFERRED = (
+    "versioned_change_feed", "multimodal_png_decode",
     "versioned_time_travel", "skew_salted_fact_join",
     "streaming_dedup_replay", "multimodal_audio_decode",
-})
+)
 
 
 def _ensure_loaded() -> None:
@@ -179,12 +186,12 @@ def _ensure_loaded() -> None:
         importlib.import_module(f"location_summary_etl_spark.plans.{mod}")
         families.append(list(_REGISTRY)[before:])
 
-    def _tier(name: str) -> int:
+    def _tier(name: str) -> tuple[int, int]:
         if name in _WINDOW_PINNED:
-            return 0
+            return (0, 0)
         if name in _WINDOW_PREFERRED:
-            return 1
-        return 2 if name not in _DRIVER_SAMPLED_PRIOR else 3
+            return (1, _WINDOW_PREFERRED.index(name))
+        return (2, 0) if name not in _DRIVER_SAMPLED_PRIOR else (3, 0)
 
     families = [sorted(fam, key=_tier) for fam in families]  # stable
 

@@ -41,3 +41,28 @@ def test_conf_sensitive_queries_stay_oracle_exact(hostile, sf_dir):
     qs, oracles = contract.queries(), contract.oracle_sql()
     for name in SENSITIVE:
         compare(qs[name](hostile, sf_dir), con, oracles[name])
+
+
+def test_driver_window_covers_families_and_priority_entries():
+    """The external correctness gate samples the first 50 registered
+    entries; the round-robin + tier ordering must put (a) at least one
+    entry of every family module in that window, (b) the two r4
+    hash-red hardened entries, and (c) the r5 novel-surface leaders."""
+    from location_summary_etl_spark.plans import corpus
+
+    corpus._ensure_loaded()
+    names = list(corpus._REGISTRY)
+    window = set(names[:50])
+
+    for pinned in corpus._WINDOW_PINNED:
+        assert pinned in window, pinned
+    for lead in ("multimodal_png_decode", "versioned_change_feed"):
+        assert lead in window, lead
+
+    # every family module contributes to the window
+    mod_of = {}
+    for name, (fn, _sql) in corpus._REGISTRY.items():
+        mod_of[name] = fn.__module__
+    mods_in_window = {mod_of[n] for n in window}
+    assert mods_in_window == set(mod_of.values()), (
+        sorted(set(mod_of.values()) - mods_in_window))
