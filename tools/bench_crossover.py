@@ -17,7 +17,11 @@ floor-bound as claimed (the distributed-scheduler tax amortizes); a
 query whose ratio does NOT fall carries real plan weight and the
 floor defense is dead for it.
 
-Usage: python tools/bench_crossover.py  (run make_scale_tier first)
+Usage: python tools/bench_crossover.py [query ...]
+(run make_scale_tier first).  With query names, only those are re-timed
+and the committed artifacts are NOT rewritten -- subset runs are for
+investigating individual trends (env CROSSOVER_REPEATS bumps the
+min-of-N discipline for noisier hosts).
 """
 
 from __future__ import annotations
@@ -30,7 +34,8 @@ import time
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
-REPEATS = 2  # min-of-2 after one warm run, per (query, engine, sf)
+REPEATS = int(os.environ.get("CROSSOVER_REPEATS", "2"))
+# min-of-REPEATS after one warm run, per (query, engine, sf)
 
 
 def _time_spark(spark, fn, sf_dir: str) -> float:
@@ -63,9 +68,15 @@ def main() -> None:
     from location_summary_etl_spark.session import get_session
     from location_summary_etl_spark.sources.registry import TABLES, table_path
 
+    # ALL tiers are rewritten through the same writer (make_scale_tier's
+    # DuckDB COPY; n=1 for the base scales) so every tier shares one
+    # physical parquet layout.  The first experiment mixed driver-written
+    # base tiers with a DuckDB-written sf1 and DuckDB scanned the 10x
+    # lineitem FASTER than the 1x file -- the "trend" measured file
+    # layout, not data growth.
     tiers = [
-        ("0.01", "/root/testdata/sf0.01"),
-        ("0.1", "/root/testdata/sf0.1"),
+        ("0.01", os.path.join(HERE, "bench_tiers", "sf0.01")),
+        ("0.1", os.path.join(HERE, "bench_tiers", "sf0.1")),
         ("1", os.path.join(HERE, "bench_tiers", "sf1")),
     ]
     for _, d in tiers:
@@ -76,6 +87,12 @@ def main() -> None:
     qs = contract.queries()
     oracles = contract.oracle_sql()
     names = [n for n in HEADLINE if n in qs and n in oracles]
+    subset = sys.argv[1:]
+    if subset:
+        unknown = [n for n in subset if n not in names]
+        if unknown:
+            raise SystemExit(f"not headline/oracled: {unknown}")
+        names = subset
 
     cons = {}
     for sf, d in tiers:
@@ -113,12 +130,17 @@ def main() -> None:
                   f"ratio={s / k:.2f}", flush=True)
         results[name] = row
 
+    if subset:
+        print("subset run -- artifacts not rewritten")
+        return
+
     payload = {
         "method": (
             f"one invocation, per (query, engine, tier): 1 warm run + "
             f"min-of-{REPEATS}; Spark noop sink, cache cleared between "
-            "runs; tier sf1 = tools/make_scale_tier.py 10x re-keyed "
-            "replication of sf0.1"),
+            "runs; tiers sf0.01/sf0.1 = testdata rewritten via "
+            "make_scale_tier n=1, sf1 = 10x re-keyed replication of "
+            "sf0.1 -- one writer, one physical layout at every tier"),
         "spark_job_floor_sec": round(floor, 3),
         "host_cpu_cal_sec": round(cal, 3),
         "queries": results,
