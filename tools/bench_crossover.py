@@ -22,6 +22,13 @@ Usage: python tools/bench_crossover.py [query ...]
 and the committed artifacts are NOT rewritten -- subset runs are for
 investigating individual trends (env CROSSOVER_REPEATS bumps the
 min-of-N discipline for noisier hosts).
+
+``--deep q1 q2 ...`` runs the named queries on tiers sf0.1/sf1/sf10
+(make_scale_tier 100x for the last) and MERGES a ``deep`` section into
+the committed artifacts -- the follow-up experiment for queries whose
+sf1 ratio is still far above the 2x letter target: one more decade of
+data shows whether the ratio keeps falling (floor-bound as claimed) or
+levels off (real plan weight).
 """
 
 from __future__ import annotations
@@ -74,11 +81,19 @@ def main() -> None:
     # base tiers with a DuckDB-written sf1 and DuckDB scanned the 10x
     # lineitem FASTER than the 1x file -- the "trend" measured file
     # layout, not data growth.
-    tiers = [
-        ("0.01", os.path.join(HERE, "bench_tiers", "sf0.01")),
-        ("0.1", os.path.join(HERE, "bench_tiers", "sf0.1")),
-        ("1", os.path.join(HERE, "bench_tiers", "sf1")),
-    ]
+    deep = len(sys.argv) > 1 and sys.argv[1] == "--deep"
+    if deep:
+        tiers = [
+            ("0.1", os.path.join(HERE, "bench_tiers", "sf0.1")),
+            ("1", os.path.join(HERE, "bench_tiers", "sf1")),
+            ("10", os.path.join(HERE, "bench_tiers", "sf10")),
+        ]
+    else:
+        tiers = [
+            ("0.01", os.path.join(HERE, "bench_tiers", "sf0.01")),
+            ("0.1", os.path.join(HERE, "bench_tiers", "sf0.1")),
+            ("1", os.path.join(HERE, "bench_tiers", "sf1")),
+        ]
     for _, d in tiers:
         if not os.path.isdir(d):
             raise SystemExit(f"missing tier {d} -- run make_scale_tier.py")
@@ -87,12 +102,14 @@ def main() -> None:
     qs = contract.queries()
     oracles = contract.oracle_sql()
     names = [n for n in HEADLINE if n in qs and n in oracles]
-    subset = sys.argv[1:]
+    subset = sys.argv[2:] if deep else sys.argv[1:]
     if subset:
         unknown = [n for n in subset if n not in names]
         if unknown:
             raise SystemExit(f"not headline/oracled: {unknown}")
         names = subset
+    if deep and not subset:
+        raise SystemExit("--deep needs explicit query names")
 
     cons = {}
     for sf, d in tiers:
@@ -129,6 +146,52 @@ def main() -> None:
             print(f"{name} sf{sf}: spark={s:.3f} duckdb={k:.3f} "
                   f"ratio={s / k:.2f}", flush=True)
         results[name] = row
+
+    if deep:
+        jpath = os.path.join(HERE, "BENCH_CROSSOVER.json")
+        with open(jpath) as f:
+            payload = json.load(f)
+        deep_prev = payload.get("deep", {}).get("queries", {})
+        deep_prev.update(results)  # per-query refresh, keep the rest
+        payload["deep"] = {
+            "method": (
+                f"tiers sf0.1/sf1/sf10 (make_scale_tier 100x), 1 warm + "
+                f"min-of-{REPEATS} per cell, one invocation"),
+            "spark_job_floor_sec": round(floor, 3),
+            "host_cpu_cal_sec": round(cal, 3),
+            "queries": deep_prev,
+        }
+        results = deep_prev
+        names = list(deep_prev)
+        with open(jpath, "w") as f:
+            json.dump(payload, f, indent=1)
+        mdpath = os.path.join(HERE, "BENCH_CROSSOVER.md")
+        with open(mdpath) as f:
+            md = f.read()
+        marker = "\n## Deep tier (sf10)\n"
+        md = md.split(marker)[0].rstrip() + "\n"
+        lines = [
+            "", "## Deep tier (sf10)", "",
+            f"{payload['deep']['method']}; Spark job floor "
+            f"{payload['deep']['spark_job_floor_sec']} s; host cal "
+            f"{payload['deep']['host_cpu_cal_sec']} s.",
+            "",
+            "| query | spark sf0.1 | sf1 | sf10 | duck sf0.1 | sf1 | sf10 "
+            "| ratio sf0.1 | sf1 | sf10 |",
+            "|---|---|---|---|---|---|---|---|---|---|",
+        ]
+        for n in names:
+            q = results[n]
+            lines.append(
+                "| " + " | ".join(
+                    [n]
+                    + [f"{q[sf]['spark']:.3f}" for sf, _ in tiers]
+                    + [f"{q[sf]['duckdb']:.3f}" for sf, _ in tiers]
+                    + [f"{q[sf]['ratio']:.2f}" for sf, _ in tiers]) + " |")
+        with open(mdpath, "w") as f:
+            f.write(md + "\n".join(lines) + "\n")
+        print("merged deep section into BENCH_CROSSOVER.{json,md}")
+        return
 
     if subset:
         print("subset run -- artifacts not rewritten")
