@@ -319,6 +319,87 @@ FROM c WHERE o_orderkey % 10 = 6
 """)
 
 
+def versioned_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance through the CDC feed
+    -- the reason a change feed exists.  A summary S0 is aggregated
+    from v0; a MERGE (updates + inserts + flagged deletes, the
+    change-feed entry's exact mutation set) produces v1; S1 is then
+    computed WITHOUT touching v1's data: the keyed feed collapses to
+    per-group deltas (insert/update_postimage add, delete/
+    update_preimage subtract -- count and sum are abelian-group
+    aggregates, so pre/post pairs transfer rows between groups
+    exactly), and S0 + delta is the maintained view.  The oracle
+    recomputes the same summary FROM SCRATCH on v1's logical state, so
+    the hash gate certifies the incremental algebra end to end.  At
+    100 TB this is the difference between re-aggregating the table and
+    aggregating the delta."""
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(os.path.join(_fresh_dir("ivm", sf_dir), "table"))
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (
+        F.signum("o_totalprice")
+        * F.floor(F.abs(F.col("o_totalprice")) * F.lit(100.0) + F.lit(0.5))
+    ).cast("long")
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        cents.alias("cents"),
+    )
+    last = F.col("o_orderkey") % 10
+    t.commit(base.filter(last != 9), mode="overwrite")
+    s0 = t.read(spark, 0).groupBy("priority").agg(
+        F.count("*").alias("n_orders"), F.sum("cents").alias("total_cents"))
+    updates = (
+        base.filter(last.isin(3, 6, 9))
+        .withColumn("cents",
+                    F.when(last == 6, F.col("cents"))
+                    .otherwise(F.col("cents") + 100))
+        .withColumn("is_delete", last == 6)
+    )
+    t.merge(spark, updates, keys=["o_orderkey"], delete_col="is_delete")
+
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = (t.changes(spark, 0, 1, keys=["o_orderkey"])
+             .groupBy("priority")
+             .agg(F.sum(sign).alias("_dn"),
+                  F.sum(sign * F.col("cents")).alias("_dc")))
+    s1 = (s0.join(delta, "priority", "full_outer")
+          .select(
+              "priority",
+              (F.coalesce("n_orders", F.lit(0))
+               + F.coalesce("_dn", F.lit(0))).alias("n_orders"),
+              (F.coalesce("total_cents", F.lit(0))
+               + F.coalesce("_dc", F.lit(0))).alias("total_cents"))
+          .filter(F.col("n_orders") > 0))
+    return s1
+
+
+# Oracle recomputes v1's logical state from scratch: deletes (key %10
+# = 6) gone, updates/inserts (%10 in (3, 9)) carry +100 cents.
+register("versioned_incremental_agg", versioned_incremental_agg, """
+WITH c AS (
+    SELECT o_orderkey,
+           o_orderpriority AS priority,
+           CAST(CASE WHEN o_totalprice >= 0
+                     THEN floor(o_totalprice * 100.0 + 0.5)
+                     ELSE -floor(-o_totalprice * 100.0 + 0.5)
+                END AS BIGINT) AS cents
+    FROM orders
+),
+v1 AS (
+    SELECT priority,
+           CASE WHEN o_orderkey % 10 IN (3, 9)
+                THEN cents + 100 ELSE cents END AS cents
+    FROM c WHERE o_orderkey % 10 <> 6
+)
+SELECT priority, COUNT(*) AS n_orders, SUM(cents) AS total_cents
+FROM v1 GROUP BY priority
+""")
+
+
 def versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive schema evolution under the oracle gate: v0 commits a
     two-column nation summary, v1 appends rows carrying a NEW column

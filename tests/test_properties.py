@@ -303,3 +303,39 @@ def test_merge_paths_converge(spark, tmp_path_factory, seed, stream):
         versioned = sorted((r["k"], r["v"], str(r["part"]))
                            for r in vt.read(spark).collect())
         assert flat == versioned, "merge paths diverged"
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    v0=st.lists(st.tuples(st.integers(0, 6), st.integers(0, 3)),
+                min_size=0, max_size=12),
+    v1=st.lists(st.tuples(st.integers(0, 6), st.integers(0, 3)),
+                min_size=0, max_size=12),
+)
+def test_change_feed_applied_to_v0_reproduces_v1(
+        spark, tmp_path_factory, v0, v1):
+    """The keyed CDC feed is a complete delta: for ANY two row bags
+    (duplicates and shared rows included), applying the feed to v0 as
+    a multiset (add insert/update_postimage, remove
+    delete/update_preimage) must reproduce v1 exactly.  Small key and
+    value domains force heavy collisions -- duplicate full rows,
+    same-key-different-value, rows present in both versions -- the
+    cases the signed-count netting has to get right."""
+    from collections import Counter
+
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(str(tmp_path_factory.mktemp("cdc_prop") / "t"))
+    t.commit(spark.createDataFrame(v0, "k int, v int"), mode="overwrite")
+    t.commit(spark.createDataFrame(v1, "k int, v int"), mode="overwrite")
+
+    feed = t.changes(spark, 0, 1, keys=["k"]).collect()
+    applied = Counter(tuple(r) for r in v0)
+    for r in feed:
+        row = (r["k"], r["v"])
+        if r["_change_type"] in ("insert", "update_postimage"):
+            applied[row] += 1
+        else:
+            applied[row] -= 1
+    assert +applied == Counter(tuple(r) for r in v1)
