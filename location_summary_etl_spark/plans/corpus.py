@@ -133,6 +133,7 @@ _WINDOW_PINNED = ("multimodal_inventory", "merge_upsert_orders")
 # the audio codec).
 _WINDOW_PREFERRED = (
     "versioned_change_feed", "multimodal_png_decode",
+    "streaming_lakehouse_ingest",
     "versioned_time_travel", "skew_salted_fact_join",
     "streaming_dedup_replay", "multimodal_audio_decode",
 )

@@ -217,3 +217,64 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """)
+
+
+def streaming_lakehouse_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional streaming ingest: the event stream (3 source
+    files, ``maxFilesPerTrigger=1`` -> 3 real micro-batches) flows
+    through ``foreachBatch`` into a :class:`VersionedTable`, one
+    manifest COMMIT per batch with the batch id recorded for replay
+    idempotence (streaming/jobs.foreach_batch_versioned_append -- the
+    Delta-streaming-sink pattern on this repo's manifest commit).  The
+    oracle-compared result aggregates the FINAL TABLE STATE, and
+    ``n_commits`` pins the version count, so the gate certifies both
+    that every batch landed exactly once and that the committed table
+    equals the relational semantics of the whole stream.  Scratch dirs
+    are per-invocation mkdtemp (r4 discipline)."""
+    from location_summary_etl_spark.plans.corpus_warehouse import _fresh_dir
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+    from location_summary_etl_spark.streaming.jobs import (
+        foreach_batch_versioned_append,
+    )
+
+    scratch = _fresh_dir("ingest", sf_dir)
+    src_dir = os.path.join(scratch, "src")
+    events = load_table(spark, sf_dir, "events")
+    (
+        events.select("event_id", "event_type", "value")
+        .withColumn("slice", F.pmod("event_id", F.lit(3)).cast("int"))
+        .repartition("slice")          # exactly one file per slice
+        .write.partitionBy("slice").parquet(src_dir)
+    )
+
+    stream = (
+        spark.readStream.schema("event_id bigint, event_type string, "
+                                "value double")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")  # flatten slice= dirs
+        .parquet(src_dir)
+    )
+    t = VersionedTable(os.path.join(scratch, "table"))
+    q = foreach_batch_versioned_append(
+        stream, t, os.path.join(scratch, "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    return (
+        t.read(spark).groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             round_portable(F.sum("value"), 4).alias("sum_value"))
+        .withColumn("n_commits", F.lit(t.latest_version() + 1))
+    )
+
+
+register("streaming_lakehouse_ingest", streaming_lakehouse_ingest, """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       round(CAST(SUM(value) AS DOUBLE), 4) AS sum_value,
+       3 AS n_commits
+FROM events
+GROUP BY event_type
+""")

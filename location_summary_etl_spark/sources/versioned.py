@@ -258,7 +258,8 @@ class VersionedTable:
     # ----------------------------------------------------------- write
     def commit(self, df: DataFrame, mode: str = "append",
                constraints: list[str] | None = None,
-               stats_columns: list[str] | None = None) -> int:
+               stats_columns: list[str] | None = None,
+               operation: str | None = None) -> int:
         """Write ``df``'s rows as new data files, then atomically
         publish the next manifest.  ``append`` unions the new files
         with the current version's; ``overwrite`` replaces the file
@@ -277,7 +278,12 @@ class VersionedTable:
         ``stats_columns``: record per-file [min, max] for these
         columns in the manifest (read from the freshly written
         parquet FOOTERS -- metadata already on disk, no data scan),
-        enabling ``read(where=...)`` data skipping."""
+        enabling ``read(where=...)`` data skipping.
+
+        ``operation``: override the operation tag the manifest records
+        (defaults to the mode).  Writers that need idempotent replay
+        -- e.g. the streaming ``foreachBatch`` sink -- encode their
+        replay key here and check ``history()`` before committing."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown commit mode {mode!r}")
         os.makedirs(self.manifest_dir, exist_ok=True)
@@ -329,7 +335,8 @@ class VersionedTable:
         stats = dict(prev_stats)
         if stats_columns:
             stats.update(_footer_stats(new_files, stats_columns))
-        return self._publish(target, mode, prev_files + new_files,
+        return self._publish(target, operation or mode,
+                             prev_files + new_files,
                              schema=df.schema, stats=stats or None)
 
     def _check_additive(self, df: DataFrame, base_version: int) -> None:

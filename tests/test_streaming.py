@@ -485,3 +485,33 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_versioned_stream_ingest_batch_replay_idempotent(spark, tmp_path):
+    """The foreachBatch lakehouse sink's replay contract: re-delivering
+    a (batch, batch_id) pair -- the at-least-once case after
+    checkpoint recovery -- must not commit twice; a NEW batch id with
+    the same rows must."""
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+    from location_summary_etl_spark.streaming.jobs import (
+        versioned_append_batch,
+    )
+
+    t = VersionedTable(str(tmp_path / "t"))
+    b0 = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)],
+                               "event_id bigint, event_type string, "
+                               "value double")
+    versioned_append_batch(t, b0, 0)
+    versioned_append_batch(t, b0, 0)           # replay: skipped
+    assert t.latest_version() == 0
+    assert t.read(spark).count() == 2
+
+    versioned_append_batch(t, b0, 1)           # same rows, new batch
+    assert t.latest_version() == 1
+    assert t.read(spark).count() == 4
+    assert [h["operation"] for h in t.history()] == [
+        "stream-append/0", "stream-append/1"]
+
+    empty = b0.filter("event_id < 0")
+    versioned_append_batch(t, empty, 2)        # empty batch: no commit
+    assert t.latest_version() == 1
