@@ -402,11 +402,16 @@ class VersionedTable:
         ``merge_upsert`` cannot give, since its dynamic overwrite
         destroys the partition in place).
 
-        Affected-file discovery is one column-pruned scan of the
-        snapshot projecting (keys, ``input_file_name()``) semi-joined
-        against the update keys -- O(table keys) read, O(changed
-        files) rewrite, the same cost class as Delta without
-        file-level min/max stats (add those to prune the scan too).
+        Affected-file discovery is one column-pruned scan projecting
+        (keys, ``input_file_name()``) semi-joined against the update
+        keys -- O(table keys) read, O(changed files) rewrite.  When
+        the table carries footer stats for the first merge key
+        (``commit(stats_columns=[key])``), the discovery scan is
+        PRUNED to files whose recorded key range can intersect the
+        updates' range -- a key-clustered table then reads
+        O(candidate files), the full Delta cost class; stats survive
+        the merge (carried files keep theirs, rewritten files get
+        fresh footers read).
         Matched rows are replaced (or dropped when ``delete_col`` is
         true), unmatched update rows are appended.  Idempotent
         re-apply; concurrent commits surface as
@@ -459,11 +464,42 @@ class VersionedTable:
                 "table schema; evolve additively with commit(mode='append') "
                 "first (silent column dropping would lose data)")
         touched = updates.select(*keys).distinct()
-        affected = sorted(
-            r["_f"] for r in snapshot
-            .select(*keys, F.input_file_name().alias("_f"))
-            .join(touched, keys, "left_semi")
-            .select("_f").distinct().collect())
+        # Stats-aware discovery: when the table was committed with
+        # ``stats_columns`` covering the first merge key, files whose
+        # recorded [min, max] cannot intersect the update keys' range
+        # are skipped BEFORE the discovery scan opens them -- the
+        # data-skipping analogue the plain discovery docstring promised
+        # ("add file-level min/max stats to prune the scan too").  One
+        # 1-row aggregate over the updates bounds the key range; files
+        # without recorded stats are conservatively scanned.  Pruned
+        # files cannot contain a matched key, so carrying them
+        # unscanned is exact, not approximate.
+        scan_files = current
+        fstats = base_m.get("stats") or {}
+        if fstats:
+            k0 = keys[0]
+            b = updates.agg(F.min(k0).alias("_lo"),
+                            F.max(k0).alias("_hi")).first()
+            lo, hi = _stat_jsonsafe(b["_lo"]), _stat_jsonsafe(b["_hi"])
+            if lo is not None and hi is not None:
+                scan_files = [
+                    f for f in current
+                    if (st := fstats.get(f, {}).get(k0)) is None
+                    or st[0] is None or st[1] is None
+                    or not (st[0] > hi or st[1] < lo)
+                ]
+            elif b["_lo"] is None and b["_hi"] is None:
+                scan_files = []      # no update keys at all
+        if scan_files:
+            disc_reader = (spark.read.schema(pinned_schema)
+                           if pinned_schema is not None else spark.read)
+            affected = sorted(
+                r["_f"] for r in disc_reader.parquet(*scan_files)
+                .select(*keys, F.input_file_name().alias("_f"))
+                .join(touched, keys, "left_semi")
+                .select("_f").distinct().collect())
+        else:
+            affected = []
         # input_file_name returns URIs (file://...); manifests store
         # plain paths -- normalize for the carry-over set difference.
         affected_paths = {f.removeprefix("file://") for f in affected}
@@ -509,8 +545,16 @@ class VersionedTable:
         new_files = sorted(
             os.path.join(out_dir, f) for f in os.listdir(out_dir)
             if f.endswith(".parquet"))
+        # Stats survive the merge: carried files keep their recorded
+        # bounds (their bytes did not change), rewritten files get
+        # fresh footer stats over the same column set.
+        merged_stats = {f: fstats[f] for f in carried if f in fstats}
+        stat_cols = sorted({c for per in fstats.values() for c in per})
+        if stat_cols and new_files:
+            merged_stats.update(_footer_stats(new_files, stat_cols))
         return self._publish(base_version + 1, "merge", carried + new_files,
-                             schema=snapshot.schema)
+                             schema=snapshot.schema,
+                             stats=merged_stats or None)
 
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
         """Rewrite the current snapshot's file set into

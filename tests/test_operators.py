@@ -1671,3 +1671,45 @@ def test_versioned_change_feed_after_merge(spark, tmp_path):
         (25, 250, "insert"),
         (7, 70, "delete"),
     ])
+
+
+def test_merge_discovery_prunes_by_key_stats(spark, tmp_path):
+    """Stats-aware MERGE discovery: with footer stats on the merge key,
+    files whose key range cannot intersect the updates' range are
+    never OPENED by the discovery scan.  Proven behaviorally: the
+    out-of-range file is corrupted on disk after commit -- a merge
+    that touched it would fail -- and the merge must still succeed,
+    carry it by path, and keep its recorded stats for the next merge."""
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "t"))
+    low = spark.createDataFrame([(i, i * 10) for i in range(10)],
+                                "k int, v int")
+    high = spark.createDataFrame([(i, i * 10) for i in range(100, 110)],
+                                 "k int, v int")
+    t.commit(low.coalesce(1), mode="overwrite", stats_columns=["k"])
+    t.commit(high.coalesce(1), mode="append", stats_columns=["k"])
+
+    m = t._manifest(1)
+    low_files = [f for f in m["files"]
+                 if m["stats"][f]["k"][1] is not None
+                 and m["stats"][f]["k"][1] < 100]
+    assert low_files, "expected a distinct low-range file"
+    for f in low_files:
+        with open(f, "wb") as fh:
+            fh.write(b"not parquet anymore")
+
+    updates = spark.createDataFrame([(105, -1, False), (200, -2, False)],
+                                    "k int, v int, d boolean")
+    v = t.merge(spark, updates, keys=["k"], delete_col="d")
+
+    m2 = t._manifest(v)
+    for f in low_files:
+        assert f in m2["files"]                  # carried by path
+        assert m2["stats"][f]["k"] == m["stats"][f]["k"]  # stats kept
+    # rewritten/appended rows are correct (read only the new files)
+    new_files = [f for f in m2["files"] if f not in m["files"]]
+    got = {(r["k"], r["v"])
+           for r in spark.read.parquet(*new_files).collect()}
+    assert (105, -1) in got and (200, -2) in got
+    assert (105, 1050) not in got
