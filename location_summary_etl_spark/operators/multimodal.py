@@ -8,15 +8,18 @@ signatures -- is real and tested.  Codec status per family:
 - **audio**: REAL.  ``attach_wav_audio`` writes genuine RIFF/WAVE
   containers and ``decode_audio`` parses them with the stdlib ``wave``
   module -- no third-party dependency, works everywhere.
-- **image**: REAL for PNG.  ``attach_png_images`` writes genuine PNG
-  files (signature, IHDR/IDAT/IEND chunks, CRC32s, zlib-compressed
-  scanlines cycling through all five filter types) and ``decode_png``
-  parses them back with nothing but ``zlib`` + ``struct`` -- chunk
-  walk with CRC verification, IHDR decode, inflate, and per-row
-  unfiltering (None/Sub/Up/Average/Paeth).  Pillow remains an
-  auto-selected optional backend for formats beyond PNG
-  (``decode_media(backend='auto')``); the deterministic fake
-  byte-statistics backend is the codec-less fallback.
+- **image**: REAL for PNG and GIF.  ``attach_png_images`` writes
+  genuine PNG files (signature, IHDR/IDAT/IEND chunks, CRC32s,
+  zlib-compressed scanlines cycling through all five filter types)
+  and ``decode_png`` parses them back with nothing but ``zlib`` +
+  ``struct`` -- chunk walk with CRC verification, IHDR decode,
+  inflate, and per-row unfiltering (None/Sub/Up/Average/Paeth).
+  ``attach_gif_images``/``decode_gif`` go further: GIF's LZW is
+  implemented HERE (variable-width codes, clear/end, KwKwK), not
+  delegated to a library.  Pillow remains an auto-selected optional
+  backend for formats beyond these (``decode_media(backend='auto')``);
+  the deterministic fake byte-statistics backend is the codec-less
+  fallback.
 - **video frame-sample / resize**: fake-only (byte-window statistics
   with the real fan-out/batch shape); real backends raise until their
   libraries exist in the image.
@@ -653,3 +656,284 @@ def decode_png(media_df: DataFrame, backend: str = "zlib") -> DataFrame:
             })
 
     return media_df.mapInPandas(decode, PNG_DECODED_SCHEMA)
+
+
+# ------------------------------------------------------------- image/gif
+# Third real codec, and the first whose COMPRESSION ALGORITHM is
+# implemented here rather than delegated to a library: GIF's LZW with
+# variable-width codes (9 -> 12 bits, LSB-first bit packing, clear/end
+# codes, 255-byte sub-blocks).  WAV proved container parsing, PNG
+# proved filter arithmetic over a stdlib inflate; GIF proves the code
+# -stream machinery itself -- the dictionary build, the width growth at
+# each power of two, the KwKwK corner case -- against an external
+# fixture and a formula oracle.  Image dimensions are chosen so the
+# dictionary passes 512 entries and 10-bit codes are genuinely
+# exercised (not just the 9-bit startup width).
+GIF_BASE_W, GIF_W_MOD = 16, 15   # width  = 16 + id % 15 -> 16..30
+GIF_BASE_H, GIF_H_MOD = 12, 12   # height = 12 + id % 12 -> 12..23
+
+GIF_DECODED_SCHEMA = (
+    "doc_id bigint, width int, height int, n_pixels bigint, sum_rgb bigint"
+)
+
+
+def _gif_palette(i: int) -> tuple[int, int, int]:
+    return (i, (i * 3) % 256, (i * 7) % 256)
+
+
+def _lzw_encode(indices: bytes, min_code_size: int = 8) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = next_code
+        next_code += 1
+        # GIF width rule: grow when the NEXT code to assign no longer
+        # fits (encoder emits old codes first, so grow after emit).
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        w = bytes([b])
+    if w:
+        emit(table[w])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW: ran out of data before end code")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):      # KwKwK: code not yet in table
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"GIF LZW: code {code} beyond table")
+        out.extend(entry)
+        # decoder mirror of the width rule: the entry just added is
+        # len(table)-1; the next ASSIGNABLE is len(table), readable
+        # codes reach len(table) (KwKwK), so grow when len(table)
+        # fills the current width.
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+
+
+def encode_gif(indices, width: int, height: int) -> bytes:
+    """Serialize a width x height array of palette indices to a real
+    GIF89a file: logical screen descriptor, 256-entry global color
+    table (:func:`_gif_palette`), image descriptor, LZW-compressed
+    index stream in 255-byte sub-blocks, trailer."""
+    import struct
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    for i in range(256):
+        out += bytes(_gif_palette(i))
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out.append(8)  # LZW minimum code size
+    stream = _lzw_encode(bytes(indices))
+    for off in range(0, len(stream), 255):
+        block = stream[off:off + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
+def parse_gif(data: bytes):
+    """Parse a GIF87a/89a: screen descriptor, global color table,
+    extensions skipped by sub-block walking, first image's LZW stream
+    decoded with :func:`_lzw_decode`.
+
+    Returns ``(width, height, palette: list[(r,g,b)], indices: bytes)``
+    for the first image.  Malformed input raises ``ValueError``."""
+    import struct
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF: bad signature")
+    try:
+        return _parse_gif_body(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"GIF: truncated or malformed ({e})") from None
+
+
+def _parse_gif_body(data: bytes):
+    import struct
+
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    palette: list[tuple[int, int, int]] = []
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = [tuple(data[pos + 3 * i:pos + 3 * i + 3])
+                   for i in range(n)]
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:            # extension: label + sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:          # image descriptor
+            left, top, w, h, ipacked = struct.unpack(
+                "<HHHHB", data[pos + 1:pos + 10])
+            pos += 10
+            if ipacked & 0x80:   # local color table overrides
+                n = 2 << (ipacked & 0x07)
+                palette = [tuple(data[pos + 3 * i:pos + 3 * i + 3])
+                           for i in range(n)]
+                pos += 3 * n
+            if ipacked & 0x40:
+                raise ValueError("GIF: interlaced images not implemented")
+            min_code = data[pos]
+            pos += 1
+            stream = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                stream += data[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            indices = _lzw_decode(bytes(stream), min_code)
+            if len(indices) != w * h:
+                raise ValueError(
+                    f"GIF: decoded {len(indices)} indices for {w}x{h}")
+            return w, h, palette, indices
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"GIF: unknown block 0x{b:02x}")
+    raise ValueError("GIF: no image data found")
+
+
+def attach_gif_images(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One real GIF89a payload per document, deterministic from the
+    id: ``width = 16 + id % 15``, ``height = 12 + id % 12``, pixel
+    index at (x, y) is ``(id*37 + y*13 + x*5) % 256``; the 256-entry
+    palette maps index ``i`` to ``(i, i*3 % 256, i*7 % 256)``.  Sized
+    so the LZW dictionary passes 512 entries (10-bit codes)."""
+
+    def synth(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads, metas = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                w = GIF_BASE_W + did % GIF_W_MOD
+                h = GIF_BASE_H + did % GIF_H_MOD
+                y, x = np.ogrid[0:h, 0:w]
+                idx = ((did * 37 + y * 13 + x * 5) % 256).astype(
+                    np.uint8)
+                raw = encode_gif(idx.tobytes(), w, h)
+                payloads.append(raw)
+                metas.append({
+                    "media_type": "image/gif",
+                    "width": w, "height": h,
+                    "n_bytes": len(raw),
+                    "sha": hashlib.sha256(raw).hexdigest(),
+                })
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].to_numpy(),
+                "payload": payloads,
+                "media": metas,
+            })
+
+    return docs.select(id_col).mapInPandas(synth, AUDIO_SCHEMA)
+
+
+def decode_gif(media_df: DataFrame, backend: str = "lzw") -> DataFrame:
+    """Parse GIF payloads with :func:`parse_gif` (hand-implemented
+    LZW): dimensions from the real screen/image descriptors, pixel
+    statistics from the decoded index stream mapped through the
+    palette.  All-integer output (``sum_rgb`` over palette-mapped
+    channels)."""
+    if backend != "lzw":
+        raise NotImplementedError(
+            f"gif decode backend {backend!r}: 'lzw' (built-in) is the "
+            "implemented backend")
+
+    def decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, ws, hs, pxs, sums = [], [], [], [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, palette, indices = parse_gif(p)
+                pal = np.asarray(palette, dtype=np.int64)
+                idx = np.frombuffer(indices, dtype=np.uint8)
+                ids.append(did)
+                ws.append(w)
+                hs.append(h)
+                pxs.append(w * h)
+                sums.append(int(pal[idx].sum()))
+            yield pd.DataFrame({
+                "doc_id": np.array(ids, dtype=np.int64),
+                "width": np.array(ws, dtype=np.int32),
+                "height": np.array(hs, dtype=np.int32),
+                "n_pixels": np.array(pxs, dtype=np.int64),
+                "sum_rgb": np.array(sums, dtype=np.int64),
+            })
+
+    return media_df.mapInPandas(decode, GIF_DECODED_SCHEMA)

@@ -21,9 +21,11 @@ from pyspark.sql import functions as F
 from location_summary_etl_spark.functions.scalars import round_portable
 from location_summary_etl_spark.operators.multimodal import (
     attach_fake_media,
+    attach_gif_images,
     attach_png_images,
     attach_wav_audio,
     decode_audio,
+    decode_gif,
     decode_media,
     decode_png,
     frame_sample,
@@ -223,6 +225,43 @@ FROM d,
      UNNEST(generate_series(0, d.w - 1)) AS x(x),
      UNNEST([0, 1, 2]) AS c(c)
 GROUP BY d.doc_id, d.w, d.h
+""")
+
+
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec with a HAND-IMPLEMENTED compression algorithm: write
+    genuine GIF89a files per document (LZW-compressed index streams --
+    variable-width codes growing past 9 bits, clear/end codes,
+    sub-block framing -- implemented from the spec, no library) and
+    parse them back.  Deterministic pixel/palette formulas => exact
+    all-integer oracle; agreement proves the LZW round trip."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_gif(attach_gif_images(docs))
+
+
+# Index at (x, y) of doc d is p = (d*37 + y*13 + x*5) % 256; palette
+# maps p to (p, p*3 % 256, p*7 % 256); width = 16 + d % 15, height =
+# 12 + d % 12.  sum_rgb = SUM over pixels of the palette triple -- a
+# real LZW decode sits between the Spark side and these numbers.
+register("multimodal_gif_decode", multimodal_gif_decode, """
+WITH d AS (
+    SELECT doc_id, 16 + doc_id % 15 AS w, 12 + doc_id % 12 AS h
+    FROM documents
+),
+px AS (
+    SELECT d.doc_id, d.w, d.h,
+           (d.doc_id * 37 + y.y * 13 + x.x * 5) % 256 AS p
+    FROM d,
+         UNNEST(generate_series(0, d.h - 1)) AS y(y),
+         UNNEST(generate_series(0, d.w - 1)) AS x(x)
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(SUM(p + (p * 3) % 256 + (p * 7) % 256) AS BIGINT) AS sum_rgb
+FROM px
+GROUP BY doc_id, w, h
 """)
 
 
