@@ -937,3 +937,142 @@ def decode_gif(media_df: DataFrame, backend: str = "lzw") -> DataFrame:
             })
 
     return media_df.mapInPandas(decode, GIF_DECODED_SCHEMA)
+
+
+# ------------------------------------------------- mixed-modality decode
+# A real training-data table does not hold one modality per column: the
+# payload column is heterogeneous and the decoder dispatches on the
+# metadata.  attach_mixed_media round-robins documents across the three
+# REAL codecs (PNG / GIF / WAV) and decode_any routes each row to its
+# parser inside one mapInPandas pass, emitting one UNIFIED feature
+# schema -- the shape a modality-agnostic ingest stage actually has.
+MIXED_DECODED_SCHEMA = (
+    "doc_id bigint, media_type string, width int, height int, "
+    "n_units bigint, feature_sum bigint"
+)
+
+
+def attach_mixed_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One real payload per document, modality by ``id % 3``: 0 -> PNG,
+    1 -> GIF, 2 -> WAV -- each built by the same deterministic formulas
+    as its single-modality sibling, so every downstream decode stays
+    exactly oracle-able."""
+
+    def synth(batches):
+        import hashlib
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads, metas = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                m = did % 3
+                if m == 0:
+                    w = PNG_BASE_W + did % PNG_W_MOD
+                    h = PNG_BASE_H + did % PNG_H_MOD
+                    y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                    raw = encode_png(((did * 31 + y * 17 + x * 7 + c * 11)
+                                      % 256).astype(np.uint8))
+                    mt = "image/png"
+                elif m == 1:
+                    w = GIF_BASE_W + did % GIF_W_MOD
+                    h = GIF_BASE_H + did % GIF_H_MOD
+                    y, x = np.ogrid[0:h, 0:w]
+                    raw = encode_gif(((did * 37 + y * 13 + x * 5) % 256)
+                                     .astype(np.uint8).tobytes(), w, h)
+                    mt = "image/gif"
+                else:
+                    w = h = 0
+                    n = AUDIO_BASE_FRAMES + did % AUDIO_FRAME_MOD
+                    t = np.arange(n, dtype=np.int64)
+                    samples = ((did * 31 + t * 7) % 256).astype(np.uint8)
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as wv:
+                        wv.setnchannels(1)
+                        wv.setsampwidth(1)
+                        wv.setframerate(AUDIO_SAMPLE_RATE)
+                        wv.writeframes(samples.tobytes())
+                    raw = buf.getvalue()
+                    mt = "audio/wav"
+                payloads.append(raw)
+                metas.append({
+                    "media_type": mt,
+                    "width": w, "height": h,
+                    "n_bytes": len(raw),
+                    "sha": hashlib.sha256(raw).hexdigest(),
+                })
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].to_numpy(),
+                "payload": payloads,
+                "media": metas,
+            })
+
+    return docs.select(id_col).mapInPandas(synth, AUDIO_SCHEMA)
+
+
+def decode_any(media_df: DataFrame) -> DataFrame:
+    """Modality-dispatching decode: route every row to the REAL parser
+    its ``media.media_type`` names (PNG chunk walk + inflate, GIF LZW,
+    WAV container) inside one Arrow batch pass, and emit one unified
+    feature row -- images report (width, height, n_units = pixels,
+    feature_sum = palette/channel sum), audio reports (n_units =
+    frames, feature_sum = sum |sample - 128|).  Unknown media types
+    raise: a training ingest wants the task to fail loudly, not
+    silently drop a modality."""
+
+    def decode(batches):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, mts, ws, hs, nus, sums = [], [], [], [], [], []
+            for did, p, m in zip(pdf["doc_id"], pdf["payload"],
+                                 pdf["media"]):
+                mt = m["media_type"]
+                if mt == "image/png":
+                    w, h, ctype, pixels = parse_png(p)
+                    buf = np.frombuffer(pixels, dtype=np.uint8)
+                    if ctype == 6:
+                        buf = buf.reshape(-1, 4)[:, :3]
+                    nu, fs = w * h, int(buf.astype(np.int64).sum())
+                elif mt == "image/gif":
+                    w, h, palette, indices = parse_gif(p)
+                    pal = np.asarray(palette, dtype=np.int64)
+                    idx = np.frombuffer(indices, dtype=np.uint8)
+                    nu, fs = w * h, int(pal[idx].sum())
+                elif mt == "audio/wav":
+                    with wave.open(io.BytesIO(p), "rb") as wv:
+                        n = wv.getnframes()
+                        raw = wv.readframes(n)
+                    pcm = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                    w = h = 0
+                    nu, fs = n, int(np.abs(pcm - 128).sum())
+                else:
+                    raise ValueError(f"doc {did}: no decoder for {mt!r}")
+                ids.append(did)
+                mts.append(mt)
+                ws.append(w)
+                hs.append(h)
+                nus.append(nu)
+                sums.append(fs)
+            yield pd.DataFrame({
+                "doc_id": np.array(ids, dtype=np.int64),
+                "media_type": mts,
+                "width": np.array(ws, dtype=np.int32),
+                "height": np.array(hs, dtype=np.int32),
+                "n_units": np.array(nus, dtype=np.int64),
+                "feature_sum": np.array(sums, dtype=np.int64),
+            })
+
+    return media_df.mapInPandas(decode, MIXED_DECODED_SCHEMA)

@@ -132,10 +132,11 @@ _WINDOW_PINNED = ("multimodal_inventory", "merge_upsert_orders")
 # a superset of the versioned machinery -- and the PNG codec ahead of
 # the audio codec).
 _WINDOW_PREFERRED = (
-    "versioned_change_feed", "multimodal_png_decode",
+    "versioned_change_feed", "multimodal_mixed_decode",
     "streaming_lakehouse_ingest",
-    "versioned_time_travel", "skew_salted_fact_join",
-    "streaming_dedup_replay", "multimodal_audio_decode",
+    "multimodal_png_decode", "versioned_time_travel",
+    "skew_salted_fact_join", "streaming_dedup_replay",
+    "multimodal_audio_decode",
 )
 
 

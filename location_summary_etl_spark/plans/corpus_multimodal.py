@@ -22,8 +22,10 @@ from location_summary_etl_spark.functions.scalars import round_portable
 from location_summary_etl_spark.operators.multimodal import (
     attach_fake_media,
     attach_gif_images,
+    attach_mixed_media,
     attach_png_images,
     attach_wav_audio,
+    decode_any,
     decode_audio,
     decode_gif,
     decode_media,
@@ -225,6 +227,60 @@ FROM d,
      UNNEST(generate_series(0, d.w - 1)) AS x(x),
      UNNEST([0, 1, 2]) AS c(c)
 GROUP BY d.doc_id, d.w, d.h
+""")
+
+
+def multimodal_mixed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous-payload decode -- the real training-data shape:
+    ONE binary column holding PNG, GIF, and WAV payloads (modality by
+    doc_id % 3), decoded in ONE ``mapInPandas`` pass that dispatches
+    each row to its real parser on the metadata and emits a unified
+    feature schema.  Every branch is the deterministic formula of its
+    single-modality sibling, so the oracle replays the whole mixed
+    table as a three-way UNION -- the gate certifies codec dispatch,
+    not just each codec alone."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_any(attach_mixed_media(docs))
+
+
+register("multimodal_mixed_decode", multimodal_mixed_decode, """
+WITH d AS (SELECT doc_id FROM documents),
+png AS (
+    SELECT doc_id, 4 + doc_id % 6 AS w, 3 + doc_id % 5 AS h
+    FROM d WHERE doc_id % 3 = 0
+),
+gif AS (
+    SELECT doc_id, 16 + doc_id % 15 AS w, 12 + doc_id % 12 AS h
+    FROM d WHERE doc_id % 3 = 1
+),
+wav AS (
+    SELECT doc_id, 64 + doc_id % 128 AS n FROM d WHERE doc_id % 3 = 2
+)
+SELECT png.doc_id, 'image/png' AS media_type,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_units,
+       CAST(SUM((png.doc_id * 31 + y.y * 17 + x.x * 7 + c.c * 11) % 256)
+            AS BIGINT) AS feature_sum
+FROM png,
+     UNNEST(generate_series(0, png.h - 1)) AS y(y),
+     UNNEST(generate_series(0, png.w - 1)) AS x(x),
+     UNNEST([0, 1, 2]) AS c(c)
+GROUP BY png.doc_id, w, h
+UNION ALL
+SELECT gif.doc_id, 'image/gif',
+       CAST(w AS INT), CAST(h AS INT), CAST(w * h AS BIGINT),
+       CAST(SUM(p + (p * 3) % 256 + (p * 7) % 256) AS BIGINT)
+FROM (SELECT gif.doc_id, gif.w, gif.h,
+             (gif.doc_id * 37 + y.y * 13 + x.x * 5) % 256 AS p
+      FROM gif,
+           UNNEST(generate_series(0, gif.h - 1)) AS y(y),
+           UNNEST(generate_series(0, gif.w - 1)) AS x(x)) gif
+GROUP BY gif.doc_id, gif.w, gif.h
+UNION ALL
+SELECT wav.doc_id, 'audio/wav', 0, 0, CAST(n AS BIGINT),
+       CAST(SUM(ABS((wav.doc_id * 31 + t.t * 7) % 256 - 128)) AS BIGINT)
+FROM wav, UNNEST(generate_series(0, wav.n - 1)) AS t(t)
+GROUP BY wav.doc_id, wav.n
 """)
 
 

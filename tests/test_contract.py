@@ -56,7 +56,8 @@ def test_driver_window_covers_families_and_priority_entries():
 
     for pinned in corpus._WINDOW_PINNED:
         assert pinned in window, pinned
-    for lead in ("multimodal_png_decode", "versioned_change_feed"):
+    for lead in ("multimodal_mixed_decode", "versioned_change_feed",
+                 "streaming_lakehouse_ingest"):
         assert lead in window, lead
 
     # every family module contributes to the window

@@ -1792,3 +1792,35 @@ def test_gif_parse_external_fixture_and_corruption():
         parse_gif(b"JIF89a" + fix[6:])
     with _pytest.raises(ValueError):
         parse_gif(fix[:20])  # truncated mid-structure
+
+
+def test_mixed_modality_decode_dispatch(spark):
+    """decode_any routes each row of a heterogeneous payload column to
+    the REAL parser its media_type names, in one pass; an unknown
+    media type must fail the task, not silently drop."""
+    import pytest as _pytest
+
+    from location_summary_etl_spark.operators.multimodal import (
+        attach_mixed_media,
+        decode_any,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in (0, 1, 2, 30, 31, 32)],
+                                 ["doc_id"])
+    rows = {r["doc_id"]: r for r in
+            decode_any(attach_mixed_media(docs)).collect()}
+    assert rows[0]["media_type"] == "image/png" and rows[0]["width"] == 4
+    assert rows[31]["media_type"] == "image/gif" and rows[31]["width"] == 17
+    assert rows[32]["media_type"] == "audio/wav" and rows[32]["width"] == 0
+    assert rows[32]["n_units"] == 64 + 32 % 128
+
+    # unknown media type: loud failure inside the Arrow batch
+    from pyspark.sql import functions as F
+    bad = attach_mixed_media(docs).withColumn(
+        "media", F.named_struct(
+            F.lit("media_type"), F.lit("video/mp4"),
+            F.lit("width"), F.lit(0), F.lit("height"), F.lit(0),
+            F.lit("n_bytes"), F.lit(0).cast("bigint"),
+            F.lit("sha"), F.lit("x")))
+    with _pytest.raises(Exception, match="no decoder"):
+        decode_any(bad).collect()
