@@ -20,9 +20,12 @@ signatures -- is real and tested.  Codec status per family:
   backend for formats beyond these (``decode_media(backend='auto')``);
   the deterministic fake byte-statistics backend is the codec-less
   fallback.
-- **video frame-sample / resize**: fake-only (byte-window statistics
-  with the real fan-out/batch shape); real backends raise until their
-  libraries exist in the image.
+- **video**: REAL for Y4M.  ``attach_y4m_video``/``decode_video_frames``
+  write and parse genuine YUV4MPEG2 clips (header tags, FRAME-marker
+  boundaries, raw 4:4:4 planes) -- frame sampling seeks real frame
+  boundaries.  The generic byte-window ``frame_sample``/``resize_media``
+  fakes remain the compressed-codec placeholders; their real backends
+  raise until codec libraries exist in the image.
 
 Scale notes: payload-bearing rows are processed with ``mapInPandas``
 (Arrow batches stream through executors; nothing accumulates on the
@@ -1076,3 +1079,148 @@ def decode_any(media_df: DataFrame) -> DataFrame:
             })
 
     return media_df.mapInPandas(decode, MIXED_DECODED_SCHEMA)
+
+
+# ------------------------------------------------------------ video/y4m
+# Real VIDEO container, no third-party dependency: YUV4MPEG2 (y4m) is
+# the uncompressed interchange format of the mjpegtools/ffmpeg world --
+# a text header carrying width/height/rate/colorspace tags, then one
+# "FRAME\n" marker + raw YUV planes per frame.  This retires the
+# module's last fake-only family: frame sampling now seeks REAL frame
+# boundaries in a real container (the WAV/PNG/GIF pattern applied to
+# video), with the same deterministic-formula oracle story.
+VIDEO_BASE_W, VIDEO_W_MOD = 4, 3     # width    = 4 + id % 3 -> 4..6
+VIDEO_BASE_H, VIDEO_H_MOD = 3, 3     # height   = 3 + id % 3 -> 3..5
+VIDEO_BASE_F, VIDEO_F_MOD = 3, 4     # n_frames = 3 + id % 4 -> 3..6
+
+VIDEO_FRAMES_SCHEMA = (
+    "doc_id bigint, frame_no int, width int, height int, frame_sum bigint"
+)
+
+
+def encode_y4m(frames, width: int, height: int) -> bytes:
+    """Serialize an (F, 3, H, W) uint8 array to a real YUV4MPEG2 file
+    (C444: full-resolution Y, U, V planes per frame)."""
+    out = bytearray(
+        f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C444\n".encode())
+    for f in frames:
+        out += b"FRAME\n"
+        out += f.tobytes()
+    return bytes(out)
+
+
+def parse_y4m(data: bytes):
+    """Parse a YUV4MPEG2 stream: header tags (W/H required, C must be
+    444 or absent), then FRAME-marker-delimited raw planes.
+
+    Returns ``(width, height, frames: list[bytes])`` with each frame's
+    3*w*h plane bytes.  Malformed input raises ``ValueError``."""
+    nl = data.find(b"\n")
+    if nl < 0 or not data.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a y4m stream: bad magic")
+    w = h = None
+    for tag in data[9:nl].split():
+        if tag[:1] == b"W":
+            w = int(tag[1:])
+        elif tag[:1] == b"H":
+            h = int(tag[1:])
+        elif tag[:1] == b"C" and tag[1:4] != b"444":
+            raise ValueError(
+                f"y4m: colorspace {tag[1:].decode()} not implemented "
+                "(C444 only)")
+    if not w or not h:
+        raise ValueError("y4m: header missing W or H")
+    frame_bytes = 3 * w * h
+    frames = []
+    pos = nl + 1
+    while pos < len(data):
+        fnl = data.find(b"\n", pos)
+        if fnl < 0 or data[pos:pos + 5] != b"FRAME":
+            raise ValueError(f"y4m: expected FRAME marker at {pos}")
+        pos = fnl + 1
+        plane = data[pos:pos + frame_bytes]
+        if len(plane) != frame_bytes:
+            raise ValueError("y4m: truncated frame")
+        frames.append(plane)
+        pos += frame_bytes
+    return w, h, frames
+
+
+def attach_y4m_video(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One real y4m clip per document, deterministic from the id:
+    ``width = 4 + id % 3``, ``height = 3 + id % 3``, ``n_frames =
+    3 + id % 4``; plane ``c`` of frame ``f`` at (x, y) is
+    ``(id*19 + f*29 + c*41 + y*7 + x*3) % 256``."""
+
+    def synth(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads, metas = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                w = VIDEO_BASE_W + did % VIDEO_W_MOD
+                h = VIDEO_BASE_H + did % VIDEO_H_MOD
+                n = VIDEO_BASE_F + did % VIDEO_F_MOD
+                f, c, y, x = np.ogrid[0:n, 0:3, 0:h, 0:w]
+                clip = ((did * 19 + f * 29 + c * 41 + y * 7 + x * 3)
+                        % 256).astype(np.uint8)
+                raw = encode_y4m(clip, w, h)
+                payloads.append(raw)
+                metas.append({
+                    "media_type": "video/y4m",
+                    "width": w, "height": h,
+                    "n_bytes": len(raw),
+                    "sha": hashlib.sha256(raw).hexdigest(),
+                })
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].to_numpy(),
+                "payload": payloads,
+                "media": metas,
+            })
+
+    return docs.select(id_col).mapInPandas(synth, AUDIO_SCHEMA)
+
+
+def decode_video_frames(media_df: DataFrame,
+                        backend: str = "y4m") -> DataFrame:
+    """Frame-level decode of y4m payloads via :func:`parse_y4m`:
+    real container parse, one output row per frame (the 1->n video
+    fan-out inside the Arrow batch), all-integer statistics."""
+    if backend != "y4m":
+        raise NotImplementedError(
+            f"video decode backend {backend!r}: 'y4m' (built-in) is the "
+            "implemented backend; compressed-codec variants belong to "
+            "environments that ship them")
+
+    def decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, fnos, ws, hs, sums = [], [], [], [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, frames = parse_y4m(p)
+                for fno, plane in enumerate(frames):
+                    buf = np.frombuffer(plane, dtype=np.uint8)
+                    ids.append(did)
+                    fnos.append(fno)
+                    ws.append(w)
+                    hs.append(h)
+                    sums.append(int(buf.astype(np.int64).sum()))
+            yield pd.DataFrame({
+                "doc_id": np.array(ids, dtype=np.int64),
+                "frame_no": np.array(fnos, dtype=np.int32),
+                "width": np.array(ws, dtype=np.int32),
+                "height": np.array(hs, dtype=np.int32),
+                "frame_sum": np.array(sums, dtype=np.int64),
+            })
+
+    return media_df.mapInPandas(decode, VIDEO_FRAMES_SCHEMA)

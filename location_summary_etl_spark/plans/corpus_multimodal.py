@@ -2,15 +2,17 @@
 oracle-paired.
 
 The mapInPandas entries are hash-gateable because their compute is
-deterministic and integer-replayable: the image/video entries use the
-fake byte-statistics backend over an ASCII payload, and two entries go
-further with REAL codecs that keep exact oracles: a stdlib-``wave``
-WAV roundtrip (``multimodal_audio_decode``) and a stdlib-``zlib`` PNG
-roundtrip (``multimodal_png_decode`` -- CRC-checked chunks, inflate,
-all five scanline filters).  A real THIRD-PARTY image backend (Pillow,
-auto-selected where installed) would revert
-``multimodal_decode_features`` to rows-only; the codec entries keep
-their exact oracles because their payloads are deterministic.
+deterministic and integer-replayable.  Every modality now has a REAL
+codec entry with an exact oracle: WAV audio (stdlib ``wave``), PNG
+(stdlib ``zlib`` -- CRC-checked chunks, inflate, all five scanline
+filters), GIF (LZW implemented from the spec), Y4M video (real
+frame-boundary container), plus ``multimodal_mixed_decode`` routing a
+heterogeneous payload column through all three file codecs in one
+pass.  The original fake byte-statistics entries remain as the
+plumbing baseline; a real THIRD-PARTY backend (Pillow, auto-selected
+where installed) would revert ``multimodal_decode_features`` to
+rows-only, while the codec entries keep their exact oracles because
+their payloads are deterministic.
 """
 
 from __future__ import annotations
@@ -25,11 +27,13 @@ from location_summary_etl_spark.operators.multimodal import (
     attach_mixed_media,
     attach_png_images,
     attach_wav_audio,
+    attach_y4m_video,
     decode_any,
     decode_audio,
     decode_gif,
     decode_media,
     decode_png,
+    decode_video_frames,
     frame_sample,
     resize_media,
 )
@@ -227,6 +231,41 @@ FROM d,
      UNNEST(generate_series(0, d.w - 1)) AS x(x),
      UNNEST([0, 1, 2]) AS c(c)
 GROUP BY d.doc_id, d.w, d.h
+""")
+
+
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video container path: write genuine YUV4MPEG2 clips per
+    document (text header + FRAME-delimited raw YUV planes -- the
+    mjpegtools/ffmpeg interchange format) and decode them frame by
+    frame: one output row per frame from a real frame-boundary seek,
+    the 1->n video fan-out inside the Arrow batch.  Deterministic
+    plane formula => exact all-integer oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_video_frames(attach_y4m_video(docs))
+
+
+# Plane c of frame f at (x, y) of doc d is
+# (d*19 + f*29 + c*41 + y*7 + x*3) % 256; width = 4 + d % 3, height =
+# 3 + d % 3, n_frames = 3 + d % 4.  frame_sum sums all three planes.
+register("multimodal_video_frames", multimodal_video_frames, """
+WITH d AS (
+    SELECT doc_id, 4 + doc_id % 3 AS w, 3 + doc_id % 3 AS h,
+           3 + doc_id % 4 AS n
+    FROM documents
+)
+SELECT d.doc_id,
+       CAST(f.f AS INT) AS frame_no,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(SUM((d.doc_id * 19 + f.f * 29 + c.c * 41 + y.y * 7 + x.x * 3)
+                % 256) AS BIGINT) AS frame_sum
+FROM d,
+     UNNEST(generate_series(0, d.n - 1)) AS f(f),
+     UNNEST([0, 1, 2]) AS c(c),
+     UNNEST(generate_series(0, d.h - 1)) AS y(y),
+     UNNEST(generate_series(0, d.w - 1)) AS x(x)
+GROUP BY d.doc_id, f.f, w, h
 """)
 
 
