@@ -123,7 +123,20 @@ class VersionedTable:
                 or not (st[0] > hi or st[1] < lo)
             ]
         if not m["files"]:
-            raise ValueError(f"version {version} is an empty table")
+            # A table can legitimately BE empty -- a MERGE that deleted
+            # the last row, or an initial empty commit.  The manifest
+            # still pins the schema, so return an empty DataFrame (the
+            # same contract as the fully-pruned data-skipping read)
+            # rather than raising; only a schemaless pre-history
+            # manifest has nothing to answer with.
+            from pyspark.sql.types import StructType
+
+            schema_json = m.get("schema")
+            if schema_json:
+                return spark.createDataFrame(
+                    [], StructType.fromJson(json.loads(schema_json)))
+            raise ValueError(
+                f"version {version} is empty and records no schema")
         if not files:
             # Data skipping pruned every file: a legitimately selective
             # predicate that matches no rows.  Skipping must stay a

@@ -381,6 +381,7 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, path: str,
         fs = dst.getFileSystem(conf)
         fs.delete(dst, True)
         fs.rename(src, dst)
+        _ensure_schema_marker(spark, path, target.schema)
         counts["partitions"] = 1
         return counts
 
@@ -449,8 +450,46 @@ def merge_upsert(spark: SparkSession, updates: DataFrame, path: str,
     # affected set -- which they always are (affected includes the
     # updates' own partitions) -- so anything left in tmp is sidecars.
     fs.delete(tmp_path, True)
+    # A previous total deletion may have left a root-level schema
+    # marker; now that this merge has run, it is stale -- root files
+    # and partition directories must not coexist in a Hive layout.
+    # Remove root markers first; _ensure_schema_marker re-creates one
+    # only if the table is (still) completely empty.
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    for st in fs.listStatus(root):
+        if st.isFile() and st.getPath().getName().endswith(".parquet"):
+            fs.delete(st.getPath(), False)
+    _ensure_schema_marker(spark, path, target.schema)
     counts["partitions"] = len(affected)
     return counts
+
+
+def _ensure_schema_marker(spark: SparkSession, path: str, schema) -> None:
+    """A parquet table whose LAST row was deleted by a merge must stay
+    readable: with zero data files left, ``spark.read.parquet`` cannot
+    infer a schema and raises UNABLE_TO_INFER_SCHEMA -- the
+    total-deletion edge a hypothesis stream (delete every seeded key)
+    caught.  Where a lakehouse manifest records the schema for free,
+    plain parquet has only data files to carry it, so when nothing
+    else survives, write ONE empty schema-bearing file at the table
+    root (partition columns become regular empty columns -- harmless:
+    there are no rows).  Any later write replaces the situation."""
+    import py4j.protocol
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(conf)
+    try:
+        it = fs.listFiles(root, True)
+        while it.hasNext():
+            f = it.next().getPath().getName()
+            if f.endswith(".parquet"):
+                return
+    except py4j.protocol.Py4JJavaError:
+        pass  # path itself gone (everything deleted): fall through
+    (spark.createDataFrame([], schema)
+     .coalesce(1).write.mode("append").parquet(path))
 
 
 def _merge_counts(target: DataFrame, touched_keys: DataFrame,

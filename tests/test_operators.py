@@ -1871,3 +1871,47 @@ def test_y4m_real_video_container_roundtrip(spark):
         raise AssertionError("expected NotImplementedError")
     except NotImplementedError:
         pass
+
+
+def test_merge_total_deletion_keeps_table_readable(spark, tmp_path):
+    """Deleting the LAST row through either merge path must leave a
+    READABLE empty table: plain parquet gets a schema-bearing empty
+    marker file (zero data files cannot answer a schema inference),
+    the versioned table answers from its manifest-pinned schema.
+    Regression for the hypothesis-found total-deletion stream."""
+    from pyspark.sql import functions as F
+
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+    from location_summary_etl_spark.sources.writers import merge_upsert
+
+    seed = spark.createDataFrame([(6, 83)], "k int, v int").withColumn(
+        "part", (F.col("k") % 2).cast("string"))
+    flat = str(tmp_path / "flat")
+    seed.write.partitionBy("part").parquet(flat)
+    vt = VersionedTable(str(tmp_path / "vt"))
+    vt.commit(seed)
+
+    kill = spark.createDataFrame([(6, 0, True)],
+                                 "k int, v int, d boolean").withColumn(
+        "part", (F.col("k") % 2).cast("string"))
+    merge_upsert(spark, kill, flat, keys=["k"], partition_by="part",
+                 delete_col="d", collect_metrics=False)
+    vt.merge(spark, kill, keys=["k"], delete_col="d")
+
+    flat_back = spark.read.parquet(flat)
+    assert flat_back.count() == 0
+    assert set(flat_back.columns) == {"k", "v", "part"}
+    v_back = vt.read(spark)
+    assert v_back.count() == 0
+    assert set(v_back.columns) == {"k", "v", "part"}
+
+    # and the table must come back to life on the next merge
+    revive = spark.createDataFrame([(1, 11, False)],
+                                   "k int, v int, d boolean").withColumn(
+        "part", (F.col("k") % 2).cast("string"))
+    merge_upsert(spark, revive, flat, keys=["k"], partition_by="part",
+                 delete_col="d", collect_metrics=False)
+    vt.merge(spark, revive, keys=["k"], delete_col="d")
+    assert [(r["k"], r["v"]) for r in
+            spark.read.parquet(flat).collect()] == [(1, 11)]
+    assert [(r["k"], r["v"]) for r in vt.read(spark).collect()] == [(1, 11)]
