@@ -170,24 +170,7 @@ def main() -> None:
             md = f.read()
         marker = "\n## Deep tier (sf10)\n"
         md = md.split(marker)[0].rstrip() + "\n"
-        lines = [
-            "", "## Deep tier (sf10)", "",
-            f"{payload['deep']['method']}; Spark job floor "
-            f"{payload['deep']['spark_job_floor_sec']} s; host cal "
-            f"{payload['deep']['host_cpu_cal_sec']} s.",
-            "",
-            "| query | spark sf0.1 | sf1 | sf10 | duck sf0.1 | sf1 | sf10 "
-            "| ratio sf0.1 | sf1 | sf10 |",
-            "|---|---|---|---|---|---|---|---|---|---|",
-        ]
-        for n in names:
-            q = results[n]
-            lines.append(
-                "| " + " | ".join(
-                    [n]
-                    + [f"{q[sf]['spark']:.3f}" for sf, _ in tiers]
-                    + [f"{q[sf]['duckdb']:.3f}" for sf, _ in tiers]
-                    + [f"{q[sf]['ratio']:.2f}" for sf, _ in tiers]) + " |")
+        lines = _deep_md_lines(payload["deep"], [sf for sf, _ in tiers])
         with open(mdpath, "w") as f:
             f.write(md + "\n".join(lines) + "\n")
         print("merged deep section into BENCH_CROSSOVER.{json,md}")
@@ -208,7 +191,18 @@ def main() -> None:
         "host_cpu_cal_sec": round(cal, 3),
         "queries": results,
     }
-    with open(os.path.join(HERE, "BENCH_CROSSOVER.json"), "w") as f:
+    # A full rerun refreshes the MAIN table only -- an existing deep
+    # (sf10) section is separate evidence from its own invocation and
+    # must survive (a rerun once silently dropped it).
+    jpath = os.path.join(HERE, "BENCH_CROSSOVER.json")
+    try:
+        with open(jpath) as f:
+            prev_deep = json.load(f).get("deep")
+    except (FileNotFoundError, json.JSONDecodeError):
+        prev_deep = None
+    if prev_deep:
+        payload["deep"] = prev_deep
+    with open(jpath, "w") as f:
         json.dump(payload, f, indent=1)
 
     # Markdown table, worst sf0.1 ratio first.
@@ -242,9 +236,34 @@ def main() -> None:
                 + [f"{q[sf]['duckdb']:.3f}" for sf, _ in tiers]
                 + [f"{q[sf]['ratio']:.2f}" for sf, _ in tiers]
                 + [trend]) + " |")
+    if prev_deep:
+        lines += _deep_md_lines(prev_deep, [sf for sf, _ in
+                                            (("0.1", ""), ("1", ""),
+                                             ("10", ""))])
     with open(os.path.join(HERE, "BENCH_CROSSOVER.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote BENCH_CROSSOVER.{json,md}")
+
+
+def _deep_md_lines(deep: dict, sfs: list) -> list:
+    lines = [
+        "", "## Deep tier (sf10)", "",
+        f"{deep['method']}; Spark job floor "
+        f"{deep['spark_job_floor_sec']} s; host cal "
+        f"{deep['host_cpu_cal_sec']} s.",
+        "",
+        "| query | spark sf0.1 | sf1 | sf10 | duck sf0.1 | sf1 | sf10 "
+        "| ratio sf0.1 | sf1 | sf10 |",
+        "|---|---|---|---|---|---|---|---|---|---|",
+    ]
+    for n, q in deep["queries"].items():
+        lines.append(
+            "| " + " | ".join(
+                [n]
+                + [f"{q[sf]['spark']:.3f}" for sf in sfs]
+                + [f"{q[sf]['duckdb']:.3f}" for sf in sfs]
+                + [f"{q[sf]['ratio']:.2f}" for sf in sfs]) + " |")
+    return lines
 
 
 if __name__ == "__main__":
