@@ -284,3 +284,83 @@ top_lang AS (
 SELECT p.source, p.n_docs, p.keep_rate, p.avg_words, t.top_lang
 FROM per_source p JOIN top_lang t USING (source)
 """)
+
+
+# ----------------------------------------------- LM-based quality score
+def corpus_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality scoring: train an add-k
+    bigram model on the train split (doc_id % 10 < 8) and score every
+    eval-split document by its mean bigram log-likelihood -- the
+    perplexity filter real corpus builds run between quality rules and
+    dedup (low-likelihood text is boilerplate/garble; CCNet buckets on
+    exactly this statistic, via KenLM).
+
+    Model and score are ONE Spark lineage, no driver state: bigram and
+    context counts are groupBys over the flat posexploded token
+    stream (the contamination-check shape: ``element_at`` pairs, no
+    gram strings), the vocabulary size is a 1-row broadcast (scalar
+    subquery shape), and scoring is two shuffle joins of the eval
+    bigram stream against the count tables -- at 100 TB every piece
+    scales as counts tables, never as a collected model.  add-k
+    smoothing (k=0.5): P(w2|w1) = (c12 + k) / (c1 + k*V), with c1 the
+    CONTEXT count (bigram starts, not raw unigrams) so probabilities
+    per context sum to 1 and both engines replay the same definition.
+    """
+    from location_summary_etl_spark.functions.texts import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    idx = F.when(F.size("toks") >= 2,
+                 F.sequence(F.lit(1), F.size("toks") - 1)
+                 ).otherwise(F.array().cast("array<int>"))
+    big = (toks.select("doc_id", "toks", F.explode(idx).alias("i"))
+           .select("doc_id",
+                   F.element_at("toks", F.col("i")).alias("w1"),
+                   F.element_at("toks", F.col("i") + 1).alias("w2")))
+    train = big.filter(F.col("doc_id") % 10 < 8)
+    ctx = train.groupBy("w1").agg(F.count("*").alias("c1"))
+    pair = train.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    vocab = train.agg(F.countDistinct("w1").alias("v"))
+
+    ev = big.filter(F.col("doc_id") % 10 >= 8)
+    k = F.lit(0.5)
+    scored = (
+        ev.join(pair, ["w1", "w2"], "left")
+        .join(ctx, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", F.log(
+            (F.coalesce("c12", F.lit(0)) + k)
+            / (F.coalesce("c1", F.lit(0)) + k * F.col("v"))
+        ).alias("logp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        round_portable(F.avg("logp"), 4).alias("avg_logp"),
+    )
+
+
+register("corpus_lm_perplexity", corpus_lm_perplexity, """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+big AS (
+    SELECT doc_id, t[i.i] AS w1, t[i.i + 1] AS w2
+    FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS i(i)
+    WHERE len(t) >= 2
+),
+train AS (SELECT * FROM big WHERE doc_id % 10 < 8),
+ctx AS (SELECT w1, COUNT(*) AS c1 FROM train GROUP BY w1),
+pair AS (SELECT w1, w2, COUNT(*) AS c12 FROM train GROUP BY w1, w2),
+v AS (SELECT COUNT(DISTINCT w1) AS v FROM train)
+SELECT b.doc_id,
+       COUNT(*) AS n_bigrams,
+       round(CAST(AVG(ln((COALESCE(c12, 0) + 0.5)
+                         / (COALESCE(c1, 0) + 0.5 * v.v))) AS DOUBLE), 4)
+           AS avg_logp
+FROM big b
+LEFT JOIN pair USING (w1, w2)
+LEFT JOIN ctx USING (w1)
+CROSS JOIN v
+WHERE b.doc_id % 10 >= 8
+GROUP BY b.doc_id
+""")
