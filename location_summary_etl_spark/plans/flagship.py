@@ -43,6 +43,13 @@ Both fusions would win only where customer is too big to rescan
 cheaply AND the per-cust maxes too big to broadcast -- at that point
 flip ``use_window=True`` (single orders scan+shuffle) rather than
 resurrecting these shapes.
+
+Confirmed at the 100x tier (bench_tiers/sf10, 1.5M customers / 15M
+orders, min-of-3 interleaved in one session): join form 2.13-2.36 s,
+fused single-scan 1.96-2.00 s (the fusion DOES cross over once the
+per-cust max broadcast reaches ~20 MB), window form 1.71 s -- the
+``use_window`` flip beats the fused shape exactly as predicted, so the
+crossover needs a flag flip, not a new plan.
 """
 
 from __future__ import annotations
