@@ -62,3 +62,61 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
             break
 
     return labels.select(F.col("vid").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def pagerank(edges: DataFrame, src_col: str, dst_col: str,
+             iterations: int = 3, damping: float = 0.85) -> DataFrame:
+    """(node, rank): fixed-iteration PageRank over directed ``edges``
+    (duplicate edges collapsed), the simplified SQL-standard form --
+    rank(v) = (1-d)/N + d * sum(rank(u)/outdeg(u) over in-edges), with
+    no dangling-mass redistribution (dangling nodes' rank decays to the
+    teleport term; deterministic and identical in any engine, which is
+    what makes the result exactly oracle-able).
+
+    Scale design: the node set, out-degrees and deduped edge list are
+    computed once and persisted -- every iteration reuses the cached
+    exchanges (AQE TableCacheQueryStage) instead of replaying the
+    fact-table lineage.  Each iteration is one key-partitioned
+    equi-join of the current ranks onto the edge list (shuffle on
+    src/node), one map-side-combined sum over dst, and one left join
+    back onto the node set; nothing of O(|V|) or O(|E|) is broadcast
+    or collected.  N rides along the node set as a column (1-row
+    broadcast cross join), so the whole computation is ONE lazy plan:
+    with a fixed, small iteration count the lineage stays shallow and
+    Catalyst sees every round -- for open-ended convergence loops use
+    the :func:`connected_components` localCheckpoint-per-round
+    structure instead.
+    """
+    edges = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.agg(F.count("*").alias("__n"))
+    nodes = nodes.join(F.broadcast(n)).persist()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+
+    ranks = nodes.select("node", (F.lit(1.0) / F.col("__n")).alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(outdeg, "src")
+            .join(ranks, F.col("src") == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("__in"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) / F.col("__n")
+                    + F.lit(damping) * F.coalesce("__in", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks

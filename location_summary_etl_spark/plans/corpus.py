@@ -134,6 +134,7 @@ _WINDOW_PINNED = ("multimodal_inventory", "merge_upsert_orders")
 _WINDOW_PREFERRED = (
     "versioned_change_feed", "multimodal_mixed_decode",
     "streaming_lakehouse_ingest",
+    "supplier_customer_pagerank", "corpus_lm_perplexity",
     "multimodal_png_decode", "versioned_time_travel",
     "skew_salted_fact_join", "streaming_dedup_replay",
     "multimodal_audio_decode",

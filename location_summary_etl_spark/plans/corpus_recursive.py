@@ -112,3 +112,65 @@ lengths AS (
 SELECT chain_len, COUNT(*) AS n_chains
 FROM lengths GROUP BY chain_len
 """)
+
+
+# ---------------------------------------------------------------- pagerank
+PR_ITERATIONS = 3
+PR_DAMPING = 0.85
+
+
+def supplier_customer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier->customer shipment graph (an edge per
+    distinct supplier/customer pair that shares a lineitem): which
+    customers sit downstream of the most diversified suppliers.  The
+    fixed-iteration driver loop builds ONE lazy plan (operators/graph.py
+    ``pagerank``); the oracle unrolls the same three iterations as
+    chained CTEs -- iterative-algorithm parity, not just aggregates."""
+    from location_summary_etl_spark.functions.scalars import round_portable
+    from location_summary_etl_spark.operators.graph import pagerank
+
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    edges = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("dst"),
+        )
+    )
+    pr = pagerank(edges, "src", "dst",
+                  iterations=PR_ITERATIONS, damping=PR_DAMPING)
+    return pr.select("node", round_portable("rank", 8).alias("rank"))
+
+
+def _pr_iteration(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+    SELECT nd.node,
+           {1.0 - PR_DAMPING} / nd.n
+               + {PR_DAMPING} * COALESCE(SUM(p.rank / od.deg), 0) AS rank
+    FROM nodes_n nd
+    LEFT JOIN edges e ON e.dst = nd.node
+    LEFT JOIN {prev} p ON p.node = e.src
+    LEFT JOIN outdeg od ON od.src = e.src
+    GROUP BY nd.node, nd.n
+)"""
+
+
+register("supplier_customer_pagerank", supplier_customer_pagerank, f"""
+WITH edges AS (
+    SELECT DISTINCT 's:' || l_suppkey AS src, 'c:' || o_custkey AS dst
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+ncnt AS (SELECT COUNT(*) AS n FROM nodes),
+nodes_n AS (SELECT node, (SELECT CAST(n AS DOUBLE) FROM ncnt) AS n FROM nodes),
+outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / n AS rank FROM nodes_n),
+{_pr_iteration('r0', 'r1')},
+{_pr_iteration('r1', 'r2')},
+{_pr_iteration('r2', 'r3')}
+SELECT node, round(rank, 8) AS rank FROM r3
+""")

@@ -1915,3 +1915,29 @@ def test_merge_total_deletion_keeps_table_readable(spark, tmp_path):
     assert [(r["k"], r["v"]) for r in
             spark.read.parquet(flat).collect()] == [(1, 11)]
     assert [(r["k"], r["v"]) for r in vt.read(spark).collect()] == [(1, 11)]
+
+
+def test_pagerank_matches_python_replay(spark):
+    """Fixed-iteration PageRank on a small directed graph (a hub, a
+    chain, duplicate edges, a dangling sink) equals a dict-based
+    replay of the same simplified recurrence."""
+    from location_summary_etl_spark.operators.graph import pagerank
+
+    raw = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("a", "b")]
+    edges = spark.createDataFrame(raw, "s string, d string")
+    got = {r.node: r.rank
+           for r in pagerank(edges, "s", "d", iterations=3).collect()}
+
+    dedup = sorted(set(raw))
+    nodes = sorted({x for e in dedup for x in e})
+    out = {n: sum(1 for s, _ in dedup if s == n) for n in nodes}
+    ranks = {n: 1.0 / len(nodes) for n in nodes}
+    for _ in range(3):
+        ranks = {
+            n: 0.15 / len(nodes)
+            + 0.85 * sum(ranks[s] / out[s] for s, d in dedup if d == n)
+            for n in nodes
+        }
+    assert set(got) == set(nodes)
+    for n in nodes:
+        assert abs(got[n] - ranks[n]) < 1e-12, (n, got[n], ranks[n])
