@@ -123,7 +123,7 @@ o AS (
 )
 SELECT shard, {id_col}, CAST(n_tokens AS INT) AS n_tokens,
        CAST(start_offset AS BIGINT) AS start_offset,
-       start_offset // {seq_len} AS pack_first,
-       (start_offset + n_tokens - 1) // {seq_len} AS pack_last
+       CAST(start_offset // {seq_len} AS BIGINT) AS pack_first,
+       CAST((start_offset + n_tokens - 1) // {seq_len} AS BIGINT) AS pack_last
 FROM o
 """

@@ -148,7 +148,7 @@ WITH g AS (
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 )
 SELECT user_id, COUNT(*) AS n_events,
-       SUM(new_session) + 1 AS n_sessions
+       CAST(SUM(new_session) + 1 AS BIGINT) AS n_sessions
 FROM g
 GROUP BY user_id
 """)
@@ -213,7 +213,7 @@ def events_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("events_json_variant", events_json_variant, """
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
        round(CAST(AVG(CAST(json_extract(props, '$.k') AS INT)) AS DOUBLE), 4)
            AS avg_k,
        MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k,

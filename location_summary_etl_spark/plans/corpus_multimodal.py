@@ -68,7 +68,7 @@ def multimodal_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("multimodal_inventory", multimodal_inventory, """
 SELECT source,
        COUNT(*) AS n_media,
-       SUM(octet_length(encode(text))) AS total_bytes,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        CAST(SUM(length(text) % 64 + 16) AS BIGINT) AS sum_width,
        COUNT(DISTINCT sha256(text)) AS n_distinct_payloads
 FROM documents

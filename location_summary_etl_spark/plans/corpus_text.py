@@ -337,7 +337,7 @@ WITH tok AS (
 counts AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
 topk AS (SELECT c FROM counts ORDER BY c DESC, tok LIMIT 20)
 SELECT COUNT(*) AS k_items,
-       SUM(c) AS sum_topk,
+       CAST(SUM(c) AS BIGINT) AS sum_topk,
        MIN(c) AS min_topk
 FROM topk
 """)

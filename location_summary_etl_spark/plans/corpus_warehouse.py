@@ -193,12 +193,14 @@ WITH cents AS (
     FROM orders
 ),
 base AS (
-    SELECT priority, month, COUNT(*) AS n_orders, SUM(c) AS total_cents
+    SELECT priority, month, COUNT(*) AS n_orders,
+           CAST(SUM(c) AS BIGINT) AS total_cents
     FROM cents WHERE o_orderdate < DATE '1997-01-01'
     GROUP BY priority, month
 ),
 upd AS (
-    SELECT priority, month, COUNT(*) AS n_orders, SUM(c) AS total_cents
+    SELECT priority, month, COUNT(*) AS n_orders,
+           CAST(SUM(c) AS BIGINT) AS total_cents
     FROM cents GROUP BY priority, month
     HAVING month >= '1996-06'
 )
@@ -395,7 +397,8 @@ v1 AS (
                 THEN cents + 100 ELSE cents END AS cents
     FROM c WHERE o_orderkey % 10 <> 6
 )
-SELECT priority, COUNT(*) AS n_orders, SUM(cents) AS total_cents
+SELECT priority, COUNT(*) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
 FROM v1 GROUP BY priority
 """)
 
