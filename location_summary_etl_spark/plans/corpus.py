@@ -67,77 +67,102 @@ def oracle_sql() -> dict[str, str]:
 _LOADED = False
 
 # Entries that already earned an external driver row (union of the keys
-# in CORRECTNESS_r01-r04.json).  The round-robin guarantees FAMILY
-# coverage in the external gate's first-50 sampling window, but 59 of
-# 151 entries had never been externally verified after four rounds --
-# so each family now leads with its never-sampled entries (relative
+# in CORRECTNESS_r01-r05.json; 126 of 160).  The round-robin guarantees
+# FAMILY coverage in the external gate's first-50 sampling window, but
+# 34 entries had never been externally verified after five rounds -- so
+# each family leads with its never-sampled entries (relative
 # registration order preserved within each tier).
 _DRIVER_SAMPLED_PRIOR = frozenset({
     "ann_topk_bruteforce", "ann_topk_bruteforce_pandas", "ann_topk_ivf",
     "ann_topk_lsh", "ann_topk_quantized", "corpus_chunk_documents",
-    "corpus_contamination_check", "corpus_length_histogram",
-    "corpus_quality_rules", "corpus_train_val_split",
-    "cte_latest_order_sql", "customer_cohort_retention",
-    "customer_grouping_sets", "customer_nation_renamed",
-    "customer_order_chain_lengths", "customer_order_count_distribution",
-    "customer_order_recency", "customer_order_running_totals",
-    "customer_order_timeline", "customer_scd2_merge",
-    "customers_with_urgent_orders", "customers_without_urgent_orders",
+    "corpus_clean", "corpus_contamination_check",
+    "corpus_length_histogram", "corpus_lm_perplexity",
+    "corpus_pack_sequences", "corpus_quality_rules",
+    "corpus_shuffle_shards", "corpus_stratified_sample",
+    "corpus_train_val_split", "cte_latest_order_sql",
+    "customer_cohort_retention", "customer_grouping_sets",
+    "customer_nation_renamed", "customer_order_chain_lengths",
+    "customer_order_count_distribution", "customer_order_recency",
+    "customer_order_running_totals", "customer_order_timeline",
+    "customer_scd2_merge", "customers_with_urgent_orders",
+    "customers_without_urgent_orders", "data_quality_audit",
     "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_minhash_lsh_capped", "dedup_minhash_signatures",
-    "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped",
-    "dedup_ngram_jaccard_prefix", "dedup_simhash_pairs",
-    "dedup_simhash_signatures", "doc_chunks_udtf", "embedding_label_norms",
-    "embedding_quantize_int8", "events_funnel", "events_interval_join",
-    "events_json_kpis", "events_json_schema_parse",
-    "excess_stock_suppliers", "flagship_nation_summary",
-    "forecast_revenue_change", "full_outer_nation_counts",
-    "global_latest_orders", "latest_order_per_customer",
-    "lineitem_derived_columns", "merge_upsert_orders", "min_cost_supplier",
+    "dedup_minhash_lsh_capped", "dedup_minhash_lsh_uncapped",
+    "dedup_minhash_signatures", "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped", "dedup_ngram_jaccard_prefix",
+    "dedup_ngram_jaccard_uncapped", "dedup_semantic_kmeans",
+    "dedup_simhash_pairs", "dedup_simhash_signatures",
+    "doc_chunks_udtf", "doc_token_map_stats", "embedding_kmeans",
+    "embedding_label_norms", "embedding_quantize_int8", "events_funnel",
+    "events_interval_join", "events_json_kpis",
+    "events_json_schema_parse", "events_rolling_10min",
+    "events_sliding_10min_5min", "events_tumbling_10min",
+    "events_value_anomaly", "excess_stock_suppliers",
+    "flagship_nation_summary", "forecast_revenue_change",
+    "full_outer_nation_counts", "global_latest_orders",
+    "latest_order_per_customer", "lineitem_derived_columns",
+    "merge_upsert_orders", "min_cost_supplier",
     "multimodal_decode_features", "multimodal_inventory",
-    "nation_balance_score", "nation_distinct_segments",
-    "nation_market_share", "nation_name_fuzzy_pairs",
-    "nation_order_extremes", "nation_top2_orders_lateral",
-    "nations_with_both", "order_priority_checking",
-    "order_shipping_priority", "orders_approx_stats",
-    "orders_bitmap_distinct", "orders_month_status_pivot",
-    "orders_price_banded", "orders_price_banded_compiled",
+    "multimodal_mixed_decode", "nation_balance_score",
+    "nation_distinct_segments", "nation_market_share",
+    "nation_name_fuzzy_pairs", "nation_order_extremes",
+    "nation_pair_volume", "nation_revenue_share",
+    "nation_top2_orders_lateral", "nations_with_both",
+    "order_priority_checking", "order_shipping_priority",
+    "orders_approx_stats", "orders_bitmap_distinct",
+    "orders_month_status_pivot", "orders_price_banded",
+    "orders_price_banded_compiled", "orders_price_range_window",
     "orders_rank_analytics", "part_brand_size_cube",
     "part_small_quantity_revenue", "pricing_summary",
-    "product_profit_by_nation_year", "region_local_supplier_volume",
-    "region_nation_rollup", "returnflag_profile",
-    "segment_customers_in_region", "segment_price_quantiles",
-    "segment_right_outer_coverage", "segment_without_urgent_orders",
-    "select_star_passthrough", "streaming_session_windows",
-    "streaming_tumbling_counts", "text_bpe_token_counts",
-    "text_fingerprints", "text_lang_id", "text_pii_scrub",
-    "text_tfidf_top_terms", "text_token_stats", "text_vocab_top20",
-    "top_orders_global", "top_orders_per_nation",
-    "union_customer_supplier_names", "user_activity_cogroup",
-    "user_value_ewma", "warehouse_roundtrip",
+    "product_profit_by_nation_year", "promo_revenue_share",
+    "region_local_supplier_volume", "region_nation_rollup",
+    "returned_item_top_customers", "returnflag_profile",
+    "segment_customers_in_region", "segment_order_statistics",
+    "segment_price_quantiles", "segment_right_outer_coverage",
+    "segment_weighted_price", "segment_without_urgent_orders",
+    "select_star_passthrough", "shipping_delay_priority_counts",
+    "skew_salted_fact_join", "streaming_dedup_replay",
+    "streaming_lakehouse_ingest", "streaming_session_windows",
+    "streaming_tumbling_counts", "supplier_customer_pagerank",
+    "text_approx_topk_sketch", "text_bpe_token_counts",
+    "text_fingerprints", "text_heavy_hitters", "text_lang_id",
+    "text_pii_scrub", "text_tfidf_top_terms", "text_token_stats",
+    "text_vocab_top20", "top_orders_global", "top_orders_per_nation",
+    "top_revenue_supplier", "union_customer_supplier_names",
+    "user_activity_cogroup", "user_value_ewma",
+    "user_value_ewma_pandas", "versioned_change_feed",
+    "waiting_supplier_orders", "warehouse_roundtrip",
 })
 
-# Entries that MUST re-enter the sampling window this round: the two
-# r4 hash-red rows, hardened in r5 (all-integer output; per-invocation
-# tempdir) -- a fresh green driver row is the only proof that counts.
-_WINDOW_PINNED = ("multimodal_inventory", "merge_upsert_orders")
+# Entries that MUST re-enter the sampling window this round: the four
+# r4/r5 hash-red rows.  Root cause found and fixed in r6 (uncast
+# HUGEINT oracle SUM columns -- see test_no_hugeint_oracle_columns);
+# a fresh green driver row is the proof that closes them.
+_WINDOW_PINNED = (
+    "multimodal_inventory", "merge_upsert_orders",
+    "text_approx_topk_sketch", "corpus_pack_sequences",
+)
 
 # Never-sampled entries that should lead their family's never-sampled
-# tier (r4/r5 additions whose semantics are the most novel -- a driver
-# row on these is worth more than on a near-duplicate variant).  The
-# tuple is ORDERED: earlier names outrank later ones within a family,
-# overriding registration order (each family contributes ~2 entries to
-# the external gate's 50-window, so which preferred entry leads
-# matters: r5 puts the change feed ahead of time travel -- its plan is
-# a superset of the versioned machinery -- and the PNG codec ahead of
-# the audio codec).
+# tier.  The tuple is ORDERED: earlier names outrank later ones within
+# a family, overriding registration order (each family contributes ~2
+# entries to the external gate's 50-window, so which entry leads
+# matters).  r6 leads with the three entries that carried the same
+# latent HUGEINT-oracle bug as the fixed reds (a green row on them
+# proves the cast fix generalizes), then the codec/lakehouse entries
+# whose correctness claims have only local evidence.
 _WINDOW_PREFERRED = (
-    "versioned_change_feed", "multimodal_mixed_decode",
-    "streaming_lakehouse_ingest",
-    "supplier_customer_pagerank", "corpus_lm_perplexity",
+    "events_sessionization", "versioned_incremental_agg",
+    "events_json_variant",
     "multimodal_png_decode", "versioned_time_travel",
-    "skew_salted_fact_join", "streaming_dedup_replay",
-    "multimodal_audio_decode",
+    "multimodal_gif_decode", "versioned_schema_evolution",
+    "events_asof_purchase_click", "multimodal_video_frames",
+    "streaming_user_running_stats", "streaming_enrich_broadcast",
+    "corpus_mixture_resample", "dedup_clusters",
+    "events_state_runs", "multimodal_audio_decode",
+    "events_forward_fill", "multimodal_resize_inventory",
+    "orders_arrow_udf_bands", "orderdate_multiset_ops",
+    "orders_param_sql",
 )
 
 

@@ -46,8 +46,11 @@ def test_conf_sensitive_queries_stay_oracle_exact(hostile, sf_dir):
 def test_driver_window_covers_families_and_priority_entries():
     """The external correctness gate samples the first 50 registered
     entries; the round-robin + tier ordering must put (a) at least one
-    entry of every family module in that window, (b) the two r4
-    hash-red hardened entries, and (c) the r5 novel-surface leaders."""
+    entry of every family module in that window, (b) the four r4/r5
+    hash-red entries whose HUGEINT-oracle fix needs a fresh driver row,
+    (c) the three never-sampled entries that carried the same latent
+    bug, and (d) >= 20 never-driver-sampled entries overall (the r5
+    verdict's rotation target)."""
     from location_summary_etl_spark.plans import corpus
 
     corpus._ensure_loaded()
@@ -56,9 +59,11 @@ def test_driver_window_covers_families_and_priority_entries():
 
     for pinned in corpus._WINDOW_PINNED:
         assert pinned in window, pinned
-    for lead in ("multimodal_mixed_decode", "versioned_change_feed",
-                 "streaming_lakehouse_ingest"):
+    for lead in ("events_sessionization", "versioned_incremental_agg",
+                 "events_json_variant"):
         assert lead in window, lead
+    fresh = window - corpus._DRIVER_SAMPLED_PRIOR
+    assert len(fresh) >= 20, sorted(fresh)
 
     # every family module contributes to the window
     mod_of = {}
