@@ -293,40 +293,47 @@ def text_approx_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle carries one sketch per partition, not one row per
     distinct token).
 
-    Accuracy contract (the orders_approx_stats pattern): at gate scale
-    the vocabulary fits the sketch entirely, so the sketch IS exact --
-    an in-plan ``raise_error`` guard compares every sketched count to
-    the exact aggregate and fails the query on divergence, and the
-    OUTPUT is tie-robust (count of items, sum and min of top-k counts:
+    Accuracy contract (hardened r6 per the r5 verdict): the OUTPUT row
+    is computed from the EXACT aggregate -- engine-version- and
+    merge-order-proof -- while the sketch executes on the asserted
+    side.  The previous formulation emitted from the sketch and only
+    proved each *surfaced* count equaled its exact count, which left a
+    hole: under merge-order pressure a sketch can surface a non-top-k
+    item whose count is perfectly exact, silently changing
+    sum_topk/min_topk.  The in-plan guard now compares the sketch's
+    sorted top-k count multiset against the exact top-k's (tie-robust:
     boundary ties have equal counts, so which tied token the sketch
-    surfaces cannot change the row).  At corpus scale the guard comes
-    off and the error bound is the sketch's documented epsilon."""
+    surfaces cannot change the multiset) and ``raise_error``s the query
+    on any divergence.  At corpus scale the guard comes off and the
+    error bound is the sketch's documented epsilon."""
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents")
     k = 20
-    sketch = (
-        docs.select(F.explode(tokens("text")).alias("tok"))
-        .agg(F.expr(f"approx_top_k(tok, {k}, 10000)").alias("top"))
-        .select(F.explode("top").alias("e"))
-        .select(F.col("e.item").alias("tok"), F.col("e.count").alias("c"))
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    exact_topk = (
+        toks.groupBy("tok").agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "tok").limit(k)
     )
-    exact = (
-        docs.select(F.explode(tokens("text")).alias("tok"))
-        .groupBy("tok").agg(F.count("*").alias("c_exact"))
-    )
-    checked = (
-        sketch.join(exact, "tok", "left")
-        .select(
-            F.when(F.col("c") == F.col("c_exact"), F.col("c"))
-            .otherwise(F.raise_error(
-                "approx_top_k diverged from exact counts at gate scale"))
-            .alias("c"))
-    )
-    return checked.agg(
+    exact_row = exact_topk.agg(
         F.count("*").alias("k_items"),
         F.sum("c").alias("sum_topk"),
         F.min("c").alias("min_topk"),
+        F.sort_array(F.collect_list("c")).alias("exact_counts"),
+    )
+    sketch_row = (
+        toks.agg(F.expr(f"approx_top_k(tok, {k}, 10000)").alias("top"))
+        .select(F.explode("top").alias("e"))
+        .agg(F.sort_array(F.collect_list("e.count")).alias("sketch_counts"))
+    )
+    return exact_row.crossJoin(sketch_row).select(
+        F.when(F.col("exact_counts") == F.col("sketch_counts"),
+               F.col("k_items"))
+        .otherwise(F.raise_error(
+            "approx_top_k top-k count multiset diverged from exact"))
+        .alias("k_items"),
+        "sum_topk",
+        "min_topk",
     )
 
 

@@ -178,7 +178,25 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                  partition_by="priority", collect_metrics=False,
                  assume_partition_stable=True)
     got = spark.read.parquet(path)
-    return got.select("priority", "month", "n_orders", "total_cents")
+    # Layout-independent read-back (r5 verdict): aggregate through an
+    # explicit groupBy of the merge keys instead of trusting
+    # file-granular row identity, with an in-plan uniqueness guard --
+    # if any stale/duplicate file ever contributes a second row for a
+    # key, the query fails loudly rather than hash-diverging silently.
+    return (
+        got.groupBy("priority", "month")
+        .agg(F.count("*").alias("_n"),
+             F.max("n_orders").alias("n_orders"),
+             F.max("total_cents").alias("total_cents"))
+        .select(
+            "priority", "month",
+            F.when(F.col("_n") == 1, F.col("n_orders"))
+            .otherwise(F.raise_error(
+                "merge read-back found duplicate rows for a key"))
+            .alias("n_orders"),
+            "total_cents",
+        )
+    )
 
 
 register("merge_upsert_orders", merge_upsert_orders, """
