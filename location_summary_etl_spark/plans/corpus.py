@@ -67,18 +67,19 @@ def oracle_sql() -> dict[str, str]:
 _LOADED = False
 
 # Entries that already earned an external driver row (union of the keys
-# in CORRECTNESS_r01-r05.json; 126 of 160).  The round-robin guarantees
-# FAMILY coverage in the external gate's first-50 sampling window, but
-# 34 entries had never been externally verified after five rounds -- so
-# each family leads with its never-sampled entries (relative
-# registration order preserved within each tier).
+# in CORRECTNESS_r01-r06.json; 147 of 160).  The round-robin guarantees
+# FAMILY coverage in the external gate's first-50 sampling window; the
+# 13 remaining never-sampled entries are hoisted to the head of the
+# registration order (see _ensure_loaded) so round 7 closes the ledger:
+# every corpus entry then has an external driver row on record.
 _DRIVER_SAMPLED_PRIOR = frozenset({
     "ann_topk_bruteforce", "ann_topk_bruteforce_pandas", "ann_topk_ivf",
     "ann_topk_lsh", "ann_topk_quantized", "corpus_chunk_documents",
     "corpus_clean", "corpus_contamination_check",
     "corpus_length_histogram", "corpus_lm_perplexity",
-    "corpus_pack_sequences", "corpus_quality_rules",
-    "corpus_shuffle_shards", "corpus_stratified_sample",
+    "corpus_mixture_resample", "corpus_pack_sequences",
+    "corpus_quality_rules", "corpus_shuffle_shards",
+    "corpus_source_report", "corpus_stratified_sample",
     "corpus_train_val_split", "cte_latest_order_sql",
     "customer_cohort_retention", "customer_grouping_sets",
     "customer_nation_renamed", "customer_order_chain_lengths",
@@ -86,33 +87,40 @@ _DRIVER_SAMPLED_PRIOR = frozenset({
     "customer_order_running_totals", "customer_order_timeline",
     "customer_scd2_merge", "customers_with_urgent_orders",
     "customers_without_urgent_orders", "data_quality_audit",
-    "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_minhash_lsh_capped", "dedup_minhash_lsh_uncapped",
-    "dedup_minhash_signatures", "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped", "dedup_ngram_jaccard_prefix",
-    "dedup_ngram_jaccard_uncapped", "dedup_semantic_kmeans",
-    "dedup_simhash_pairs", "dedup_simhash_signatures",
-    "doc_chunks_udtf", "doc_token_map_stats", "embedding_kmeans",
-    "embedding_label_norms", "embedding_quantize_int8", "events_funnel",
-    "events_interval_join", "events_json_kpis",
-    "events_json_schema_parse", "events_rolling_10min",
-    "events_sliding_10min_5min", "events_tumbling_10min",
+    "dedup_clusters", "dedup_embedding_cosine", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_minhash_lsh_capped",
+    "dedup_minhash_lsh_uncapped", "dedup_minhash_signatures",
+    "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped",
+    "dedup_ngram_jaccard_prefix", "dedup_ngram_jaccard_uncapped",
+    "dedup_semantic_kmeans", "dedup_simhash_pairs",
+    "dedup_simhash_signatures", "doc_chunks_udtf",
+    "doc_token_map_stats", "embedding_kmeans", "embedding_label_norms",
+    "embedding_quantize_int8", "events_conversion_attribution",
+    "events_forward_fill", "events_funnel", "events_interval_join",
+    "events_json_kpis", "events_json_schema_parse",
+    "events_json_variant", "events_rolling_10min",
+    "events_sessionization", "events_sliding_10min_5min",
+    "events_state_runs", "events_tumbling_10min", "events_user_gapfill",
     "events_value_anomaly", "excess_stock_suppliers",
     "flagship_nation_summary", "forecast_revenue_change",
     "full_outer_nation_counts", "global_latest_orders",
+    "inactive_high_balance_segments", "large_quantity_orders",
     "latest_order_per_customer", "lineitem_derived_columns",
-    "merge_upsert_orders", "min_cost_supplier",
+    "lineitem_melt_profile", "merge_upsert_orders", "min_cost_supplier",
     "multimodal_decode_features", "multimodal_inventory",
-    "multimodal_mixed_decode", "nation_balance_score",
-    "nation_distinct_segments", "nation_market_share",
-    "nation_name_fuzzy_pairs", "nation_order_extremes",
-    "nation_pair_volume", "nation_revenue_share",
-    "nation_top2_orders_lateral", "nations_with_both",
+    "multimodal_mixed_decode", "multimodal_png_decode",
+    "nation_balance_score", "nation_distinct_segments",
+    "nation_market_share", "nation_name_fuzzy_pairs",
+    "nation_order_extremes", "nation_pair_volume",
+    "nation_revenue_share", "nation_top2_orders_lateral",
+    "nation_top_balance_customer", "nations_with_both",
     "order_priority_checking", "order_shipping_priority",
-    "orders_approx_stats", "orders_bitmap_distinct",
-    "orders_month_status_pivot", "orders_price_banded",
+    "orders_approx_stats", "orders_arrow_udf_bands",
+    "orders_bitmap_distinct", "orders_month_status_pivot",
+    "orders_param_sql", "orders_price_banded",
     "orders_price_banded_compiled", "orders_price_range_window",
     "orders_rank_analytics", "part_brand_size_cube",
+    "part_brand_supplier_counts", "part_promo_disjunction_revenue",
     "part_small_quantity_revenue", "pricing_summary",
     "product_profit_by_nation_year", "promo_revenue_share",
     "region_local_supplier_volume", "region_nation_rollup",
@@ -122,8 +130,9 @@ _DRIVER_SAMPLED_PRIOR = frozenset({
     "segment_weighted_price", "segment_without_urgent_orders",
     "select_star_passthrough", "shipping_delay_priority_counts",
     "skew_salted_fact_join", "streaming_dedup_replay",
-    "streaming_lakehouse_ingest", "streaming_session_windows",
-    "streaming_tumbling_counts", "supplier_customer_pagerank",
+    "streaming_enrich_broadcast", "streaming_lakehouse_ingest",
+    "streaming_session_windows", "streaming_tumbling_counts",
+    "streaming_user_running_stats", "supplier_customer_pagerank",
     "text_approx_topk_sketch", "text_bpe_token_counts",
     "text_fingerprints", "text_heavy_hitters", "text_lang_id",
     "text_pii_scrub", "text_tfidf_top_terms", "text_token_stats",
@@ -131,38 +140,28 @@ _DRIVER_SAMPLED_PRIOR = frozenset({
     "top_revenue_supplier", "union_customer_supplier_names",
     "user_activity_cogroup", "user_value_ewma",
     "user_value_ewma_pandas", "versioned_change_feed",
-    "waiting_supplier_orders", "warehouse_roundtrip",
+    "versioned_incremental_agg", "waiting_supplier_orders",
+    "warehouse_roundtrip",
 })
 
-# Entries that MUST re-enter the sampling window this round: the four
-# r4/r5 hash-red rows.  Root cause found and fixed in r6 (uncast
-# HUGEINT oracle SUM columns -- see test_no_hugeint_oracle_columns);
-# a fresh green driver row is the proof that closes them.
-_WINDOW_PINNED = (
-    "multimodal_inventory", "merge_upsert_orders",
-    "text_approx_topk_sketch", "corpus_pack_sequences",
-)
-
-# Never-sampled entries that should lead their family's never-sampled
-# tier.  The tuple is ORDERED: earlier names outrank later ones within
-# a family, overriding registration order (each family contributes ~2
-# entries to the external gate's 50-window, so which entry leads
-# matters).  r6 leads with the three entries that carried the same
-# latent HUGEINT-oracle bug as the fixed reds (a green row on them
-# proves the cast fix generalizes), then the codec/lakehouse entries
-# whose correctness claims have only local evidence.
-_WINDOW_PREFERRED = (
-    "events_sessionization", "versioned_incremental_agg",
-    "events_json_variant",
-    "multimodal_png_decode", "versioned_time_travel",
-    "multimodal_gif_decode", "versioned_schema_evolution",
-    "events_asof_purchase_click", "multimodal_video_frames",
-    "streaming_user_running_stats", "streaming_enrich_broadcast",
-    "corpus_mixture_resample", "dedup_clusters",
-    "events_state_runs", "multimodal_audio_decode",
-    "events_forward_fill", "multimodal_resize_inventory",
-    "orders_arrow_udf_bands", "orderdate_multiset_ops",
-    "orders_param_sql",
+# The 13 entries that never earned a driver row across r1-r6 (judge-
+# verified green at sf0.01 in the r6 session, but the driver row is the
+# authoritative external signal).  Hoisted to the FRONT of the
+# registration order -- ahead of the family round-robin -- because
+# multimodal holds 5 of them and events 4, and the round-robin grants
+# each family at most 2 slots in the external gate's first-50 window.
+# The remaining 37 window slots keep full family coverage (every family
+# already has >= 1 driver-green row from r1-r6, so the coverage these
+# 13 displace is redundant).  After r7 every corpus entry has a driver
+# row on record and this machinery can retire.
+_NEVER_DRIVER_SAMPLED = (
+    "events_asof_purchase_click", "multimodal_gif_decode",
+    "versioned_time_travel", "orderdate_multiset_ops",
+    "events_bucket_nullsafe_join", "multimodal_video_frames",
+    "versioned_schema_evolution", "orders_pipe_rollup",
+    "events_rollup_cascade", "multimodal_audio_decode",
+    "events_sketch_rollup", "multimodal_resize_inventory",
+    "multimodal_frame_stats",
 )
 
 
@@ -214,15 +213,6 @@ def _ensure_loaded() -> None:
         importlib.import_module(f"location_summary_etl_spark.plans.{mod}")
         families.append(list(_REGISTRY)[before:])
 
-    def _tier(name: str) -> tuple[int, int]:
-        if name in _WINDOW_PINNED:
-            return (0, 0)
-        if name in _WINDOW_PREFERRED:
-            return (1, _WINDOW_PREFERRED.index(name))
-        return (2, 0) if name not in _DRIVER_SAMPLED_PRIOR else (3, 0)
-
-    families = [sorted(fam, key=_tier) for fam in families]  # stable
-
     interleaved: list[str] = []
     cursor = 0
     while any(families):
@@ -232,6 +222,13 @@ def _ensure_loaded() -> None:
         cursor += 1
         if all(cursor >= len(fam) for fam in families):
             break
+    # Hoist the never-driver-sampled entries to the head (stable sort:
+    # the family round-robin order is preserved behind them), so ALL 13
+    # land in the external gate's first-50 window regardless of how many
+    # share a family.  The remaining 37 slots follow round-robin order,
+    # keeping at least one entry of every family inside the window.
+    hoist = {n: i for i, n in enumerate(_NEVER_DRIVER_SAMPLED)}
+    interleaved.sort(key=lambda n: (0, hoist[n]) if n in hoist else (1, 0))
     reordered = {name: _REGISTRY[name] for name in interleaved}
     assert len(reordered) == len(_REGISTRY)
     _REGISTRY.clear()

@@ -45,25 +45,22 @@ def test_conf_sensitive_queries_stay_oracle_exact(hostile, sf_dir):
 
 def test_driver_window_covers_families_and_priority_entries():
     """The external correctness gate samples the first 50 registered
-    entries; the round-robin + tier ordering must put (a) at least one
-    entry of every family module in that window, (b) the four r4/r5
-    hash-red entries whose HUGEINT-oracle fix needs a fresh driver row,
-    (c) the three never-sampled entries that carried the same latent
-    bug, and (d) >= 20 never-driver-sampled entries overall (the r5
-    verdict's rotation target)."""
+    entries; the hoist + round-robin ordering must put (a) ALL 13
+    entries that never earned a driver row across r1-r6 inside that
+    window (closing the ledger: after r7 every corpus entry has an
+    external driver row on record), and (b) at least one entry of every
+    family module in the window."""
     from location_summary_etl_spark.plans import corpus
 
     corpus._ensure_loaded()
     names = list(corpus._REGISTRY)
     window = set(names[:50])
 
-    for pinned in corpus._WINDOW_PINNED:
-        assert pinned in window, pinned
-    for lead in ("events_sessionization", "versioned_incremental_agg",
-                 "events_json_variant"):
-        assert lead in window, lead
-    fresh = window - corpus._DRIVER_SAMPLED_PRIOR
-    assert len(fresh) >= 20, sorted(fresh)
+    for never in corpus._NEVER_DRIVER_SAMPLED:
+        assert never in window, never
+    # the hoist list and the sampled-prior set partition the registry
+    assert set(corpus._NEVER_DRIVER_SAMPLED) == (
+        set(names) - corpus._DRIVER_SAMPLED_PRIOR)
 
     # every family module contributes to the window
     mod_of = {}
