@@ -194,7 +194,13 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.raise_error(
                 "merge read-back found duplicate rows for a key"))
             .alias("n_orders"),
-            "total_cents",
+            # Guard BOTH output columns (r6 advice): if a future edit
+            # prunes n_orders, total_cents must still fail loudly on
+            # duplicates instead of silently yielding MAX().
+            F.when(F.col("_n") == 1, F.col("total_cents"))
+            .otherwise(F.raise_error(
+                "merge read-back found duplicate rows for a key"))
+            .alias("total_cents"),
         )
     )
 
