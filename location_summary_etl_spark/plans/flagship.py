@@ -48,8 +48,14 @@ Confirmed at the 100x tier (bench_tiers/sf10, 1.5M customers / 15M
 orders, min-of-3 interleaved in one session): join form 2.13-2.36 s,
 fused single-scan 1.96-2.00 s (the fusion DOES cross over once the
 per-cust max broadcast reaches ~20 MB), window form 1.71 s -- the
-``use_window`` flip beats the fused shape exactly as predicted, so the
-crossover needs a flag flip, not a new plan.
+``use_window`` flip beats the fused shape exactly as predicted.  As of
+r7 the flip is AUTOMATIC: ``use_window=None`` estimates the max side's
+broadcast size from the customer table's source bytes and flips to the
+window form when it exceeds a quarter of the session broadcast cap
+(constants and measurements in :func:`flagship_nation_summary`).  The
+r7 re-measurement moved the crossover EARLIER than r5's: the window
+form already wins at sf1 (0.46 vs 0.63 s) and ties at sf0.1, so the
+gate flips between those tiers; at bench scale it keeps the join form.
 """
 
 from __future__ import annotations
@@ -63,6 +69,10 @@ from location_summary_etl_spark.operators.snapshot import (
     latest_snapshot_join,
     latest_snapshot_window,
 )
+from location_summary_etl_spark.session import (
+    broadcast_cap_bytes,
+    source_bytes,
+)
 from location_summary_etl_spark.sources.registry import load_table
 
 FINAL_COLS = [
@@ -70,9 +80,16 @@ FINAL_COLS = [
     "price_score", "snapshot_date",
 ]
 
+# Auto-gate cost constants (measured r7; see the comment in
+# flagship_nation_summary): compressed-parquet -> in-memory
+# HashedRelation expansion for the (custkey, date) max side, and the
+# cap fraction above which a broadcast is no longer a clear win.
+_MAXSIDE_EXPANSION = 4
+_BROADCAST_MARGIN = 4
+
 
 def flagship_nation_summary(spark: SparkSession, sf_dir: str,
-                            use_window: bool = False) -> DataFrame:
+                            use_window: bool | None = None) -> DataFrame:
     """Per nation: avg customer balance, avg/count of each customer's
     latest order, min-max normalized 0-100 price score, audit date."""
     nation = load_table(spark, sf_dir, "nation")
@@ -80,12 +97,35 @@ def flagship_nation_summary(spark: SparkSession, sf_dir: str,
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
 
-    # A3: greatest-n-per-group -- latest order(s) per customer.  The
-    # join form is the default: the per-key MAX pre-aggregates map-side
-    # and the join back is broadcast-able, where the window form must
-    # full-shuffle AND sort every order row by customer (measured ~20%
-    # slower at sf0.1; the sort dominates further at scale).  Both keep
-    # ties, per the reference's 3-way-join semantics (App.scala:41-48).
+    # A3: greatest-n-per-group -- latest order(s) per customer.  Two
+    # forms, auto-selected by input stats (use_window=None); an explicit
+    # bool pins the form (tests, A/B).  The join form wins only while
+    # the per-customer MAX side is a CHEAP broadcast (the pre-aggregate
+    # combines map-side and the join-back streams the orders scan -- no
+    # wide shuffle at all).  As the side grows, broadcast build+ship
+    # cost plus the second orders scan overtake the window form's
+    # single shuffle+sort.  Measured (r7, min-of-6/8 interleaved
+    # noop-sink runs, one session per tier): sf0.1 join 0.39 s vs
+    # window 0.33 s (tie within host noise), sf1 0.63 vs 0.46 (window
+    # -27%), sf10 4.22 vs 2.88 (window -32%) -- the crossover lands
+    # between sf0.1 and sf1, i.e. while the max side still FITS the
+    # 32 MB session cap (~10 MB estimated at sf1): a near-cap broadcast
+    # is already a losing plan, and at 1000 executors it is cap x
+    # executors of aggregate network traffic besides.  Gate, driver-side
+    # stats only (no job): estimated max-side broadcast bytes =
+    # customer source bytes x4 (measured ~17 B/row compressed parquet
+    # -> ~64 B/row (custkey, date) HashedRelation; the side has
+    # <= |customer| rows) must stay under a QUARTER of the session
+    # broadcast cap.  Unknown stats (non-file source) flip
+    # conservatively to the window form: one declarative shuffle, never
+    # a forced-broadcast OOM.  Both forms keep ties, per the
+    # reference's 3-way-join semantics (App.scala:41-48).
+    if use_window is None:
+        cust_bytes = source_bytes(customer)
+        use_window = (
+            cust_bytes is None
+            or cust_bytes * _MAXSIDE_EXPANSION
+            > broadcast_cap_bytes(spark) // _BROADCAST_MARGIN)
     argmax = latest_snapshot_window if use_window else latest_snapshot_join
     latest = argmax(orders, ["o_custkey"], "o_orderdate")
 

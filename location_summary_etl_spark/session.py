@@ -187,32 +187,48 @@ def broadcast_if_small(df, cap_bytes: int | None = None):
     joins); every call site in this repo passes filtering or
     FK-bounded joins where source bytes upper-bound the output.
     """
-    import os as _os
-
     from pyspark.sql import functions as _F
 
     if cap_bytes is None:
-        cap_bytes = _parse_bytes(
-            df.sparkSession.conf.get(
-                "spark.sql.autoBroadcastJoinThreshold", "10485760"),
-            10 * 1024 * 1024)
+        cap_bytes = broadcast_cap_bytes(df.sparkSession)
     if cap_bytes <= 0:
         return df
+    total = source_bytes(df)
+    if total is None or total > cap_bytes:
+        return df
+    return _F.broadcast(df)
+
+
+def broadcast_cap_bytes(spark) -> int:
+    """The session's autoBroadcastJoinThreshold in bytes (the repo-wide
+    broadcast policy every size-gated plan decision keys off)."""
+    return _parse_bytes(
+        spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760"),
+        10 * 1024 * 1024)
+
+
+def source_bytes(df) -> int | None:
+    """Sum of the input-file sizes across a DataFrame's whole lineage
+    (driver-side metadata only -- no Spark job).  ``None`` when the
+    size is unknowable (non-file source, unlistable path): callers must
+    treat None conservatively (no broadcast, the shuffle plan stands).
+    Same proxy caveats as :func:`broadcast_if_small`."""
+    import os as _os
+
     try:
         files = df.inputFiles()
     except Exception:
-        return df
+        return None
     if not files:
-        return df
+        return None
     total = 0
     for f in files:
         try:
             total += _os.path.getsize(f.removeprefix("file:"))
         except OSError:
-            return df
-        if total > cap_bytes:
-            return df
-    return _F.broadcast(df)
+            return None
+    return total
 
 
 def filter_behind_barrier(df, cond):

@@ -30,6 +30,39 @@ def test_flagship_join_formulation_matches_window(spark, sf_dir):
     assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
 
 
+def _argmax_form(df) -> str:
+    """Which greatest-n-per-group form the plan took: the window form
+    plans a Window over o_custkey; the join form plans the max-side
+    aggregate join-back (no Window over the orders lineage)."""
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    return "window" if "windowspecdefinition(o_custkey" in opt else "join"
+
+
+def test_flagship_auto_form_flips_on_input_stats(spark, sf_dir):
+    """use_window=None selects the argmax form from customer source
+    bytes vs the session broadcast cap: join form while the per-cust
+    max side broadcasts, window form once it outgrows the cap (the
+    measured 100x-tier crossover -- flagship.py module docstring)."""
+    cap_conf = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(cap_conf)
+    try:
+        # bench scale: customer is far below the default 10 MB cap
+        spark.conf.set(cap_conf, "10MB")
+        assert _argmax_form(flagship_nation_summary(spark, sf_dir)) == "join"
+        # simulated large tier: the same files exceed a 1 KB cap, which
+        # is exactly the sf10 situation (customer source bytes > cap)
+        spark.conf.set(cap_conf, "1KB")
+        assert _argmax_form(flagship_nation_summary(spark, sf_dir)) == "window"
+        # explicit pins override the gate in both directions
+        assert _argmax_form(
+            flagship_nation_summary(spark, sf_dir, use_window=False)) == "join"
+        spark.conf.set(cap_conf, "10MB")
+        assert _argmax_form(
+            flagship_nation_summary(spark, sf_dir, use_window=True)) == "window"
+    finally:
+        spark.conf.set(cap_conf, old)
+
+
 def test_cli_flagship_writes_partitioned_summary(spark, sf_dir, tmp_path):
     from location_summary_etl_spark.__main__ import main
 
