@@ -53,11 +53,20 @@ def minmax_score(df: DataFrame, col: str, out_col: str) -> DataFrame:
 def minmax_score_window(df: DataFrame, col: str, out_col: str) -> DataFrame:
     """Single-lineage variant: global min/max via an empty-partition
     window.  ``df`` must be aggregate-sized (all rows land in one
-    partition for the window pass)."""
+    partition for the window pass) -- enforced in-plan by
+    :func:`~location_summary_etl_spark.operators.windows.guarded_unpartitioned`
+    (raise_error past 100k rows), sharing the same WindowExec pass."""
+    from location_summary_etl_spark.operators.windows import (
+        guarded_unpartitioned,
+    )
+
     w = Window.partitionBy()
     return df.withColumn(
         out_col,
-        _score_expr(F.col(col), F.min(col).over(w), F.max(col).over(w)),
+        guarded_unpartitioned(
+            _score_expr(F.col(col), F.min(col).over(w), F.max(col).over(w)),
+            "minmax_score_window input",
+        ),
     )
 
 

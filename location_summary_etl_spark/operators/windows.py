@@ -19,6 +19,35 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# Tripwire for unpartitioned (empty-spec) windows: every such window
+# in this repo runs over an AGGREGATE-SIZED relation (|nations|,
+# |sources|, ... rows), which is why the single-partition pass is safe.
+# 100k rows through one window partition is still harmless, but a
+# relation that grows past it has stopped being aggregate-sized and
+# the plan needs a redesign -- fail loudly instead of degrading.
+AGGREGATE_SIZED_MAX_ROWS = 100_000
+
+
+def guarded_unpartitioned(expr: Column, what: str,
+                          max_rows: int = AGGREGATE_SIZED_MAX_ROWS) -> Column:
+    """Wrap an expression computed over ``Window.partitionBy()`` so the
+    plan ``raise_error``s if the window input ever stops being
+    aggregate-sized (the executable form of the "input is
+    aggregate-sized" claim; r6 verdict ordered prose -> assertion).
+
+    Zero-cost where it holds: the guard's ``count(*)`` uses the same
+    empty window spec, so Catalyst's CollapseWindow folds it into the
+    one WindowExec pass the caller is already paying for.  This is
+    also why the bench log's ``WindowExec: No Partition Defined``
+    warnings at these sites are acceptable: the input is provably (not
+    just claimed) bounded."""
+    cnt = F.count(F.lit(1)).over(Window.partitionBy())
+    return F.when(cnt <= max_rows, expr).otherwise(F.raise_error(
+        F.concat(F.lit(f"unpartitioned window over '{what}' exceeded "
+                       f"{max_rows} rows (no longer aggregate-sized): "),
+                 cnt.cast("string"))))
+
+
 def epoch_seconds(ts_col: Column | str) -> Column:
     """Naive-timestamp epoch seconds (double, fractional part kept)."""
     c = F.col(ts_col) if isinstance(ts_col, str) else ts_col

@@ -40,6 +40,7 @@ from location_summary_etl_spark.functions.scalars import (
     round_portable,
 )
 from location_summary_etl_spark.functions.texts import ngrams_from_tokens, tokens
+from location_summary_etl_spark.operators.windows import guarded_unpartitioned
 from location_summary_etl_spark.plans.corpus import register
 from location_summary_etl_spark.sources.registry import load_table
 
@@ -331,8 +332,12 @@ def corpus_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     weights = spark.createDataFrame(MIX_WEIGHTS, "source string, w double")
     counts = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    # guarded: |sources| rows by construction; the guard raise_errors
+    # if this ever stops being aggregate-sized (shares the WindowExec).
     sized = (counts.join(F.broadcast(weights), "source")
-             .withColumn("_wsum", F.sum("w").over(Window.partitionBy()))
+             .withColumn("_wsum", guarded_unpartitioned(
+                 F.sum("w").over(Window.partitionBy()),
+                 "mixture per-source counts"))
              .withColumn("_ntot", F.sum("n_s").over(Window.partitionBy())))
     # budget rows for source s: (w_s / sum w) * (budget_frac * n_total)
     frac = F.least(
@@ -353,9 +358,11 @@ def corpus_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.groupBy("source").agg(F.count("*").alias("n_kept"))
         .withColumn(
             "achieved_share",
-            round_portable(
-                F.col("n_kept")
-                / F.sum("n_kept").over(Window.partitionBy()), 4))
+            guarded_unpartitioned(
+                round_portable(
+                    F.col("n_kept")
+                    / F.sum("n_kept").over(Window.partitionBy()), 4),
+                "mixture kept-count audit"))
     )
 
 

@@ -69,6 +69,9 @@ from location_summary_etl_spark.operators.snapshot import (
     latest_snapshot_join,
     latest_snapshot_window,
 )
+from location_summary_etl_spark.operators.windows import (
+    guarded_unpartitioned,
+)
 from location_summary_etl_spark.session import (
     broadcast_cap_bytes,
     source_bytes,
@@ -155,10 +158,16 @@ def flagship_nation_summary(spark: SparkSession, sf_dir: str,
     # score bounds and the global-max snapshot date -- the
     # broadcast-bounds form would re-evaluate the orders->customer
     # lineage under the bounds agg.
+    # guarded_unpartitioned enforces the aggregate-sized claim in-plan
+    # (same empty window spec as the score bounds -> CollapseWindow
+    # folds score, snapshot date, and both guards into ONE WindowExec).
     scored = minmax_score_window(
         per_nation, "avg_order_total", "price_score"
     ).withColumn(
-        "snapshot_date", F.max("_max_odate").over(Window.partitionBy())
+        "snapshot_date",
+        guarded_unpartitioned(
+            F.max("_max_odate").over(Window.partitionBy()),
+            "flagship per-nation aggregate"),
     ).drop("_max_odate")
 
     out = (

@@ -90,6 +90,31 @@ def test_minmax_single_group_and_negatives(spark):
         assert got == {1: None, 2: None}, fn.__name__
 
 
+def test_guarded_unpartitioned_fires_and_folds(spark):
+    """The executable 'input is aggregate-sized' claim (r6 verdict #5):
+    the guard raise_errors past max_rows, and its count(*) folds into
+    the caller's existing WindowExec (CollapseWindow) so the guard is
+    free where it holds."""
+    import pytest
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from location_summary_etl_spark.operators.windows import (
+        guarded_unpartitioned,
+    )
+
+    df = spark.range(10).withColumn("v", F.col("id").cast("double"))
+    expr = F.sum("v").over(Window.partitionBy())
+    ok = df.withColumn("s", guarded_unpartitioned(expr, "t", max_rows=10))
+    assert ok.count() == 10
+    # exactly ONE WindowExec in the guarded plan (guard shares the pass)
+    plan = ok._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window ") == 1, plan
+    bad = df.withColumn("s", guarded_unpartitioned(expr, "t", max_rows=9))
+    with pytest.raises(Exception, match="no longer aggregate-sized"):
+        bad.collect()
+
+
 def test_latest_snapshot_formulations_agree_on_ties(spark):
     df = spark.createDataFrame(
         [(1, "2024-01-02", "a"), (1, "2024-01-02", "b"), (1, "2024-01-01", "c"),
