@@ -268,9 +268,36 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     """
     emb = ensure_parallelism(emb)  # 1-partition small scans -> all cores
     cent = ivf_centroids(emb, label_col, vec_col)
-    q = _with_norm(
-        emb.filter(F.col(id_col).isin(query_ids)), id_col, vec_col, "q"
-    ).withColumnRenamed("q_id", "query_id")
+    cells = ivf_cells(emb, id_col, vec_col, label_col)
+    return ivf_search(cells, cent, query_ids, k=k, n_probe=n_probe)
+
+
+def ivf_cells(emb: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              label_col: str = "label") -> DataFrame:
+    """The IVF inverted file: (vec_id, cl, c_v, c_nrm) -- every vector
+    tagged with its cell, norm precomputed.  This is the relation a
+    PERSISTED index stores clustered by ``cl`` (see
+    operators/ann_index.py); in-plan callers derive it on the fly."""
+    v = F.col(vec_col).cast("array<double>")
+    return emb.select(
+        F.col(id_col).alias("vec_id"), F.col(label_col).alias("cl"),
+        v.alias("c_v"), l2_norm(v).alias("c_nrm"),
+    )
+
+
+def ivf_search(cells: DataFrame, cent: DataFrame, query_ids: list[int],
+               k: int = 5, n_probe: int = IVF_N_PROBE) -> DataFrame:
+    """The IVF query core over an inverted file (:func:`ivf_cells`
+    schema) and a centroid table (:func:`ivf_centroids` schema) --
+    shared verbatim by the in-plan ``ivf_topk`` and the persisted-index
+    query path, so both stay oracle-identical.  Query vectors are
+    looked up IN the inverted file (it stores every vector), keeping
+    the persisted path entirely base-table-free."""
+    q = cells.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("c_v").alias("q_v"), F.col("c_nrm").alias("q_nrm"),
+    )
     probe_scores = q.crossJoin(F.broadcast(cent)).select(
         "query_id", "cl", "q_v", "q_nrm",
         round_portable(
@@ -286,13 +313,8 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
         .filter(F.col("pr") <= n_probe)
         .select("query_id", "cl", "q_v", "q_nrm")
     )
-    v = F.col(vec_col).cast("array<double>")
-    c = emb.select(
-        F.col(id_col).alias("vec_id"), F.col(label_col).alias("cl"),
-        v.alias("c_v"), l2_norm(v).alias("c_nrm"),
-    )
     scored = (
-        c.join(F.broadcast(probes), "cl")
+        cells.join(F.broadcast(probes), "cl")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id", "vec_id",

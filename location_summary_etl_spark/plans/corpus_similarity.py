@@ -114,7 +114,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # averages (rounded to CENTROID_SCALE so cross-engine summation order
 # cannot diverge), per-query centroid ranking, candidate restriction to
 # the n_probe nearest cells, exact cosine within them.
-register("ann_topk_ivf", ann_topk_ivf, f"""
+_IVF_SQL = f"""
 WITH e AS (
     SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
            sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -159,7 +159,38 @@ SELECT query_id, rank, vec_id, cosine FROM (
     FROM scored
 )
 WHERE rank <= 5
-""")
+"""
+
+register("ann_topk_ivf", ann_topk_ivf, _IVF_SQL)
+
+def ann_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index variant of ``ann_topk_ivf``: build and query are
+    SEPARATE LINEAGES through operators/ann_index.py -- the build
+    commits the inverted file (repartitioned by cell) and the centroid
+    table to a VersionedTable pair under a per-invocation scratch root,
+    and the query answers from the pinned snapshots alone (the
+    embeddings table is never read on the query side; query vectors
+    come from the inverted file).  The staleness check runs under the
+    gate too: verify_against re-fingerprints the base relation and
+    must MATCH here (the mismatch path is unit-tested).  Same oracle
+    as ann_topk_ivf: persisting the index must not change a single
+    result bit."""
+    from location_summary_etl_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_query_index,
+    )
+    from location_summary_etl_spark.plans.corpus_warehouse import _fresh_dir
+
+    emb = _emb(spark, sf_dir)
+    root = _fresh_dir("annidx", sf_dir)
+    version = build_ivf_index(emb, root)
+    return ivf_query_index(
+        spark, root, QUERY_IDS, k=5, n_probe=IVF_N_PROBE,
+        version=version, verify_against=emb)
+
+
+register("ann_topk_ivf_persisted", ann_topk_ivf_persisted, _IVF_SQL)
+
 
 
 def embedding_label_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
