@@ -271,6 +271,20 @@ def get_session(app_name: str = "location-summary-etl-spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime SMJ -> shuffled-hash conversion (off by default
+        # upstream).  AQE converts a planned sort-merge join to a
+        # shuffled hash join when EVERY post-shuffle partition fits the
+        # threshold -- gated on the actual runtime byte sizes, so it is
+        # scale-safe in exactly the way a plan-time shuffle_hash hint
+        # is not (oversized or skewed stages simply keep the SMJ, and
+        # the per-partition build map is bounded at 128 MB).  Measured
+        # r7, interleaved toggle in one session: Q5 shape at the 100x
+        # tier 1.63 -> 1.25 s (-23%, both fact sorts deleted); at
+        # bench scale six of eight join-heavy headliners improve
+        # (-2..-13%) and the two apparent regressions do not reproduce
+        # at 6 reps (distributions fully overlap).
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                "128m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         # Codegen-heavy corpus (16-way minhash aggs, 32-bit vote sums):
