@@ -110,7 +110,19 @@ def customer_order_count_distribution(spark: SparkSession, sf_dir: str
     customers -- the naive join-then-count shape shuffles every order
     row into the join.  The second groupBy runs over ~tens of distinct
     counts: its shuffle is measured in kilobytes regardless of input
-    scale."""
+    scale.
+
+    MEASURED FLOOR (r7, sf10 tier = 15M orders / 1.5M customers,
+    min-of-4 noop-sink): full query 0.58 s ~= the per-customer count
+    alone 0.60 s -- the customer join and both downstream aggregates
+    are FREE; the whole cost is the orders scan + 1.5M-group hash
+    aggregate.  A join-free rewrite (derive the zero-count row as
+    |customer| - |distinct custkeys|, result-verified equal) measured
+    0.56 s -- no real win, and it silently assumes orders.o_custkey
+    FK-integrity where the join form defines the semantics on any
+    input, so the join form stays.  Spark time is near-flat across
+    sf0.1/sf1/sf10 (0.29 -> 0.49 -> 0.56 s over 100x; ratio falls
+    16.8 -> 12.7 -> 3.6): the floor signature."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     counts_per_customer = (
