@@ -28,6 +28,7 @@ EXTRAS = [
     "dedup_ngram_jaccard_uncapped",
     "multimodal_audio_decode",
     "merge_upsert_orders",
+    "ann_topk_ivf_persisted",
     "versioned_time_travel",
     "skew_salted_fact_join",
     "text_approx_topk_sketch",

@@ -56,6 +56,42 @@ def test_persisted_index_matches_inplan_and_detects_staleness(
     assert _rows(fresh) == _rows(ivf_topk(changed, [1, 2], k=3))
 
 
+def test_ivf_recall_contract(spark, sf_dir, tmp_path):
+    """Accuracy contract for the IVF bargain (recall bounded by
+    n_probe/cells): at n_probe=2 of 8 label cells on the test data the
+    measured recall@5 vs brute force must stay above the floor pinned
+    here, and probing EVERY cell must recover brute force exactly --
+    the approximation comes only from cell pruning, never from the
+    scoring path."""
+    from location_summary_etl_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = str(tmp_path / "idx")
+    v = build_ivf_index(emb, root)
+    qids = list(range(10))
+    exact = {(r["query_id"], r["vec_id"])
+             for r in brute_force_topk(emb, qids, k=5).collect()}
+
+    n_cells = len({r["label"] for r in emb.select("label").distinct().collect()})
+    approx = {(r["query_id"], r["vec_id"])
+              for r in ivf_query_index(spark, root, qids, k=5,
+                                       n_probe=2, version=v).collect()}
+    recall = len(approx & exact) / len(exact)
+    # measured 0.30 at sf0.001: cells are the LABEL proxy (deliberately
+    # untrained -- see ivf_centroids), so recall sits near the random
+    # n_probe/cells baseline of 0.25 rather than a trained IVF's 0.8+;
+    # the contract guards the mechanism (pruning-only approximation),
+    # not clustering quality the operator intentionally doesn't do.
+    assert recall >= 0.25, recall  # 2 of n_cells cells probed
+
+    full = {(r["query_id"], r["vec_id"])
+            for r in ivf_query_index(spark, root, qids, k=5,
+                                     n_probe=n_cells, version=v).collect()}
+    assert full == exact
+
+
 def test_query_path_reads_only_the_index(spark, sf_dir, tmp_path):
     """The persisted query plan's file scans come from the index root,
     never the base table -- the separate-lineage claim, asserted."""
