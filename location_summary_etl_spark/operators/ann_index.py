@@ -69,8 +69,8 @@ def _fingerprint(emb: DataFrame, id_col: str) -> list[int]:
     row = emb.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(
-            F.sum(F.xxhash64(F.col(id_col)).cast("decimal(20,0)")),
-            F.lit(0).cast("decimal(20,0)")).alias("h"),
+            F.sum(F.xxhash64(F.col(id_col)).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)")).alias("h"),
     ).first()
     return [int(row["n"]), int(row["h"])]
 

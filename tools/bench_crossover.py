@@ -114,6 +114,10 @@ def main() -> None:
     cons = {}
     for sf, d in tiers:
         con = duckdb.connect()
+        # Fail fast instead of filling the disk: the minhash sf10
+        # oracle spilled past the host's 77 GB free and took the whole
+        # run down (r7).  A capped-temp failure is a recordable DNF.
+        con.execute("SET max_temp_directory_size='55GiB'")
         for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{table_path(d, t)}'")
@@ -140,7 +144,17 @@ def main() -> None:
         row: dict[str, dict] = {}
         for sf, d in tiers:  # sf-inner: codegen/JIT stays hot per query
             s = _time_spark(spark, qs[name], d)
-            k = _time_duck(cons[sf], oracles[name])
+            try:
+                k = _time_duck(cons[sf], oracles[name])
+            except duckdb.Error as e:
+                # e.g. the temp-spill cap above: a per-cell DNF, not a
+                # run-fatal crash (the r7 minhash sf10 oracle needed
+                # >77 GB of spill).  Spark's time is still recorded.
+                row[sf] = {"spark": round(s, 3), "duckdb": None,
+                           "ratio": None}
+                print(f"{name} sf{sf}: spark={s:.3f} duckdb=DNF "
+                      f"({type(e).__name__}: {str(e)[:100]})", flush=True)
+                continue
             row[sf] = {"spark": round(s, 3), "duckdb": round(k, 3),
                        "ratio": round(s / k, 2) if k > 0 else None}
             print(f"{name} sf{sf}: spark={s:.3f} duckdb={k:.3f} "
@@ -169,10 +183,15 @@ def main() -> None:
         with open(mdpath) as f:
             md = f.read()
         marker = "\n## Deep tier (sf10)\n"
-        md = md.split(marker)[0].rstrip() + "\n"
+        head, _, rest = md.partition(marker)
+        # The deep section runs to the next "## " heading; any notes /
+        # corrections sections after it survive the rewrite (a merge
+        # once silently deleted the committed r7 notes).
+        nxt = rest.find("\n## ")
+        tail = rest[nxt:] if nxt != -1 else ""
         lines = _deep_md_lines(payload["deep"], [sf for sf, _ in tiers])
         with open(mdpath, "w") as f:
-            f.write(md + "\n".join(lines) + "\n")
+            f.write(head.rstrip() + "\n" + "\n".join(lines) + "\n" + tail)
         print("merged deep section into BENCH_CROSSOVER.{json,md}")
         return
 
@@ -256,13 +275,18 @@ def _deep_md_lines(deep: dict, sfs: list) -> list:
         "| ratio sf0.1 | sf1 | sf10 |",
         "|---|---|---|---|---|---|---|---|---|---|",
     ]
+    def _c(v, fmt):
+        # None = engine DNF on that cell (e.g. DuckDB exceeded the
+        # temp-spill cap); render visibly rather than crash.
+        return ("DNF" if fmt == "{:.3f}" else "—") if v is None else fmt.format(v)
+
     for n, q in deep["queries"].items():
         lines.append(
             "| " + " | ".join(
                 [n]
-                + [f"{q[sf]['spark']:.3f}" for sf in sfs]
-                + [f"{q[sf]['duckdb']:.3f}" for sf in sfs]
-                + [f"{q[sf]['ratio']:.2f}" for sf in sfs]) + " |")
+                + [_c(q[sf]["spark"], "{:.3f}") for sf in sfs]
+                + [_c(q[sf]["duckdb"], "{:.3f}") for sf in sfs]
+                + [_c(q[sf]["ratio"], "{:.2f}") for sf in sfs]) + " |")
     return lines
 
 
