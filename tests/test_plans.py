@@ -526,3 +526,22 @@ def test_q5_compiled_dims_match_broadcast_fallback(spark, sf_dir):
                    mode="formatted")
     assert "nation.parquet" not in plan and "region.parquet" not in plan, (
         "compiled path still scans the dimension tables")
+
+
+def test_q3_revenue_aggregates_below_the_join(spark, sf_dir):
+    """order_shipping_priority pre-aggregates lineitem revenue per
+    orderkey BELOW the fact-fact join (eager aggregation): the
+    orderkey exchange then carries one row per open order instead of
+    ~4 lineitems.  In the optimized logical plan the Join must be the
+    Aggregate's parent -- printed first -- not the other way around.
+    Interleaved A/B (tools/ab_q3_eager_agg.py): 0.73 s vs 0.88 s at
+    sf1, 5.70 s vs 6.84 s at sf10, identical result sets."""
+    extended = plan_of(spark, "order_shipping_priority", sf_dir,
+                       mode="extended")
+    optimized = extended.split("== Optimized Logical Plan ==")[1]
+    optimized = optimized.split("== Physical Plan ==")[0]
+    join_at = optimized.index("Join")
+    agg_at = optimized.index("Aggregate [l_orderkey")
+    assert agg_at > join_at, (
+        "revenue aggregate sits above the join; eager form regressed:\n"
+        + optimized)

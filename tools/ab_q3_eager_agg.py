@@ -1,0 +1,88 @@
+"""Interleaved A/B: Q3 current form (join -> group) vs eager
+pre-aggregation (group lineitem by orderkey BELOW the join).
+
+Hypothesis: revenue groups exactly on the join key, so aggregating the
+~4x-wider lineitem side before the fact-fact join cuts the orderkey
+shuffle bytes and the join probe volume by the lineitems-per-order
+factor.  Result sets are identical by construction (o_orderdate is
+functionally dependent on l_orderkey through the join).
+
+Usage: python tools/ab_q3_eager_agg.py [tiers...]   (default sf1 sf10)
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+from location_summary_etl_spark.session import get_session, broadcast_if_small
+from location_summary_etl_spark.sources.registry import load_table
+from location_summary_etl_spark.functions.scalars import round_portable
+from location_summary_etl_spark.plans.corpus_starjoin import (
+    order_shipping_priority, Q3_CUTOFF, Q3_SEGMENT)
+
+
+def q3_eager(spark, sf_dir):
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit(Q3_CUTOFF).cast("timestamp_ntz")
+    cust_ord = (
+        customer.filter(F.col("c_mktsegment") == Q3_SEGMENT)
+        .select("c_custkey")
+        .join(
+            orders.filter(F.col("o_orderdate") < cutoff)
+            .select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+    )
+    lin_rev = (
+        lineitem.filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"))
+    )
+    return (
+        lin_rev.join(
+            broadcast_if_small(cust_ord),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select("l_orderkey", "o_orderdate",
+                round_portable(F.col("_rev"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+def run(spark, fn, sf_dir):
+    spark.catalog.clearCache()
+    t0 = time.monotonic()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.monotonic() - t0
+
+
+def main():
+    tiers = sys.argv[1:] or ["sf1", "sf10"]
+    spark = get_session("ab-q3")
+    # correctness first: identical result sets at sf0.1
+    a = sorted(order_shipping_priority(spark, "/root/repo/bench_tiers/sf0.1").collect())
+    b = sorted(q3_eager(spark, "/root/repo/bench_tiers/sf0.1").collect())
+    assert a == b, f"result mismatch:\n{a}\n{b}"
+    print("sf0.1 result sets identical (10 rows)")
+    for tier in tiers:
+        d = f"/root/repo/bench_tiers/{tier}"
+        # warm both, then interleave 3 timed reps each
+        run(spark, order_shipping_priority, d); run(spark, q3_eager, d)
+        cur, eag = [], []
+        for _ in range(3):
+            cur.append(run(spark, order_shipping_priority, d))
+            eag.append(run(spark, q3_eager, d))
+        print(f"{tier}: current min {min(cur):.3f}s {sorted(cur)} | "
+              f"eager min {min(eag):.3f}s {sorted(eag)}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
