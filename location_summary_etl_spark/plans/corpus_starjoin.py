@@ -69,7 +69,15 @@ def order_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     region_local_supplier_volume): at bench scale the pre-aggregated
     lineitem side then joins without any further shuffle, at
     warehouse scale the gate never fires and both sides shuffle on
-    orderkey.  A TakeOrdered heap keeps 10 -- no global sort."""
+    orderkey -- the lineitem side now ~4x smaller than pre-rewrite.
+    Trade-off: the pre-aggregate also covers open orders the segment
+    filter later drops (~segment-fraction x date-window of them), so
+    a far more selective customer predicate would favor the
+    aggregate-above-join form again; at Q3's selectivity (1/5
+    segment x ~half date window) the shuffled-bytes reduction
+    dominates at every measured tier, and the extra work is map-side
+    partial aggregation that never hits the network.  A TakeOrdered
+    heap keeps 10 -- no global sort."""
     from location_summary_etl_spark.session import broadcast_if_small
 
     customer = load_table(spark, sf_dir, "customer")
