@@ -545,3 +545,70 @@ def test_q3_revenue_aggregates_below_the_join(spark, sf_dir):
     assert agg_at > join_at, (
         "revenue aggregate sits above the join; eager form regressed:\n"
         + optimized)
+
+
+def test_q3_eager_form_matches_above_join_spec_on_edge_data(spark, tmp_path):
+    """The eager rewrite's semantic claim -- o_orderdate is functionally
+    dependent on the join key, so aggregating revenue below the join is
+    equivalent to aggregating above it -- pinned on constructed edges
+    the TPC-H-ish testdata doesn't guarantee: revenue ties broken by
+    orderkey, >10 qualifying orders (limit path), an order whose
+    lineitems all ship before the cutoff, a matching order in the wrong
+    segment, and a lineitem orderkey with no parent order."""
+    from location_summary_etl_spark.plans.corpus_starjoin import (
+        Q3_CUTOFF, Q3_SEGMENT, order_shipping_priority)
+
+    cutoff = Q3_CUTOFF
+    before, after = "1990-01-01 00:00:00", "2099-01-01 00:00:00"
+    customers = [(k, Q3_SEGMENT if k % 3 else "WRONGSEG") for k in range(1, 20)]
+    orders, lineitems = [], []
+    for o in range(1, 31):
+        ck = (o % 19) + 1
+        od = before if o % 4 else after          # o%4==0: placed too late
+        orders.append((o, ck, od))
+        ship = before if o % 5 == 0 else after   # o%5==0: all shipped already
+        # two lineitems per order; revenue ties across pairs (o, o+1)
+        price = float(100 * ((o + 1) // 2))
+        lineitems.append((o, price, 0.0, ship))
+        lineitems.append((o, price, 0.5, ship))
+    lineitems.append((999, 5000.0, 0.0, after))  # orphan orderkey
+    spark.createDataFrame(
+        customers, "c_custkey long, c_mktsegment string"
+    ).selectExpr(
+        "c_custkey", "'c' c_name", "cast(0 as int) c_nationkey",
+        "cast(0.0 as double) c_acctbal", "c_mktsegment",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderdate string"
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "'O' o_orderstatus",
+        "cast(0.0 as double) o_totalprice",
+        "cast(o_orderdate as timestamp_ntz) o_orderdate",
+        "'1-URGENT' o_orderpriority",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        lineitems,
+        "l_orderkey long, l_extendedprice double, l_discount double, "
+        "l_shipdate string"
+    ).selectExpr(
+        "l_orderkey", "cast(1 as long) l_partkey",
+        "cast(1 as long) l_suppkey", "cast(1 as int) l_linenumber",
+        "cast(1.0 as double) l_quantity", "l_extendedprice", "l_discount",
+        "cast(0.0 as double) l_tax", "'N' l_returnflag", "'O' l_linestatus",
+        "cast(l_shipdate as timestamp_ntz) l_shipdate",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    got = order_shipping_priority(spark, str(tmp_path)).collect()
+
+    # above-join spec, computed independently in Python
+    seg = {k for k, s in customers if s == Q3_SEGMENT}
+    open_orders = {o: od for o, ck, od in orders if ck in seg and od < cutoff}
+    rev = {}
+    for o, price, disc, ship in lineitems:
+        if o in open_orders and ship > cutoff:
+            rev[o] = rev.get(o, 0.0) + price * (1 - disc)
+    expect = sorted(((round(v, 2), o) for o, v in rev.items()),
+                    key=lambda t: (-t[0], t[1]))[:10]
+    assert [(r["revenue"], r["l_orderkey"]) for r in got] == expect
+    assert len(got) == 10 and len(rev) > 10, "limit path not exercised"
+    assert all(r["o_orderdate"] is not None for r in got)
