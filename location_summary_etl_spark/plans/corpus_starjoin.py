@@ -62,7 +62,13 @@ def order_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per open order instead of ~4 lineitems, and the join
     probes the collapsed side.  o_orderdate is functionally dependent
     on the key through the join, so the result is identical to the
-    aggregate-above-join form -- interleaved A/B
+    aggregate-above-join form.  Precondition (stronger than the FD on
+    o_orderdate alone): ``o_orderkey`` is UNIQUE in orders.  The
+    pre-rewrite post-join groupBy would merge rows from duplicate
+    join matches; with the groupBy now below the join, a duplicated
+    orderkey would fan the pre-aggregated revenue out into duplicate
+    un-merged result rows.  TPC-H data guarantees the PK, and the
+    oracle SQL's GROUP BY assumes the same uniqueness -- interleaved A/B
     (tools/ab_q3_eager_agg.py): eager 0.73 s vs 0.88 s at sf1,
     5.70 s vs 6.84 s at sf10, result sets byte-identical at sf0.1.
     customer |><| orders still rides ``broadcast_if_small`` (see

@@ -607,8 +607,12 @@ def test_q3_eager_form_matches_above_join_spec_on_edge_data(spark, tmp_path):
     for o, price, disc, ship in lineitems:
         if o in open_orders and ship > cutoff:
             rev[o] = rev.get(o, 0.0) + price * (1 - disc)
-    expect = sorted(((round(v, 2), o) for o, v in rev.items()),
-                    key=lambda t: (-t[0], t[1]))[:10]
-    assert [(r["revenue"], r["l_orderkey"]) for r in got] == expect
+    expect = sorted(
+        ((round(v, 2), o, open_orders[o]) for o, v in rev.items()),
+        key=lambda t: (-t[0], t[1]))[:10]
+    assert [
+        (r["revenue"], r["l_orderkey"],
+         r["o_orderdate"].strftime("%Y-%m-%d %H:%M:%S"))
+        for r in got
+    ] == expect
     assert len(got) == 10 and len(rev) > 10, "limit path not exercised"
-    assert all(r["o_orderdate"] is not None for r in got)

@@ -17,12 +17,14 @@ Usage: python tools/ab_q3_eager_agg.py [tiers...]   (default sf1 sf10)
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 from pyspark.sql import functions as F
 
-sys.path.insert(0, "/root/repo")
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
 from location_summary_etl_spark.session import get_session, broadcast_if_small
 from location_summary_etl_spark.sources.registry import load_table
 from location_summary_etl_spark.functions.scalars import round_portable
@@ -72,13 +74,13 @@ def main():
     tiers = sys.argv[1:] or ["sf1", "sf10"]
     spark = get_session("ab-q3")
     # correctness first: identical result sets at sf0.1
-    a = sorted(q3_above_join(spark, "/root/repo/bench_tiers/sf0.1").collect())
-    b = sorted(order_shipping_priority(
-        spark, "/root/repo/bench_tiers/sf0.1").collect())
+    sf01 = os.path.join(HERE, "bench_tiers", "sf0.1")
+    a = sorted(q3_above_join(spark, sf01).collect())
+    b = sorted(order_shipping_priority(spark, sf01).collect())
     assert a == b, f"result mismatch:\n{a}\n{b}"
     print("sf0.1 result sets identical (10 rows)")
     for tier in tiers:
-        d = f"/root/repo/bench_tiers/{tier}"
+        d = os.path.join(HERE, "bench_tiers", tier)
         # warm both, then interleave 3 timed reps each
         run(spark, q3_above_join, d); run(spark, order_shipping_priority, d)
         base, eag = [], []

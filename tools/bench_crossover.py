@@ -251,9 +251,9 @@ def main() -> None:
         lines.append(
             "| " + " | ".join(
                 [n]
-                + [f"{q[sf]['spark']:.3f}" for sf, _ in tiers]
-                + [f"{q[sf]['duckdb']:.3f}" for sf, _ in tiers]
-                + [f"{q[sf]['ratio']:.2f}" for sf, _ in tiers]
+                + [_cell(q[sf]["spark"], "{:.3f}") for sf, _ in tiers]
+                + [_cell(q[sf]["duckdb"], "{:.3f}") for sf, _ in tiers]
+                + [_cell(q[sf]["ratio"], "{:.2f}") for sf, _ in tiers]
                 + [trend]) + " |")
     if prev_deep:
         lines += _deep_md_lines(prev_deep, [sf for sf, _ in
@@ -262,6 +262,12 @@ def main() -> None:
     with open(os.path.join(HERE, "BENCH_CROSSOVER.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote BENCH_CROSSOVER.{json,md}")
+
+
+def _cell(v, fmt):
+    # None = engine DNF on that cell (e.g. DuckDB exceeded the
+    # temp-spill cap); render visibly rather than crash.
+    return ("DNF" if fmt == "{:.3f}" else "—") if v is None else fmt.format(v)
 
 
 def _deep_md_lines(deep: dict, sfs: list) -> list:
@@ -275,18 +281,13 @@ def _deep_md_lines(deep: dict, sfs: list) -> list:
         "| ratio sf0.1 | sf1 | sf10 |",
         "|---|---|---|---|---|---|---|---|---|---|",
     ]
-    def _c(v, fmt):
-        # None = engine DNF on that cell (e.g. DuckDB exceeded the
-        # temp-spill cap); render visibly rather than crash.
-        return ("DNF" if fmt == "{:.3f}" else "—") if v is None else fmt.format(v)
-
     for n, q in deep["queries"].items():
         lines.append(
             "| " + " | ".join(
                 [n]
-                + [_c(q[sf]["spark"], "{:.3f}") for sf in sfs]
-                + [_c(q[sf]["duckdb"], "{:.3f}") for sf in sfs]
-                + [_c(q[sf]["ratio"], "{:.2f}") for sf in sfs]) + " |")
+                + [_cell(q[sf]["spark"], "{:.3f}") for sf in sfs]
+                + [_cell(q[sf]["duckdb"], "{:.3f}") for sf in sfs]
+                + [_cell(q[sf]["ratio"], "{:.2f}") for sf in sfs]) + " |")
     return lines
 
 
