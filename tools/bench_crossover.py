@@ -127,6 +127,14 @@ def main() -> None:
     qs[names[0]](spark, tiers[0][1]).write.format("noop").mode(
         "overwrite").save()
 
+    # Steal gate (tools/hostprobe.py): wait for a quiet window, then
+    # stamp a boundary probe before every query row and one at the end
+    # -- a row is only trusted if the probes on both sides of it are
+    # quiet.  The r7 discipline, now in the harness instead of by hand.
+    from tools import hostprobe
+    startup_probes = hostprobe.wait_quiet(attempts=20, sleep_sec=110)
+    probes: dict[str, float] = {}
+
     floor = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
@@ -141,6 +149,7 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     for name in names:
+        probes[name] = hostprobe.probe()
         row: dict[str, dict] = {}
         for sf, d in tiers:  # sf-inner: codegen/JIT stays hot per query
             s = _time_spark(spark, qs[name], d)
@@ -160,6 +169,11 @@ def main() -> None:
             print(f"{name} sf{sf}: spark={s:.3f} duckdb={k:.3f} "
                   f"ratio={s / k:.2f}", flush=True)
         results[name] = row
+    probes["_final"] = hostprobe.probe()
+    noisy = sorted(n for n, p in probes.items() if p > hostprobe.QUIET_SEC)
+    if noisy:
+        print(f"NOISY boundary probes (> {hostprobe.QUIET_SEC}s): {noisy}",
+              flush=True)
 
     if deep:
         jpath = os.path.join(HERE, "BENCH_CROSSOVER.json")
@@ -170,9 +184,14 @@ def main() -> None:
         payload["deep"] = {
             "method": (
                 f"tiers sf0.1/sf1/sf10 (make_scale_tier 100x), 1 warm + "
-                f"min-of-{REPEATS} per cell, one invocation"),
+                f"min-of-{REPEATS} per cell, one invocation, "
+                "probe-gated start + per-query boundary probes"),
             "spark_job_floor_sec": round(floor, 3),
             "host_cpu_cal_sec": round(cal, 3),
+            "probe_threshold_sec": hostprobe.QUIET_SEC,
+            "probe_startup_sec": startup_probes,
+            "probe_sec": {**payload.get("deep", {}).get("probe_sec", {}),
+                          **{k: round(v, 3) for k, v in probes.items()}},
             "queries": deep_prev,
         }
         results = deep_prev
@@ -205,9 +224,14 @@ def main() -> None:
             f"min-of-{REPEATS}; Spark noop sink, cache cleared between "
             "runs; tiers sf0.01/sf0.1 = testdata rewritten via "
             "make_scale_tier n=1, sf1 = 10x re-keyed replication of "
-            "sf0.1 -- one writer, one physical layout at every tier"),
+            "sf0.1 -- one writer, one physical layout at every tier; "
+            "probe-gated start + per-query boundary probes "
+            "(tools/hostprobe.py)"),
         "spark_job_floor_sec": round(floor, 3),
         "host_cpu_cal_sec": round(cal, 3),
+        "probe_threshold_sec": hostprobe.QUIET_SEC,
+        "probe_startup_sec": startup_probes,
+        "probe_sec": {k: round(v, 3) for k, v in probes.items()},
         "queries": results,
     }
     # A full rerun refreshes the MAIN table only -- an existing deep
