@@ -192,6 +192,44 @@ def ann_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("ann_topk_ivf_persisted", ann_topk_ivf_persisted, _IVF_SQL)
 
 
+def ann_topk_ivf_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-maintenance variant of ``ann_topk_ivf_persisted``
+    (the r8 sanctioned addition): the base embeddings live in a
+    VersionedTable; the index is built from a 90% snapshot, the
+    remaining 10% is APPENDED, and ``refresh_ivf_index`` reindexes only
+    the delta -- CDC feed (``changes``) -> file-granular merge on the
+    inverted file (pure inserts rewrite zero existing cell files) ->
+    touched-cell centroid recompute.  The query then answers from the
+    refreshed pins under the staleness gate.  Same oracle as
+    ``ann_topk_ivf`` over the FULL embeddings table: a delta refresh
+    must be result-identical to indexing everything from scratch."""
+    import os
+
+    from location_summary_etl_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_query_index,
+        refresh_ivf_index,
+    )
+    from location_summary_etl_spark.plans.corpus_warehouse import _fresh_dir
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    emb = _emb(spark, sf_dir)
+    scratch = _fresh_dir("annidxdelta", sf_dir)
+    base = VersionedTable(os.path.join(scratch, "base"))
+    base.commit(emb.filter(F.col("vec_id") % 10 != 0), mode="overwrite")
+    root = os.path.join(scratch, "idx")
+    build_ivf_index(base.read(spark), root,
+                    base_version=base.latest_version())
+    base.commit(emb.filter(F.col("vec_id") % 10 == 0), mode="append")
+    version = refresh_ivf_index(spark, base, root)
+    return ivf_query_index(
+        spark, root, QUERY_IDS, k=5, n_probe=IVF_N_PROBE,
+        version=version, verify_against=base.read(spark))
+
+
+register("ann_topk_ivf_delta", ann_topk_ivf_delta, _IVF_SQL)
+
+
 
 def embedding_label_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)

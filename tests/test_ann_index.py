@@ -101,3 +101,218 @@ def test_query_path_reads_only_the_index(spark, sf_dir, tmp_path):
     q = ivf_query_index(spark, root, [0, 1], k=3, version=v)
     files = q.inputFiles()
     assert files and all(root in f for f in files), files
+
+
+# ----------------------------------------------------- delta refresh (r8)
+
+
+def _topk_sets(df):
+    return sorted((r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+                  for r in df.collect())
+
+
+def test_delta_refresh_append_matches_full_rebuild(spark, sf_dir, tmp_path):
+    """Append 10% of the corpus to the base table, refresh_ivf_index
+    takes the DELTA path (op tag ivf_delta), and search results are
+    identical to an index rebuilt from scratch over the full table."""
+    from location_summary_etl_spark.operators.ann_index import (
+        refresh_ivf_index,
+    )
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = VersionedTable(str(tmp_path / "base"))
+    base.commit(emb.filter(F.col("vec_id") % 10 != 0), mode="overwrite")
+    root = str(tmp_path / "idx")
+    v1 = build_ivf_index(base.read(spark), root,
+                         base_version=base.latest_version())
+    base.commit(emb.filter(F.col("vec_id") % 10 == 0), mode="append")
+
+    v2 = refresh_ivf_index(spark, base, root)
+    assert v2 > v1
+    meta = index_meta(root, v2)
+    assert meta["op"] == "ivf_delta", meta
+    assert meta["base_version"] == base.latest_version()
+
+    full_root = str(tmp_path / "full")
+    vf = build_ivf_index(emb, full_root)
+    qids = list(range(10))
+    got = ivf_query_index(spark, root, qids, k=5, version=v2,
+                          verify_against=base.read(spark))
+    want = ivf_query_index(spark, full_root, qids, k=5, version=vf)
+    assert _topk_sets(got) == _topk_sets(want)
+
+    # the pre-refresh generation still answers from its own snapshot
+    old = ivf_query_index(spark, root, [1, 2], k=3, version=v1)
+    assert _topk_sets(old) == _topk_sets(
+        ivf_query_index(spark, root, [1, 2], k=3, version=v1))
+
+
+def test_delta_refresh_update_and_delete_match_full_rebuild(
+        spark, sf_dir, tmp_path):
+    """MERGE into the base (vector updates, a cross-cell label move,
+    and deletes) -> refresh reindexes only the touched members and
+    matches a from-scratch build of the post-merge relation."""
+    from location_summary_etl_spark.operators.ann_index import (
+        refresh_ivf_index,
+    )
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    base = VersionedTable(str(tmp_path / "base"))
+    base.commit(load_table(spark, sf_dir, "embeddings"), mode="overwrite")
+    root = str(tmp_path / "idx")
+    v1 = build_ivf_index(base.read(spark), root,
+                         base_version=base.latest_version())
+
+    snap = base.read(spark)
+    labels = sorted(r["label"] for r in
+                    snap.select("label").distinct().collect())
+    # updates: vec 20 gets a new vector (same cell), vec 21 MOVES cells,
+    # vecs 22/23 are deleted
+    r20, r21 = snap.filter(F.col("vec_id").isin(20, 21)).collect()
+    upd = spark.createDataFrame(
+        [(20, [float(x) + 0.25 for x in r20["embedding"]],
+          int(r20["label"]), False),
+         (21, list(map(float, r21["embedding"])),
+          int(labels[0] if r21["label"] != labels[0] else labels[1]),
+          False),
+         (22, None, None, True),
+         (23, None, None, True)],
+        "vec_id bigint, embedding array<float>, label int, _del boolean")
+    base.merge(spark, upd, keys=["vec_id"], delete_col="_del")
+
+    v2 = refresh_ivf_index(spark, base, root)
+    meta = index_meta(root, v2)
+    assert meta["op"] == "ivf_delta", meta
+
+    full_root = str(tmp_path / "full")
+    vf = build_ivf_index(base.read(spark), full_root)
+    qids = list(range(10))
+    got = ivf_query_index(spark, root, qids, k=5, version=v2,
+                          verify_against=base.read(spark))
+    want = ivf_query_index(spark, full_root, qids, k=5, version=vf)
+    assert _topk_sets(got) == _topk_sets(want)
+
+
+def test_delta_refresh_carries_untouched_cell_files_unread(spark, tmp_path):
+    """The untouched-cells claim at file granularity, proven with the
+    stats-pruned-MERGE pattern: after the refresh the low-cell file is
+    (a) carried BY PATH -- byte-identical by construction -- and
+    (b) was never even OPENED: it is corrupted on disk before the
+    refresh, so a discovery scan that touched it would have failed."""
+    from location_summary_etl_spark.operators.ann_index import (
+        refresh_ivf_index,
+    )
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    rows = [(i, [float(i % 7), float(i % 5), 1.0], i % 4)
+            for i in range(200)]
+    base = VersionedTable(str(tmp_path / "base"))
+    base.commit(spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"),
+        mode="overwrite")
+    root = str(tmp_path / "idx")
+    # test-size data: AQE would coalesce the range shuffle into ONE
+    # file spanning every cell, leaving nothing to prune; at real scale
+    # the ranges split by bytes on their own
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key)
+    spark.conf.set(coalesce_key, "false")
+    try:
+        build_ivf_index(base.read(spark), root,
+                        base_version=base.latest_version())
+    finally:
+        spark.conf.set(coalesce_key, prev)
+
+    cells_tbl = VersionedTable(str(tmp_path / "idx" / "cells"))
+    m = cells_tbl._manifest(cells_tbl.latest_version())
+    low_files = [f for f in m["files"]
+                 if m["stats"][f]["cl"][1] is not None
+                 and m["stats"][f]["cl"][1] <= 1]
+    assert low_files, "expected a cl<=1-only file from range partitioning"
+    for f in low_files:
+        with open(f, "wb") as fh:
+            fh.write(b"not parquet anymore")
+
+    # delta touches ONLY cells 2 and 3
+    base.commit(spark.createDataFrame(
+        [(1000 + i, [9.0, float(i), 1.0], 2 + (i % 2)) for i in range(10)],
+        "vec_id bigint, embedding array<float>, label int"), mode="append")
+    v2 = refresh_ivf_index(spark, base, root)
+    meta = index_meta(root, v2)
+    assert meta["op"] == "ivf_delta"
+    assert sorted(meta["touched_cells"]) == [2, 3]
+
+    m2 = cells_tbl._manifest(meta["cells_version"])
+    for f in low_files:
+        assert f in m2["files"]                       # carried by path
+        assert m2["stats"][f]["cl"] == m["stats"][f]["cl"]
+
+
+def test_delta_refresh_pure_append_rewrites_no_files(spark, tmp_path):
+    """A pure-insert delta appends new cell files and rewrites ZERO
+    existing ones: every pre-refresh inverted-file data file is still
+    referenced by the new manifest (untouched on disk)."""
+    from location_summary_etl_spark.operators.ann_index import (
+        refresh_ivf_index,
+    )
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    rows = [(i, [float(i % 7), float(i % 5), 1.0], i % 4)
+            for i in range(200)]
+    base = VersionedTable(str(tmp_path / "base"))
+    base.commit(spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"),
+        mode="overwrite")
+    root = str(tmp_path / "idx")
+    build_ivf_index(base.read(spark), root,
+                    base_version=base.latest_version())
+    cells_tbl = VersionedTable(str(tmp_path / "idx" / "cells"))
+    before = set(cells_tbl._manifest(cells_tbl.latest_version())["files"])
+
+    base.commit(spark.createDataFrame(
+        [(1000 + i, [9.0, float(i), 1.0], i % 4) for i in range(20)],
+        "vec_id bigint, embedding array<float>, label int"), mode="append")
+    v2 = refresh_ivf_index(spark, base, root)
+    after = set(cells_tbl._manifest(
+        index_meta(root, v2)["cells_version"])["files"])
+    assert before <= after, "an existing cell file was rewritten"
+    assert after - before, "the inserts produced no new files"
+
+
+def test_delta_refresh_thresholds_and_pins(spark, tmp_path):
+    """Refresh control flow: unchanged base re-uses the current
+    generation; a delta past rebuild_fraction falls back to a full
+    rebuild (op ivf_build); an index built without a base pin refuses
+    delta refresh loudly."""
+    from location_summary_etl_spark.operators.ann_index import (
+        refresh_ivf_index,
+    )
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    rows = [(i, [float(i % 7), float(i % 5), 1.0], i % 4)
+            for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int")
+    base = VersionedTable(str(tmp_path / "base"))
+    base.commit(df, mode="overwrite")
+    root = str(tmp_path / "idx")
+    v1 = build_ivf_index(base.read(spark), root,
+                         base_version=base.latest_version())
+
+    assert refresh_ivf_index(spark, base, root) == v1  # no-op
+
+    # 50% delta > default rebuild_fraction -> full rebuild
+    base.commit(spark.createDataFrame(
+        [(5000 + i, [1.0, 2.0, 3.0], i % 4) for i in range(50)],
+        "vec_id bigint, embedding array<float>, label int"), mode="append")
+    v2 = refresh_ivf_index(spark, base, root)
+    meta = index_meta(root, v2)
+    assert meta["op"] == "ivf_build"
+    assert meta["base_version"] == base.latest_version()
+
+    # unpinned index: delta refresh must refuse, not guess
+    root2 = str(tmp_path / "idx2")
+    build_ivf_index(base.read(spark), root2)  # no base_version
+    with pytest.raises(ValueError, match="base_version"):
+        refresh_ivf_index(spark, base, root2)
