@@ -711,7 +711,9 @@ def ngram_jaccard_pairs_prefix(docs: DataFrame, id_col: str = "doc_id",
     pair occurrences inside one partial-aggregated shuffle (1.2s vs
     4.4s end-to-end).  Both stay in the corpus: selectivity, not
     asymptotics, picks the winner, and the crossover flips on
-    real-text gram distributions.
+    real-text gram distributions -- as of r8
+    :func:`ngram_jaccard_pairs_auto` makes that pick from the bounded
+    gram-reuse probe.
 
     SKEW POSTURE: this formulation carries NO df cap -- a ubiquitous
     gram that lands in many documents' prefixes still builds one
@@ -782,6 +784,90 @@ def ngram_jaccard_pairs_prefix(docs: DataFrame, id_col: str = "doc_id",
     return verified.select(
         "id_a", "id_b", round_portable(jac, 4).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
+
+
+# Auto-gate constants (r8).  The aggregate/prefix crossover is a
+# SELECTIVITY property (gram-reuse density x Jaccard threshold), not a
+# byte count, so the gate's "stat" is a constant-size sampled probe --
+# one O(sample) job at any corpus scale -- rather than file metadata.
+# The probe ratio is corpus-distinct-grams /
+# sum-of-per-doc-distinct-grams over the sample = 1 / (mean posting
+# length): ~1.0 means grams are near-unique to one doc.
+#
+# MEASURED (tools/ab_ngram_auto.py + the t=0.8 follow-up, 5,000-doc
+# corpora, interleaved min-of-3, probe-bracketed quiet windows): the
+# capped aggregate form dominates MOST of the space -- synthetic
+# shared-vocab corpus (ratio 0.63): aggregate 1.73 s vs prefix 4.08 s
+# at t=0.5, 1.41 vs 3.36 at t=0.8 (the 568k-candidate verify is the
+# prefix form's cost); rich-vocab corpus (ratio 0.99): 1.03 vs 1.11
+# at t=0.5 (aggregate still ahead), 1.21 vs 1.09 at t=0.8 (prefix's
+# ONE measured win, -10% -- short prefixes x near-unique grams leave
+# almost nothing to verify).  So the prefix form is gated on BOTH
+# conditions that produced that win, and the r7 docstring's "the
+# crossover flips on real-text gram distributions" claim is hereby
+# narrowed by measurement: it flips only at high thresholds on
+# near-unique gram universes.
+NGRAM_PROBE_DOCS = 512
+NGRAM_PREFIX_MIN_REUSE_RATIO = 0.95   # dense measured 0.63, sparse 0.99
+NGRAM_PREFIX_MIN_THRESHOLD = 0.7      # t=0.5 loses, t=0.8 wins
+
+
+def ngram_gram_reuse_probe(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", n: int = 3,
+                           sample_docs: int = NGRAM_PROBE_DOCS) -> float:
+    """Gram-reuse density over a constant-size document sample: the
+    fraction of the sample's per-doc distinct gram slots that are
+    unique corpus-wide (1 / mean posting length).  One bounded job
+    regardless of corpus size (``limit`` stops the scan after
+    ``sample_docs`` rows)."""
+    grams = ngrams_from_tokens(F.col("_toks"), n)
+    row = (
+        _tokenized(docs.select(id_col, text_col).limit(sample_docs),
+                   id_col, text_col)
+        .select(F.explode(F.array_distinct(grams)).alias("_g"))
+        .agg(F.countDistinct("_g").alias("d"), F.count("*").alias("t"))
+        .first()
+    )
+    if row is None or not row["t"]:
+        return 0.0
+    return row["d"] / row["t"]
+
+
+def ngram_jaccard_pairs_auto(docs: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text", n: int = 3,
+                             threshold: float = 0.5,
+                             prefer: str | None = None,
+                             sample_docs: int = NGRAM_PROBE_DOCS
+                             ) -> DataFrame:
+    """Selectivity-gated form selection between
+    :func:`ngram_jaccard_pairs` (capped inverted-index aggregate --
+    the skew-safe default and the measured winner over most of the
+    space) and :func:`ngram_jaccard_pairs_prefix` (prefix-filtered
+    set-similarity join -- measured to win only when grams are
+    near-unique AND the threshold is high; constants above).
+    ``prefer=None`` runs the bounded reuse probe and requires BOTH
+    measured win conditions before picking prefix; ``prefer=
+    "aggregate"``/``"prefix"`` pins it (tests, A/B) -- the same
+    explicit-override contract as ``flagship_nation_summary
+    (use_window=...)``.  Both forms emit the identical exact-Jaccard
+    relation (same oracle), so the gate is purely physical."""
+    if prefer is None:
+        if threshold >= NGRAM_PREFIX_MIN_THRESHOLD:
+            ratio = ngram_gram_reuse_probe(docs, id_col, text_col, n,
+                                           sample_docs)
+            prefer = ("prefix" if ratio >= NGRAM_PREFIX_MIN_REUSE_RATIO
+                      else "aggregate")
+        else:
+            # measured: at moderate thresholds the aggregate form wins
+            # at EVERY probed reuse ratio -- skip the probe job
+            prefer = "aggregate"
+    if prefer == "prefix":
+        return ngram_jaccard_pairs_prefix(docs, id_col, text_col, n,
+                                          threshold)
+    if prefer == "aggregate":
+        return ngram_jaccard_pairs(docs, id_col, text_col, n, threshold)
+    raise ValueError(f"prefer must be 'prefix'/'aggregate'/None, "
+                     f"got {prefer!r}")
 
 
 def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",

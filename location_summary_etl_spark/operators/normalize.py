@@ -6,9 +6,9 @@ as literals (/root/reference/src/main/scala/App.scala:175-201).  That
 shape recomputes the upstream lineage twice (it is never cached) and
 NPEs on empty input.
 
-Two formulations:
-
-Three formulations:
+Three formulations (plus :func:`minmax_score_auto`, which picks
+between the first two from driver-side stats -- the flagship gate
+idiom):
 
 * :func:`minmax_score` -- **in-plan broadcast**: the 1-row grand-total
   aggregate is broadcast-cross-joined into the expression.  No driver
@@ -68,6 +68,53 @@ def minmax_score_window(df: DataFrame, col: str, out_col: str) -> DataFrame:
             "minmax_score_window input",
         ),
     )
+
+
+# Auto-gate constants (r8, same idiom as plans/flagship.py): the
+# window form funnels every input row into ONE task, so it is gated on
+# the lineage's SOURCE bytes staying under a quarter of the broadcast
+# cap (32 MB session cap -> 8 MB, ~100-200k parquet rows -- the same
+# order as guarded_unpartitioned's 100k-row in-plan tripwire that
+# backs this estimate at runtime).  Measured (tools/ab_minmax_auto.py,
+# quiet windows, min-of-3): the window form WINS at every legal size
+# -- 0.14 vs 0.20 s at 7 KB, 0.17 vs 0.19 s at 260 KB source, both
+# forms floor-bound -- so unlike the flagship's crossover this gate
+# is purely a SAFETY flip: single-lineage while provably small,
+# distributed double-scan once the one-task pass could be the thing
+# that falls over.  Derived lineages (aggregates, joins) report their
+# SOURCE bytes, which over-states the window input -- conservative in
+# the safe direction: the broadcast form is always correct, merely
+# double-evaluating; callers that KNOW the input is aggregate-sized
+# pin use_window=True exactly like the flagship does.
+_WINDOW_SOURCE_FRACTION = 4
+
+
+def minmax_score_auto(df: DataFrame, col: str, out_col: str,
+                      use_window: bool | None = None) -> DataFrame:
+    """Stats-gated form selection between :func:`minmax_score_window`
+    (single-lineage, single-partition window -- right for small /
+    aggregate-sized inputs) and :func:`minmax_score` (broadcast
+    bounds, double-evaluates the lineage but fully distributed --
+    right for large scans).  ``use_window=None`` decides from
+    driver-side stats only (no job): source bytes known and under
+    ``broadcast_cap/_WINDOW_SOURCE_FRACTION`` -> window form; unknown
+    or large -> broadcast form (never a forced single-partition pass
+    on an unbounded input).  An explicit bool pins the form, same
+    contract as ``flagship_nation_summary(use_window=...)``."""
+    if use_window is None:
+        from location_summary_etl_spark.session import (
+            broadcast_cap_bytes,
+            source_bytes,
+        )
+
+        b = source_bytes(df)
+        use_window = (
+            b is not None
+            and b <= broadcast_cap_bytes(df.sparkSession)
+            // _WINDOW_SOURCE_FRACTION)
+    if use_window:
+        return minmax_score_window(df, col, out_col)
+    return minmax_score(df, col, out_col)
 
 
 def minmax_score_collect(df: DataFrame, col: str, out_col: str) -> DataFrame:

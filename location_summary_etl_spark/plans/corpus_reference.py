@@ -401,7 +401,20 @@ def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum/count at the edge (averaging averages would be wrong).
     Measured sf10: 0.33 -> 0.29 s (modest here -- the scan+join
     dominates at this tier); at 100 TB the win is 3x the fact volume
-    through the widest aggregate."""
+    through the widest aggregate.
+
+    MEASURED FLOOR (r8, tools/decompose_r8.py, probe-bracketed quiet
+    window [0.95, 0.95], min-of-4 interleaved, cumulative stages at
+    sf10): customer (nationkey, acctbal) bare scan 0.052 s; + both
+    broadcast dim joins 0.127 s; + the (r_name, n_name) hash
+    aggregate 0.219 s; full query 0.237 s.  The rollup machinery
+    (Expand over the 130-row pre-aggregate + merge) adds 0.018 s --
+    8% -- so the 12.2x-vs-DuckDB deep ratio is scan + broadcast-probe
+    + hash-agg fixed cost over 1.5M rows, flat across the 100x tier
+    step (0.43 -> 0.36 s raw in BENCH_CROSSOVER) because that cost is
+    bounded by input bytes, not grouping sets.  Nothing above the
+    bare aggregate is removable; the aggregate itself is the query.
+    """
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")

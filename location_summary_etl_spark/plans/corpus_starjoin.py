@@ -83,7 +83,45 @@ def order_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment x ~half date window) the shuffled-bytes reduction
     dominates at every measured tier, and the extra work is map-side
     partial aggregation that never hits the network.  A TakeOrdered
-    heap keeps 10 -- no global sort."""
+    heap keeps 10 -- no global sort.
+
+    MEASURED FLOOR for the post-rewrite sf10 residue (r8,
+    tools/decompose_r8.py, min across two probe-bracketed runs,
+    cumulative stages): filtered lineitem scan 0.31 s; + the orderkey
+    aggregate (partial agg + EXCHANGE + final) 1.64 s; customer x
+    orders build side alone 0.31 s; full query 2.82 s.  The orderkey
+    exchange dominates -- ~4 lineitems/order spread over 32 source
+    partitions means partial aggregation barely combines, so the
+    exchange carries nearly the raw filtered row count.  Three
+    alternatives measured against it, all in-code:
+
+    * BUCKETED LAYOUT (tools/ab_q3_bucketed.py): lineitem rewritten
+      with write_bucketed(l_orderkey, 32); the plan drops the orderkey
+      exchange entirely (asserted: 2 exchanges vs 3, results
+      byte-identical) yet times NEUTRAL at local[32] sf10 (2.44 vs
+      2.27 s min-of-4, quiet window) -- a loopback shuffle costs about
+      what the fixed-32-bucket scan loses in AQE-sized parallelism.
+      This is still the documented 100 TB answer: on a real cluster
+      the exchange the bucket spec deletes is a NETWORK pass over the
+      fact table, not a memcpy.
+    * SEMI-FILTER BELOW THE AGGREGATE (tools/ab_q3_semifilter.py):
+      broadcast-semi-join lineitem against the open-order keys before
+      aggregating (Spark's runtime bloom filter does not inject here
+      -- the aggregate blocks InjectRuntimeFilter).  sf1 0.92 vs
+      0.79 s (LOSES: fixed build+probe overhead), sf10 2.15 vs 2.65 s
+      (wins -19%) -- but the win requires force-broadcasting ~1.5M
+      keys (~50 MB as a hashed relation), past the 32 MB session cap
+      at exactly the tier it helps, and the key set scales with the
+      corpus.  REJECTED as scale-unsafe, the same call the r5
+      region_local_supplier_volume hint got; the scale-safe variant
+      (a broadcast Bloom filter) is what InjectRuntimeFilter will do
+      when the planner learns to push it through aggregates.
+    * AGGREGATE ABOVE THE JOIN (tools/ab_q3_eager_agg.py, r7): loses
+      16-17% at sf1/sf10 -- see above.
+
+    Residue verdict: one fact exchange whose per-task cost shrinks
+    with executor count; DuckDB's 0.40 s is the same dataflow without
+    shuffle materialization."""
     from location_summary_etl_spark.session import broadcast_if_small
 
     customer = load_table(spark, sf_dir, "customer")

@@ -56,6 +56,31 @@ window form when it exceeds a quarter of the session broadcast cap
 r7 re-measurement moved the crossover EARLIER than r5's: the window
 form already wins at sf1 (0.46 vs 0.63 s) and ties at sf0.1, so the
 gate flips between those tiers; at bench scale it keeps the join form.
+
+MEASURED FLOOR for the window form's sf10 residue (r8,
+tools/decompose_r8.py, probe-bracketed quiet window [0.92..1.29 s],
+min-of-4 interleaved noop-sink runs, cumulative stages):
+
+    orders (custkey, date, totalprice) bare scan   0.104 s
+    + hash exchange on o_custkey                   0.861 s
+    + sortWithinPartitions                         0.924 s
+    + window max + filter (the argmax)             1.061 s
+    full query (joins, aggs, score, dims)          1.834 s
+
+The single fact EXCHANGE is 0.76 s -- alone 2.3x DuckDB's entire
+query (0.333 s): the residue is shuffle materialization (ser/de +
+spill files for 15M x 24 B rows) plus the downstream customer-side
+exchange pair, not a removable plan stage.  The sort the window adds
+costs 0.06 s (ints, radix-friendly) -- so the "sort-free" rewrite the
+r7 verdict suggested was measured and LOSES: a reused-exchange
+hash-agg argmax (maxes and probe sharing ONE shuffled child via
+ReusedExchange, AQE SMJ->SHJ, zero sorts) takes 1.931 s for the
+argmax alone and 2.533 s end-to-end -- building a 1.5M-entry hash
+relation per partition costs 14x the sort it removes.  Both exchanges
+shrink per-task with executor count while DuckDB's in-process hash
+agg is single-node by construction; this is the same
+distributed-shuffle-tax floor as ``top_orders_per_nation``
+(plans/corpus_reference.py), now decomposed to the same standard.
 """
 
 from __future__ import annotations

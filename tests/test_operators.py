@@ -1966,3 +1966,100 @@ def test_pagerank_matches_python_replay(spark):
     assert set(got) == set(nodes)
     for n in nodes:
         assert abs(got[n] - ranks[n]) < 1e-12, (n, got[n], ranks[n])
+
+
+# ------------------------------------------------ r8 dual-form auto-gates
+
+
+def test_minmax_score_auto_flips_on_source_bytes(spark, sf_dir):
+    """minmax_score_auto picks the window form only while the lineage's
+    source bytes fit cap/_WINDOW_SOURCE_FRACTION; unknown stats (no
+    file lineage) take the always-correct broadcast form; explicit
+    pins override in both directions -- the flagship gate contract."""
+    from location_summary_etl_spark.operators.normalize import (
+        minmax_score_auto,
+    )
+    from location_summary_etl_spark.sources.registry import load_table
+
+    def form(df):
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        return "window" if "windowspecdefinition(" in opt else "broadcast"
+
+    customer = load_table(spark, sf_dir, "customer")
+    cap_conf = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(cap_conf)
+    try:
+        # test-scale file well under cap/4 -> single-lineage window
+        spark.conf.set(cap_conf, "100MB")
+        assert form(minmax_score_auto(customer, "c_acctbal", "s")) == "window"
+        # same file over a 1KB cap -> the simulated-large flip
+        spark.conf.set(cap_conf, "1KB")
+        assert form(
+            minmax_score_auto(customer, "c_acctbal", "s")) == "broadcast"
+        # unknown stats (literal frame, no input files) -> conservative
+        spark.conf.set(cap_conf, "100MB")
+        lit = spark.createDataFrame([(1.0,), (2.0,)], "c_acctbal double")
+        assert form(minmax_score_auto(lit, "c_acctbal", "s")) == "broadcast"
+        # explicit pins beat the gate both ways
+        spark.conf.set(cap_conf, "1KB")
+        assert form(minmax_score_auto(
+            customer, "c_acctbal", "s", use_window=True)) == "window"
+        spark.conf.set(cap_conf, "100MB")
+        assert form(minmax_score_auto(
+            customer, "c_acctbal", "s", use_window=False)) == "broadcast"
+        # the two forms remain value-identical on the same input
+        a = sorted(str(r) for r in minmax_score_auto(
+            customer, "c_acctbal", "s", use_window=True).collect())
+        b = sorted(str(r) for r in minmax_score_auto(
+            customer, "c_acctbal", "s", use_window=False).collect())
+        assert a == b
+    finally:
+        spark.conf.set(cap_conf, old)
+
+
+def test_ngram_auto_selects_by_reuse_probe_and_threshold(spark):
+    """ngram_jaccard_pairs_auto: prefix is picked ONLY under both
+    measured win conditions (reuse probe >= NGRAM_PREFIX_MIN_REUSE_
+    RATIO and threshold >= NGRAM_PREFIX_MIN_THRESHOLD); every other
+    cell of the (corpus, threshold) grid takes the aggregate form --
+    the r8 measurement grid (operators/dedup.py constants).  Asserted
+    on plan shape; pins override; both forms emit the identical
+    relation."""
+    from location_summary_etl_spark.operators.dedup import (
+        NGRAM_PREFIX_MIN_REUSE_RATIO,
+        ngram_gram_reuse_probe,
+        ngram_jaccard_pairs_auto,
+    )
+
+    dense = spark.createDataFrame(
+        [(i, "alpha beta gamma delta alpha beta gamma") for i in range(40)],
+        "doc_id long, text string")
+    sparse = spark.createDataFrame(
+        [(i, " ".join(f"u{i}w{j}" for j in range(8))) for i in range(40)],
+        "doc_id long, text string")
+
+    r_dense = ngram_gram_reuse_probe(dense)
+    r_sparse = ngram_gram_reuse_probe(sparse)
+    assert r_dense < NGRAM_PREFIX_MIN_REUSE_RATIO < r_sparse, (
+        r_dense, r_sparse)
+
+    def form(df):
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        return "prefix" if "array_intersect" in opt else "aggregate"
+
+    # the one measured-win cell: sparse grams AND high threshold
+    assert form(ngram_jaccard_pairs_auto(sparse, threshold=0.8)) == "prefix"
+    # every other cell: aggregate
+    assert form(ngram_jaccard_pairs_auto(sparse)) == "aggregate"  # t=0.5
+    assert form(ngram_jaccard_pairs_auto(dense, threshold=0.8)) == "aggregate"
+    assert form(ngram_jaccard_pairs_auto(dense)) == "aggregate"
+    # explicit pins beat the gate in both directions
+    assert form(ngram_jaccard_pairs_auto(dense, prefer="prefix")) == "prefix"
+    assert form(ngram_jaccard_pairs_auto(
+        sparse, threshold=0.8, prefer="aggregate")) == "aggregate"
+
+    a = sorted(str(r) for r in ngram_jaccard_pairs_auto(
+        sparse, prefer="aggregate").collect())
+    b = sorted(str(r) for r in ngram_jaccard_pairs_auto(
+        sparse, prefer="prefix").collect())
+    assert a == b

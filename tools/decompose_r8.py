@@ -126,6 +126,7 @@ def _flagship_with_argmax(spark, sf_dir, latest):
               nation["n_regionkey"] == region["r_regionkey"], "inner")
         .withColumn("avg_acctbal", round_portable("avg_acctbal", 2))
         .withColumn("avg_order_total", round_portable("avg_order_total", 2))
+        .withColumn("price_score", round_portable("price_score", 2))
         .select("n_name", "r_name", "avg_acctbal", "avg_order_total",
                 "order_count", "price_score", "snapshot_date")
     )
