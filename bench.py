@@ -37,6 +37,7 @@ EXTRAS = [
     "multimodal_audio_decode",
     "merge_upsert_orders",
     "ann_topk_ivf_persisted",
+    "ann_topk_ivf_delta",
     "versioned_time_travel",
     "skew_salted_fact_join",
     "text_approx_topk_sketch",
