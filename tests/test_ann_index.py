@@ -316,3 +316,65 @@ def test_delta_refresh_thresholds_and_pins(spark, tmp_path):
     build_ivf_index(base.read(spark), root2)  # no base_version
     with pytest.raises(ValueError, match="base_version"):
         refresh_ivf_index(spark, base, root2)
+
+
+def test_delta_refresh_crash_retry_is_idempotent(spark, tmp_path):
+    """Crash-window contract: a refresh that died AFTER the cells
+    merge but BEFORE the centroid commit leaves the index pinned at
+    the old generation with an orphan cells version on top.  The
+    retried refresh recomputes the same delta and re-merges it onto
+    the LATEST cells -- merge's idempotent re-apply makes that a
+    no-op rewrite, never a double-apply -- and the final index matches
+    a clean single refresh exactly."""
+    from location_summary_etl_spark.operators.ann_index import (
+        refresh_ivf_index,
+    )
+    from location_summary_etl_spark.operators.similarity import ivf_cells
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    rows = [(i, [float(i % 7), float(i % 5), 1.0], i % 4)
+            for i in range(200)]
+    delta_rows = [(1000 + i, [9.0, float(i), 1.0], i % 4)
+                  for i in range(10)]
+    schema = "vec_id bigint, embedding array<float>, label int"
+
+    def build_base(path):
+        base = VersionedTable(str(tmp_path / path))
+        base.commit(spark.createDataFrame(rows, schema), mode="overwrite")
+        return base
+
+    # clean reference lineage: build -> append -> one refresh
+    base_c = build_base("base_clean")
+    root_c = str(tmp_path / "idx_clean")
+    build_ivf_index(base_c.read(spark), root_c,
+                    base_version=base_c.latest_version())
+    base_c.commit(spark.createDataFrame(delta_rows, schema), mode="append")
+    v_clean = refresh_ivf_index(spark, base_c, root_c)
+
+    # crashed lineage: the first refresh "dies" after the cells merge
+    # (simulated by applying the merge by hand) -- centroids never move
+    base_x = build_base("base_crash")
+    root_x = str(tmp_path / "idx_crash")
+    v1 = build_ivf_index(base_x.read(spark), root_x,
+                         base_version=base_x.latest_version())
+    base_x.commit(spark.createDataFrame(delta_rows, schema), mode="append")
+    cells_tbl = VersionedTable(str(tmp_path / "idx_crash" / "cells"))
+    orphan = cells_tbl.merge(
+        spark,
+        ivf_cells(spark.createDataFrame(delta_rows, schema))
+        .withColumn("_del", F.lit(False)),
+        keys=["cl", "vec_id"], delete_col="_del")
+    assert index_meta(root_x)["version"] == v1  # still pinned pre-crash
+
+    v2 = refresh_ivf_index(spark, base_x, root_x)  # the retry
+    assert index_meta(root_x, v2)["cells_version"] > orphan
+
+    qids = list(range(8)) + [1002, 1003]
+    got = ivf_query_index(spark, root_x, qids, k=5, version=v2,
+                          verify_against=base_x.read(spark))
+    want = ivf_query_index(spark, root_c, qids, k=5, version=v_clean)
+    assert _rows(got) == _rows(want)
+    # no duplicate members survived the double apply
+    cells = cells_tbl.read(spark, index_meta(root_x, v2)["cells_version"])
+    n = cells.count()
+    assert n == cells.select("vec_id").distinct().count() == 210
