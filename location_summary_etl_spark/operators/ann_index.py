@@ -145,6 +145,45 @@ def ivf_query_index(spark: SparkSession, root: str, query_ids: list[int],
     return ivf_search(cells, cent, query_ids, k=k, n_probe=n_probe)
 
 
+def vacuum_index(root: str, retain_generations: int = 2,
+                 grace_seconds: float = 3600.0) -> dict:
+    """Vacuum BOTH index tables consistently.
+
+    The two tables version independently, but each centroid generation
+    PINS a cells version in its manifest -- so a bare
+    ``cells.vacuum(retain_last=n)`` can delete files a RETAINED
+    generation still references (e.g. after a ``compact()`` or a
+    delta refresh bumped the cells table past an older pin), silently
+    corrupting index time travel.  This helper derives the cells
+    retention FROM the retained generations' pins: every cells version
+    from the oldest retained pin forward survives.  Returns
+    ``{"centroids": [...], "cells": [...]}`` deleted paths.  Same
+    ``grace_seconds`` race-safety contract as
+    :meth:`VersionedTable.vacuum`."""
+    cent_tbl = VersionedTable(os.path.join(root, _CENTROIDS))
+    versions = cent_tbl.versions()
+    if not versions:
+        raise FileNotFoundError(f"no ANN index committed under {root}")
+    keep = versions[-retain_generations:]
+    pins = [json.loads(cent_tbl._manifest(v)["operation"])["cells_version"]
+            for v in keep]
+    cells_tbl = VersionedTable(os.path.join(root, _CELLS))
+    cvs = cells_tbl.versions()
+    oldest_pin = min(pins)
+    if oldest_pin not in cvs:
+        raise ValueError(
+            f"retained index generation pins cells v{oldest_pin}, which "
+            f"is already gone from {cells_tbl.path} (was the cells table "
+            "vacuumed directly?); rebuild before vacuuming")
+    return {
+        "centroids": cent_tbl.vacuum(retain_last=retain_generations,
+                                     grace_seconds=grace_seconds),
+        "cells": cells_tbl.vacuum(
+            retain_last=len(cvs) - cvs.index(oldest_pin),
+            grace_seconds=grace_seconds),
+    }
+
+
 def refresh_ivf_index(spark: SparkSession, base, root: str, *,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       label_col: str = "label",

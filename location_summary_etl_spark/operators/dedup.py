@@ -837,8 +837,9 @@ def ngram_jaccard_pairs_auto(docs: DataFrame, id_col: str = "doc_id",
                              text_col: str = "text", n: int = 3,
                              threshold: float = 0.5,
                              prefer: str | None = None,
-                             sample_docs: int = NGRAM_PROBE_DOCS
-                             ) -> DataFrame:
+                             sample_docs: int = NGRAM_PROBE_DOCS,
+                             max_df: int | None = DEFAULT_MAX_DF,
+                             cap_mode: str = "filter") -> DataFrame:
     """Selectivity-gated form selection between
     :func:`ngram_jaccard_pairs` (capped inverted-index aggregate --
     the skew-safe default and the measured winner over most of the
@@ -862,10 +863,13 @@ def ngram_jaccard_pairs_auto(docs: DataFrame, id_col: str = "doc_id",
             # at EVERY probed reuse ratio -- skip the probe job
             prefer = "aggregate"
     if prefer == "prefix":
+        # NOTE: the prefix form carries no df cap (see its SKEW
+        # POSTURE); max_df/cap_mode apply to the aggregate form only.
         return ngram_jaccard_pairs_prefix(docs, id_col, text_col, n,
                                           threshold)
     if prefer == "aggregate":
-        return ngram_jaccard_pairs(docs, id_col, text_col, n, threshold)
+        return ngram_jaccard_pairs(docs, id_col, text_col, n, threshold,
+                                   max_df=max_df, cap_mode=cap_mode)
     raise ValueError(f"prefer must be 'prefix'/'aggregate'/None, "
                      f"got {prefer!r}")
 

@@ -378,3 +378,101 @@ def test_delta_refresh_crash_retry_is_idempotent(spark, tmp_path):
     cells = cells_tbl.read(spark, index_meta(root_x, v2)["cells_version"])
     n = cells.count()
     assert n == cells.select("vec_id").distinct().count() == 210
+
+
+def test_vacuum_index_keeps_every_retained_generation_answerable(
+        spark, tmp_path):
+    """vacuum_index derives the cells retention from the retained
+    generations' PINS.  The constructed history makes the naive
+    per-table policy provably wrong: a compact() bumps the cells table
+    between generations, so a bare cells.vacuum(retain_last=2) would
+    keep only the 2 newest cells versions and delete the files the
+    older RETAINED generation still pins.  After vacuum_index the
+    dropped generation's manifest is gone, and both retained
+    generations answer byte-identically to their pre-vacuum selves."""
+    from location_summary_etl_spark.operators.ann_index import (
+        refresh_ivf_index,
+        vacuum_index,
+    )
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    schema = "vec_id bigint, embedding array<float>, label int"
+    base = VersionedTable(str(tmp_path / "base"))
+    base.commit(spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0], i % 4)
+         for i in range(200)], schema), mode="overwrite")
+    root = str(tmp_path / "idx")
+    g1 = build_ivf_index(base.read(spark), root,
+                         base_version=base.latest_version())
+    base.commit(spark.createDataFrame(
+        [(1000 + i, [9.0, float(i), 1.0], i % 4) for i in range(10)],
+        schema), mode="append")
+    g2 = refresh_ivf_index(spark, base, root)
+    # cells-table version with NO generation pinning it
+    cells_tbl = VersionedTable(str(tmp_path / "idx" / "cells"))
+    cells_tbl.compact(spark)
+    base.commit(spark.createDataFrame(
+        [(2000 + i, [1.0, 8.0, float(i)], i % 4) for i in range(10)],
+        schema), mode="append")
+    g3 = refresh_ivf_index(spark, base, root)
+
+    pin2 = index_meta(root, g2)["cells_version"]
+    pin3 = index_meta(root, g3)["cells_version"]
+    cvs = cells_tbl.versions()
+    # the wrongness precondition: a bare retain_last=2 on cells would
+    # drop g2's pin (two newer cells versions exist above it)
+    assert pin2 < cvs[-2] <= pin3, (pin2, cvs, pin3)
+
+    qids = [1, 2, 1003, 2004]
+    before2 = _rows(ivf_query_index(spark, root, qids, k=3, version=g2))
+    before3 = _rows(ivf_query_index(spark, root, qids, k=3, version=g3))
+
+    removed = vacuum_index(root, retain_generations=2, grace_seconds=0)
+    assert removed["cells"] or removed["centroids"]  # collected something
+
+    assert _rows(ivf_query_index(spark, root, qids, k=3,
+                                 version=g2)) == before2
+    assert _rows(ivf_query_index(spark, root, qids, k=3,
+                                 version=g3)) == before3
+    with pytest.raises(FileNotFoundError):
+        index_meta(root, g1)  # dropped generation's manifest is gone
+
+    # a retained pin that was vacuumed away directly is a loud error
+    cells_tbl.vacuum(retain_last=1, grace_seconds=0)
+    with pytest.raises(ValueError, match="already gone"):
+        vacuum_index(root, retain_generations=2, grace_seconds=0)
+
+
+def test_delta_refresh_metadata_only_commit_repins(spark, tmp_path):
+    """A base commit that changes no rows (compaction rewrites every
+    file but the CDC bag-cancel nets to zero) takes the repin path: a
+    new generation whose manifest pins the SAME cells version under
+    the new base version -- no inverted-file write at all -- and the
+    staleness gate accepts the compacted base."""
+    from location_summary_etl_spark.operators.ann_index import (
+        refresh_ivf_index,
+    )
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    base = VersionedTable(str(tmp_path / "base"))
+    base.commit(spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0], i % 4)
+         for i in range(120)],
+        "vec_id bigint, embedding array<float>, label int"),
+        mode="overwrite")
+    root = str(tmp_path / "idx")
+    v1 = build_ivf_index(base.read(spark), root,
+                         base_version=base.latest_version())
+    pin1 = index_meta(root, v1)["cells_version"]
+    before = _rows(ivf_query_index(spark, root, [1, 2, 3], k=3,
+                                   version=v1))
+
+    base.compact(spark)
+    v2 = refresh_ivf_index(spark, base, root)
+    meta = index_meta(root, v2)
+    assert meta["op"] == "ivf_repin", meta
+    assert meta["cells_version"] == pin1          # inverted file untouched
+    assert meta["base_version"] == base.latest_version()
+    got = _rows(ivf_query_index(spark, root, [1, 2, 3], k=3, version=v2,
+                                verify_against=base.read(spark)))
+    assert got == before
