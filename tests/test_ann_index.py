@@ -476,3 +476,44 @@ def test_delta_refresh_metadata_only_commit_repins(spark, tmp_path):
     got = _rows(ivf_query_index(spark, root, [1, 2, 3], k=3, version=v2,
                                 verify_against=base.read(spark)))
     assert got == before
+
+
+def test_delta_refresh_survives_additive_base_schema_evolution(
+        spark, tmp_path):
+    """The base table gains a nullable column between build and
+    refresh (additive evolution + an appended delta in the new shape).
+    changes() reads both sides under the evolved pinned schema, the
+    refresh indexes the delta, and results match a from-scratch build
+    of the evolved table -- the index only ever projects
+    (id, label, vector), so extra payload columns must ride along
+    harmlessly."""
+    from location_summary_etl_spark.operators.ann_index import (
+        refresh_ivf_index,
+    )
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    base = VersionedTable(str(tmp_path / "base"))
+    base.commit(spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0], i % 4)
+         for i in range(120)],
+        "vec_id bigint, embedding array<float>, label int"),
+        mode="overwrite")
+    root = str(tmp_path / "idx")
+    build_ivf_index(base.read(spark), root,
+                    base_version=base.latest_version())
+
+    base.commit(spark.createDataFrame(
+        [(1000 + i, [9.0, float(i), 1.0], i % 4, f"src{i}")
+         for i in range(12)],
+        "vec_id bigint, embedding array<float>, label int, origin string"),
+        mode="append")
+    v2 = refresh_ivf_index(spark, base, root)
+    assert index_meta(root, v2)["op"] == "ivf_delta"
+
+    full_root = str(tmp_path / "full")
+    vf = build_ivf_index(base.read(spark), full_root)
+    qids = [1, 2, 3, 1005, 1006]
+    got = ivf_query_index(spark, root, qids, k=5, version=v2,
+                          verify_against=base.read(spark))
+    want = ivf_query_index(spark, full_root, qids, k=5, version=vf)
+    assert _rows(got) == _rows(want)
