@@ -16,6 +16,17 @@ Two uses:
 
 Threshold 1.4 s = quiet value + the standing ±25-35% wobble band;
 anything above it is the burst regime, not wobble.
+
+LIMIT (measured r8): the probe is arithmetic+stream-bound, and two
+probe-quiet windows still disagreed 1.3-1.9x on SCAN-heavy queries
+(events_asof_purchase_click 0.356 vs 0.477 s min-of-many,
+text_fingerprints 0.545 vs 0.747) while CPU-bound queries agreed --
+some co-tenant contention classes (IO / page-cache / bandwidth
+sub-regimes) pass the gate.  So: the gate makes single artifacts
+honestly labelled, but cross-window deltas are still only suggestive;
+the authoritative comparison remains the interleaved same-session A/B
+(tools/ab_*.py pattern), and bench.py's min-across-passes defends
+against within-run flips.
 """
 
 from __future__ import annotations
