@@ -145,6 +145,69 @@ def ivf_query_index(spark: SparkSession, root: str, query_ids: list[int],
     return ivf_search(cells, cent, query_ids, k=k, n_probe=n_probe)
 
 
+def ivf_query_index_vectors(spark: SparkSession, root: str,
+                            queries: list[tuple[int, list[float]]],
+                            k: int = 5, n_probe: int = IVF_N_PROBE,
+                            version: int | None = None) -> DataFrame:
+    """Top-k for LITERAL query vectors -- the production serving shape
+    (the query arrives as an embedding from outside the corpus) -- with
+    the scan PRUNED to the probed cells' files.
+
+    This is where the build-once layout finally pays at query time:
+    the id-keyed :func:`ivf_query_index` must scan the whole inverted
+    file (the query row could be in any cell), but a literal vector's
+    probe cells are computable from the CENTROID table alone (k rows,
+    one tiny job), and the candidate scan then opens only files whose
+    manifest ``cl`` range can contain a probed cell
+    (``read(where_any=...)`` over the footer stats the build records;
+    the build's ``repartitionByRange("cl")`` makes per-file ranges
+    tight).  Query cost is therefore O(probed cells' files), not
+    O(corpus) -- asserted in tests by corrupting a non-probed cell's
+    file on disk and querying anyway.  Scoring reuses
+    :func:`ivf_search_vectors` verbatim, so ranking and rounding are
+    identical to the id-keyed path -- including the self-exclusion on
+    matching ids: pass the corpus row's vec_id to reproduce
+    ``ivf_query_index`` exactly, or an id outside the corpus (e.g.
+    negative) to rank every member."""
+    from location_summary_etl_spark.functions.vectors import l2_norm
+    from location_summary_etl_spark.operators.similarity import (
+        ivf_search_vectors,
+    )
+
+    meta = index_meta(root, version)
+    cent = VersionedTable(os.path.join(root, _CENTROIDS)).read(
+        spark, meta["version"])
+    qdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in queries],
+        "query_id long, q_v array<double>",
+    ).withColumn("q_nrm", l2_norm(F.col("q_v")))
+    # Probe selection against the k-row centroid table: same ranking
+    # expression as ivf_search_vectors, collected (|Q| x n_probe rows)
+    # so the file pruning below can see the cell set driver-side.
+    from pyspark.sql import Window
+
+    from location_summary_etl_spark.functions.scalars import round_portable
+    from location_summary_etl_spark.functions.vectors import cosine
+
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("cl"))
+    probed = sorted({
+        r["cl"] for r in qdf.crossJoin(F.broadcast(cent))
+        .select("query_id", "cl", round_portable(
+            cosine(F.col("q_v"), F.col("cv"),
+                   F.col("q_nrm"), F.col("c_nrm")), 6).alias("ccos"))
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= n_probe)
+        .select("cl").distinct().collect()
+    })
+    cells = VersionedTable(os.path.join(root, _CELLS)).read(
+        spark, meta["cells_version"], where_any=("cl", probed))
+    # skipping is never the predicate: the row filter still applies
+    # (files are multi-cell at small scale)
+    return ivf_search_vectors(cells.filter(F.col("cl").isin(probed)),
+                              cent, qdf, k=k, n_probe=n_probe)
+
+
 def vacuum_index(root: str, retain_generations: int = 2,
                  grace_seconds: float = 3600.0) -> dict:
     """Vacuum BOTH index tables consistently.

@@ -298,6 +298,18 @@ def ivf_search(cells: DataFrame, cent: DataFrame, query_ids: list[int],
         F.col("vec_id").alias("query_id"),
         F.col("c_v").alias("q_v"), F.col("c_nrm").alias("q_nrm"),
     )
+    return ivf_search_vectors(cells, cent, q, k=k, n_probe=n_probe)
+
+
+def ivf_search_vectors(cells: DataFrame, cent: DataFrame, q: DataFrame,
+                       k: int = 5,
+                       n_probe: int = IVF_N_PROBE) -> DataFrame:
+    """:func:`ivf_search`'s scoring core over a LITERAL query relation
+    ``(query_id, q_v, q_nrm)`` -- the production serving shape, where
+    the query vector arrives from outside the corpus (an embedded
+    search string) instead of by id lookup.  Identical math and
+    rounding to the id-keyed path, so both formulations stay
+    oracle-comparable."""
     probe_scores = q.crossJoin(F.broadcast(cent)).select(
         "query_id", "cl", "q_v", "q_nrm",
         round_portable(

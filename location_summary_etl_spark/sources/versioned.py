@@ -92,7 +92,8 @@ class VersionedTable:
             return json.load(f)
 
     def read(self, spark: SparkSession, version: int | None = None,
-             where: tuple[str, object, object] | None = None) -> DataFrame:
+             where: tuple[str, object, object] | None = None,
+             where_any: tuple[str, list] | None = None) -> DataFrame:
         """DataFrame pinned to one manifest's exact file list.
 
         ``where=(col, lo, hi)``: data skipping -- files whose recorded
@@ -101,7 +102,14 @@ class VersionedTable:
         recorded stats are conservatively kept).  This prunes the
         FILE LIST only; apply the actual row filter on the returned
         DataFrame as usual -- skipping is an optimization, never the
-        predicate."""
+        predicate.
+
+        ``where_any=(col, values)``: the POINT-SET variant -- files
+        whose recorded [min, max] contains NONE of ``values`` are
+        skipped.  For a scattered set (e.g. a probe of IVF cells
+        {0, 7}) this prunes files the range form's single [lo, hi]
+        envelope would keep; same conservative and
+        optimization-never-predicate semantics."""
         if version is None:
             version = self.latest_version()
         if version is None:
@@ -122,6 +130,28 @@ class VersionedTable:
                 or (st[0] is None or st[1] is None)
                 or not (st[0] > hi or st[1] < lo)
             ]
+        if where_any is not None:
+            col, values = where_any
+            vals = [v for v in (_stat_jsonsafe(v) for v in values)
+                    if v is not None]
+            stats = m.get("stats", {})
+            if vals:
+                files = [
+                    f for f in files
+                    if (st := stats.get(f, {}).get(col)) is None
+                    or (st[0] is None or st[1] is None)
+                    or any(st[0] <= v <= st[1] for v in vals)
+                ]
+            elif values:
+                # only null-ish probe values: stats record non-null
+                # bounds, so nothing can be proven absent -- keep all
+                pass
+            else:
+                # empty probe set matches nothing provable; keep only
+                # stats-less files (conservative floor)
+                files = [f for f in files
+                         if (st := stats.get(f, {}).get(col)) is None
+                         or st[0] is None or st[1] is None]
         if not m["files"]:
             # A table can legitimately BE empty -- a MERGE that deleted
             # the last row, or an initial empty commit.  The manifest

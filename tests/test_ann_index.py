@@ -517,3 +517,90 @@ def test_delta_refresh_survives_additive_base_schema_evolution(
                           verify_against=base.read(spark))
     want = ivf_query_index(spark, full_root, qids, k=5, version=vf)
     assert _rows(got) == _rows(want)
+
+
+def test_vector_query_matches_id_query_and_prunes_files(spark, sf_dir,
+                                                        tmp_path):
+    """ivf_query_index_vectors: (a) a corpus row's own vector with its
+    vec_id reproduces the id-keyed path bit-identically; (b) on a
+    range-partitioned index the candidate scan OPENS only the probed
+    cells' files -- proven by corrupting every other cell file on disk
+    before the query (an opened corrupt file would fail the job)."""
+    from location_summary_etl_spark.operators.ann_index import (
+        ivf_query_index_vectors,
+    )
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = str(tmp_path / "idx")
+    v = build_ivf_index(emb, root)
+    r5 = emb.filter(F.col("vec_id") == 5).first()
+    got = ivf_query_index_vectors(
+        spark, root, [(5, list(map(float, r5["embedding"])))],
+        k=4, version=v)
+    want = ivf_query_index(spark, root, [5], k=4, version=v)
+    assert _rows(got) == _rows(want)
+
+    # constructed 4-cell index, range-partitioned into per-cell files
+    base = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0], i % 4)
+         for i in range(200)],
+        "vec_id bigint, embedding array<float>, label int")
+    root2 = str(tmp_path / "idx2")
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key)
+    spark.conf.set(coalesce_key, "false")
+    try:
+        v2 = build_ivf_index(base, root2)
+    finally:
+        spark.conf.set(coalesce_key, prev)
+
+    # query = the exact centroid of cell 2, n_probe=1 -> only cell 2
+    from location_summary_etl_spark.operators.similarity import (
+        ivf_centroids,
+    )
+    cv2 = [r for r in ivf_centroids(base).collect() if r["cl"] == 2][0]["cv"]
+
+    cells_tbl = VersionedTable(str(tmp_path / "idx2" / "cells"))
+    m = cells_tbl._manifest(cells_tbl.latest_version())
+    other = [f for f in m["files"]
+             if (st := m["stats"][f]["cl"])[0] is not None
+             and not (st[0] <= 2 <= st[1])]
+    assert other, "expected files that cannot contain cell 2"
+    for f in other:
+        with open(f, "wb") as fh:
+            fh.write(b"not parquet anymore")
+
+    res = ivf_query_index_vectors(spark, root2, [(-1, list(cv2))],
+                                  k=3, n_probe=1, version=v2).collect()
+    assert len(res) == 3
+    got_cells = {r["vec_id"] % 4 for r in res}
+    assert got_cells == {2}, res  # every hit from the probed cell
+
+
+def test_read_where_any_skips_disjoint_point_set_files(spark, tmp_path):
+    """VersionedTable.read(where_any=...): a scattered point set skips
+    the middle file a single [lo, hi] envelope would keep -- proven by
+    corrupting it; stats-less values/files stay conservative."""
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "t"))
+    for lo in (0, 100, 200):
+        t.commit(spark.createDataFrame(
+            [(lo + i, i) for i in range(10)], "k int, v int").coalesce(1),
+            mode="overwrite" if lo == 0 else "append",
+            stats_columns=["k"])
+    m = t._manifest(t.latest_version())
+    mid = [f for f in m["files"] if m["stats"][f]["k"][0] == 100]
+    assert len(mid) == 1
+    with open(mid[0], "wb") as fh:
+        fh.write(b"junk")
+
+    got = {r["k"] for r in t.read(spark, where_any=("k", [5, 205]))
+           .filter(F.col("k").isin(5, 205)).collect()}
+    assert got == {5, 205}
+    # the range form would have kept (and crashed on) the middle file
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        t.read(spark, where=("k", 5, 205)).filter(
+            F.col("k").isin(5, 205)).collect()
