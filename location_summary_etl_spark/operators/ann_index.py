@@ -168,7 +168,18 @@ def ivf_query_index_vectors(spark: SparkSession, root: str,
     identical to the id-keyed path -- including the self-exclusion on
     matching ids: pass the corpus row's vec_id to reproduce
     ``ivf_query_index`` exactly, or an id outside the corpus (e.g.
-    negative) to rank every member."""
+    negative) to rank every member.
+
+    Measured trade (tools/ab_ann_vector_path.py, sf1 = 500k vectors,
+    quiet window, min-of-5): this path reads FEWER inverted-file
+    files (5 vs 6 -- the tier only has 6) but times 0.57 vs 0.39 s,
+    because probe selection is one extra blocking driver job (~0.18 s
+    fixed) while pruning one file of six saves almost nothing.  The
+    crossover is file count: at warehouse scale the inverted file is
+    thousands of cell files and a query probes n_probe of them, so
+    the fixed job buys an O(corpus) -> O(probed) scan; at bench scale
+    prefer the id-keyed single-job path.  The corrupt-file test pins
+    the mechanism independent of tier."""
     from location_summary_etl_spark.functions.vectors import l2_norm
     from location_summary_etl_spark.operators.similarity import (
         ivf_search_vectors,
