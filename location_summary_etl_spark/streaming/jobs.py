@@ -458,3 +458,47 @@ def user_running_stats_tws(events: DataFrame,
             timeMode="None",
         )
     )
+
+
+def foreach_batch_indexed_ingest(stream_df: DataFrame, table, index_root,
+                                 checkpoint_dir: str, *,
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding",
+                                 label_col: str = "label",
+                                 rebuild_fraction: float = 0.2):
+    """Continuously-indexed corpus: every micro-batch is (1) committed
+    to the base :class:`VersionedTable` under
+    :func:`versioned_append_batch`'s exactly-once-effect contract,
+    then (2) folded into the persisted ANN index with
+    :func:`~location_summary_etl_spark.operators.ann_index.refresh_ivf_index`
+    -- CDC delta, file-granular inverted-file merge, touched-cell
+    centroid recompute.  The index must exist (built with
+    ``base_version=`` pinned) before the stream starts.
+
+    Crash-safety is COMPOSITION, not coupling: the batch commit and
+    the index refresh are separate manifest transactions.  A crash
+    between them leaves the index one generation behind -- exactly the
+    state the next batch's refresh repairs, because refresh diffs the
+    base against the INDEX'S OWN PIN, not against "this batch".  A
+    replayed batch (checkpoint recovery) skips its commit and its
+    refresh no-ops (base unchanged -> current generation returned
+    without a write).  Idempotent end-to-end, no 2-phase anything.
+
+    Returns the started StreamingQuery (caller drains/stops it)."""
+    from location_summary_etl_spark.operators.ann_index import (
+        refresh_ivf_index,
+    )
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        versioned_append_batch(table, batch, batch_id)
+        refresh_ivf_index(batch.sparkSession, table, index_root,
+                          id_col=id_col, vec_col=vec_col,
+                          label_col=label_col,
+                          rebuild_fraction=rebuild_fraction)
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(step)
+        .start()
+    )

@@ -515,3 +515,78 @@ def test_versioned_stream_ingest_batch_replay_idempotent(spark, tmp_path):
     empty = b0.filter("event_id < 0")
     versioned_append_batch(t, empty, 2)        # empty batch: no commit
     assert t.latest_version() == 1
+
+
+def test_indexed_ingest_keeps_index_current_per_batch(spark, tmp_path):
+    """Continuously-indexed corpus (foreach_batch_indexed_ingest):
+    3 real micro-batches append embeddings to the base VersionedTable
+    and each one advances the ANN index a generation (ivf_delta); the
+    final index answers identically to a from-scratch build over the
+    final base, and the generation history shows one refresh per
+    batch on top of the initial build."""
+    import json
+    import os
+
+    from location_summary_etl_spark.operators.ann_index import (
+        build_ivf_index,
+        index_meta,
+        ivf_query_index,
+    )
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+    from location_summary_etl_spark.streaming.jobs import (
+        foreach_batch_indexed_ingest,
+    )
+
+    schema = "vec_id bigint, embedding array<float>, label int"
+    base = VersionedTable(str(tmp_path / "base"))
+    base.commit(spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0], i % 4)
+         for i in range(100)], schema), mode="overwrite")
+    root = str(tmp_path / "idx")
+    g0 = build_ivf_index(base.read(spark), root,
+                         base_version=base.latest_version())
+
+    # 3 one-file slices -> 3 micro-batches of 10 vectors each
+    src = str(tmp_path / "src")
+    (spark.createDataFrame(
+        [(1000 + i, [9.0, float(i), 1.0], i % 4) for i in range(30)],
+        schema)
+        .withColumn("slice", (F.col("vec_id") % 3).cast("int"))
+        .repartition("slice")
+        .write.partitionBy("slice").parquet(src))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = foreach_batch_indexed_ingest(
+        stream, base, root, str(tmp_path / "ckpt"),
+        rebuild_fraction=1.0)  # force the delta path for every batch
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert base.latest_version() == 3          # 3 batch commits
+    meta = index_meta(root)
+    assert meta["version"] == g0 + 3           # one generation per batch
+    assert meta["op"] == "ivf_delta"
+    assert meta["base_version"] == 3
+
+    full_root = str(tmp_path / "full")
+    vf = build_ivf_index(base.read(spark), full_root)
+    qids = [1, 2, 1003, 1016, 1029]
+    got = sorted(map(str, ivf_query_index(
+        spark, root, qids, k=4, verify_against=base.read(spark))
+        .collect()))
+    want = sorted(map(str, ivf_query_index(
+        spark, full_root, qids, k=4, version=vf).collect()))
+    assert got == want
+
+    # generation history: build + 3 deltas, each pinning its base
+    cent = VersionedTable(os.path.join(root, "centroids"))
+    ops = [json.loads(h["operation"]) for h in cent.history()]
+    assert [o["op"] for o in ops] == [
+        "ivf_build", "ivf_delta", "ivf_delta", "ivf_delta"]
+    assert [o["base_version"] for o in ops] == [0, 1, 2, 3]
