@@ -78,7 +78,9 @@ def _fingerprint(emb: DataFrame, id_col: str) -> list[int]:
 def build_ivf_index(emb: DataFrame, root: str, *, id_col: str = "vec_id",
                     vec_col: str = "embedding",
                     label_col: str = "label",
-                    base_version: int | None = None) -> int:
+                    base_version: int | None = None,
+                    quantizer: str = "label", k_cells: int = 8,
+                    train_iters: int = 2) -> int:
     """Build and persist the index; returns the centroid-table version
     (THE index version a query pins).
 
@@ -94,20 +96,55 @@ def build_ivf_index(emb: DataFrame, root: str, *, id_col: str = "vec_id",
     :class:`VersionedTable` snapshot, pass its version so
     :func:`refresh_ivf_index` can later compute the CDC delta from
     this exact snapshot.  An index built from a bare DataFrame
-    (``base_version=None``) can only be refreshed by full rebuild."""
-    cells = ivf_cells(emb, id_col, vec_col, label_col).repartitionByRange("cl")
+    (``base_version=None``) can only be refreshed by full rebuild.
+
+    ``quantizer``: ``"label"`` (default) derives cells from the label
+    column -- deterministic and exactly oracle-able, the corpus-gate
+    configuration.  ``"kmeans"`` TRAINS the coarse quantizer
+    (``k_cells`` cells, ``train_iters`` Lloyd refits over the
+    codegen'd literal-argmin loop in operators/clustering.py) and
+    assigns cells by L2-argmin against the trained centroids -- the
+    production IVF shape for corpora without a natural blocking
+    column.  The trained quantizer is FROZEN into the generation:
+    delta refreshes assign new vectors with the PINNED centroids and
+    never refit (standard IVF maintenance -- refit is what a rebuild
+    past ``rebuild_fraction`` is for), so cells stay stable and the
+    pruning-only approximation contract holds (probing every cell
+    still recovers brute force exactly)."""
+    if quantizer == "label":
+        cells = ivf_cells(emb, id_col, vec_col, label_col)
+        cent = ivf_centroids(emb, label_col, vec_col)
+    elif quantizer == "kmeans":
+        from location_summary_etl_spark.functions.vectors import l2_norm
+        from location_summary_etl_spark.operators.clustering import (
+            kmeans_fit,
+        )
+        from location_summary_etl_spark.operators.similarity import (
+            ivf_cells_quantized,
+        )
+
+        cents = kmeans_fit(emb, id_col, vec_col, k=k_cells,
+                           iters=train_iters)
+        cells = ivf_cells_quantized(emb, cents, id_col, vec_col)
+        cent = emb.sparkSession.createDataFrame(
+            [(int(j), [float(x) for x in cv]) for j, cv in cents],
+            "cl int, cv array<double>",
+        ).withColumn("c_nrm", l2_norm(F.col("cv")))
+    else:
+        raise ValueError(
+            f"quantizer must be 'label' or 'kmeans', got {quantizer!r}")
     cells_v = VersionedTable(os.path.join(root, _CELLS)).commit(
-        cells, mode="overwrite", operation="ivf_cells",
-        stats_columns=["cl"])
+        cells.repartitionByRange("cl"), mode="overwrite",
+        operation="ivf_cells", stats_columns=["cl"])
     meta = {
         "op": "ivf_build",
         "cells_version": cells_v,
         "base_version": base_version,
+        "quantizer": quantizer,
         "fingerprint": _fingerprint(emb, id_col),
     }
     return VersionedTable(os.path.join(root, _CENTROIDS)).commit(
-        ivf_centroids(emb, label_col, vec_col),
-        mode="overwrite", operation=json.dumps(meta))
+        cent, mode="overwrite", operation=json.dumps(meta))
 
 
 def index_meta(root: str, version: int | None = None) -> dict:
@@ -332,23 +369,41 @@ def refresh_ivf_index(spark: SparkSession, base, root: str, *,
                 "op": "ivf_repin",
                 "cells_version": meta["cells_version"],
                 "base_version": new_v,
+                "quantizer": meta.get("quantizer", "label"),
                 "fingerprint": _fingerprint(base.read(spark, new_v), id_col),
             }))
+    quantizer = meta.get("quantizer", "label")
     if n_base > 0 and n_delta / n_base > rebuild_fraction:
         return build_ivf_index(
             base.read(spark, new_v), root, id_col=id_col, vec_col=vec_col,
-            label_col=label_col, base_version=new_v)
+            label_col=label_col, base_version=new_v, quantizer=quantizer)
 
-    post = ivf_cells(
+    old_cent = VersionedTable(os.path.join(root, _CENTROIDS)).read(
+        spark, meta["version"])
+    if quantizer == "kmeans":
+        # frozen quantizer: assign by the PINNED centroids (the same
+        # literal argmin the build used), both for the new cells and
+        # for locating the preimages' old cells
+        from location_summary_etl_spark.operators.similarity import (
+            ivf_cells_quantized,
+        )
+
+        pinned = sorted((int(r["cl"]), list(r["cv"]))
+                        for r in old_cent.collect())
+        _cells_of = lambda df: ivf_cells_quantized(  # noqa: E731
+            df, pinned, id_col, vec_col)
+    else:
+        _cells_of = lambda df: ivf_cells(            # noqa: E731
+            df, id_col, vec_col, label_col)
+    post = _cells_of(
         delta.filter(F.col("_change_type").isin("insert",
                                                 "update_postimage")),
-        id_col, vec_col, label_col,
     ).withColumn("_del", F.lit(False))
     pre = (
-        delta.filter(F.col("_change_type").isin("delete",
-                                                "update_preimage"))
-        .select(F.col(id_col).alias("vec_id"),
-                F.col(label_col).alias("cl"))
+        _cells_of(
+            delta.filter(F.col("_change_type").isin("delete",
+                                                    "update_preimage")))
+        .select("vec_id", "cl")
         # same-cell updates: the postimage upsert replaces the row in
         # place under the (cl, vec_id) key -- a delete for the same key
         # would collide with it, so net it out here
@@ -368,23 +423,32 @@ def refresh_ivf_index(spark: SparkSession, base, root: str, *,
     # of the centroid patch, same size class as the centroid table).
     touched = sorted(r["cl"] for r in updates.select("cl")
                      .distinct().collect())
-    old_cent = VersionedTable(os.path.join(root, _CENTROIDS)).read(
-        spark, meta["version"])
-    kept = old_cent.filter(~F.col("cl").isin(touched))
-    members = cells_tbl.read(
-        spark, new_cells_v,
-        where=("cl", touched[0], touched[-1]),  # file-skip to the range
-    ).filter(F.col("cl").isin(touched))
-    refit = ivf_centroids(
-        members.select(F.col("cl").alias(label_col),
-                       F.col("c_v").alias(vec_col)),
-        label_col, vec_col)
+    if quantizer == "kmeans":
+        # frozen quantizer: centroids never move on a delta -- the
+        # refreshed generation republishes them verbatim (refit is the
+        # rebuild path's job)
+        new_cent = old_cent
+    else:
+        # label quantizer: the centroid IS the per-label mean, so only
+        # touched cells' rows can move it; recompute exactly those
+        # from the post-merge inverted file
+        kept = old_cent.filter(~F.col("cl").isin(touched))
+        members = cells_tbl.read(
+            spark, new_cells_v,
+            where=("cl", touched[0], touched[-1]),  # file-skip the range
+        ).filter(F.col("cl").isin(touched))
+        refit = ivf_centroids(
+            members.select(F.col("cl").alias(label_col),
+                           F.col("c_v").alias(vec_col)),
+            label_col, vec_col)
+        new_cent = kept.unionByName(refit)
     return VersionedTable(os.path.join(root, _CENTROIDS)).commit(
-        kept.unionByName(refit), mode="overwrite", operation=json.dumps({
+        new_cent, mode="overwrite", operation=json.dumps({
             "op": "ivf_delta",
             "cells_version": new_cells_v,
             "base_version": new_v,
             "n_delta": n_delta,
+            "quantizer": quantizer,
             "touched_cells": [int(c) for c in touched],
             "fingerprint": _fingerprint(base.read(spark, new_v), id_col),
         }))

@@ -49,6 +49,58 @@ def _score_sql(vec_col: str, cent: list[float]) -> str:
     return f"(sign({x}) * floor(abs({x}) * 1e6 + 0.5) / 1e6)"
 
 
+def kmeans_fit(emb: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding", k: int = 8,
+               iters: int = 2) -> list[tuple[int, list[float]]]:
+    """Train and RETURN the centroids (``[(j, vector), ...]``) after
+    ``iters`` Lloyd refits -- the quantizer-fitting companion to
+    :func:`kmeans_assign` (which returns assignments).  Same seed,
+    same codegen'd literal-argmin assignment, same 6dp-rounded refit:
+    ``kmeans_fit(iters=N)`` returns exactly the centroids
+    ``kmeans_assign(iters=N+1)`` assigns by on its final pass.
+    Callers that need centroids AND assignments (the trained-quantizer
+    IVF build) fit once here and assign with the returned literals
+    instead of re-running the loop."""
+    base = emb.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    cents = [
+        (j, list(r["_v"]))
+        for j, r in enumerate(base.orderBy("_id").limit(k).collect())
+    ]
+    if not cents:
+        raise ValueError("kmeans_fit: no non-NULL vectors in input")
+    dim = len(cents[0][1])
+    for _ in range(iters):
+        pairs = ", ".join(
+            f"struct({_score_sql('_v', c)} AS d, {j} AS j)"
+            for j, c in cents)
+        rows = (
+            base.select(
+                "_v", F.expr(f"array_min(array({pairs})).j").alias("cluster"))
+            .groupBy("cluster")
+            .agg(*[round_portable(F.avg(F.col("_v")[i]), 6).alias(f"c{i}")
+                   for i in range(dim)])
+            .collect()
+        )
+        cents = sorted(
+            (r["cluster"], [r[f"c{i}"] for i in range(dim)]) for r in rows)
+    return cents
+
+
+def kmeans_literal_argmin(vec_col: str,
+                          cents: list[tuple[int, list[float]]]):
+    """The assignment expression for a FIXED centroid list: codegen'd
+    literal argmin (no join, no broadcast relation), ties to the
+    smallest centroid id via struct ordering -- shared by
+    :func:`kmeans_assign`'s loop and frozen-quantizer consumers."""
+    pairs = ", ".join(
+        f"struct({_score_sql(vec_col, c)} AS d, {j} AS j)"
+        for j, c in cents)
+    return F.expr(f"array_min(array({pairs})).j")
+
+
 def kmeans_assign(emb: DataFrame, id_col: str = "vec_id",
                   vec_col: str = "embedding", k: int = 8,
                   iters: int = 2) -> DataFrame:

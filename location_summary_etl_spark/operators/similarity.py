@@ -286,6 +286,33 @@ def ivf_cells(emb: DataFrame, id_col: str = "vec_id",
     )
 
 
+def ivf_cells_quantized(emb: DataFrame,
+                        cents: list[tuple[int, list[float]]],
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """:func:`ivf_cells` with a TRAINED (frozen) coarse quantizer:
+    the cell is the codegen'd literal L2-argmin over ``cents``
+    (:func:`~location_summary_etl_spark.operators.clustering.kmeans_literal_argmin`)
+    instead of the label column -- one scan, no join.  Assignment is
+    L2 (the k-means objective); probe RANKING stays cosine in
+    :func:`ivf_search` -- standard IVF practice, and harmless to
+    exactness because pruning is the only approximation (probing
+    every cell still recovers brute force, the recall-contract
+    test)."""
+    from location_summary_etl_spark.operators.clustering import (
+        kmeans_literal_argmin,
+    )
+
+    v = F.col(vec_col).cast("array<double>")
+    # NULL vectors are excluded, matching kmeans_fit's training set --
+    # a NULL vector has no argmin and could never score in a search.
+    return emb.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("vec_id"),
+        kmeans_literal_argmin(vec_col, cents).cast("int").alias("cl"),
+        v.alias("c_v"), l2_norm(v).alias("c_nrm"),
+    )
+
+
 def ivf_search(cells: DataFrame, cent: DataFrame, query_ids: list[int],
                k: int = 5, n_probe: int = IVF_N_PROBE) -> DataFrame:
     """The IVF query core over an inverted file (:func:`ivf_cells`

@@ -604,3 +604,93 @@ def test_read_where_any_skips_disjoint_point_set_files(spark, tmp_path):
     with _pytest.raises(Exception):
         t.read(spark, where=("k", 5, 205)).filter(
             F.col("k").isin(5, 205)).collect()
+
+
+# ------------------------------------------- trained (kmeans) quantizer
+
+
+def test_kmeans_quantizer_recall_contract_and_frozen_refresh(
+        spark, sf_dir, tmp_path):
+    """quantizer="kmeans": (a) the pruning-only approximation contract
+    holds (probing every trained cell recovers brute force exactly);
+    (b) a delta refresh assigns new vectors by the PINNED centroids --
+    verified against an independent python argmin over the stored
+    centroid rows -- and republishes the centroid rows verbatim
+    (frozen quantizer, no refit); (c) search over the refreshed index
+    equals ivf_search over a directly-constructed frozen-quantizer
+    relation of the full table -- the spec a refit-free refresh must
+    meet."""
+    from location_summary_etl_spark.operators.ann_index import (
+        refresh_ivf_index,
+    )
+    from location_summary_etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_cells_quantized,
+        ivf_search,
+    )
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = VersionedTable(str(tmp_path / "base"))
+    base.commit(emb.filter(F.col("vec_id") % 10 != 0), mode="overwrite")
+    root = str(tmp_path / "idx")
+    v1 = build_ivf_index(base.read(spark), root,
+                         base_version=base.latest_version(),
+                         quantizer="kmeans", k_cells=6, train_iters=2)
+    meta1 = index_meta(root, v1)
+    assert meta1["quantizer"] == "kmeans"
+
+    # (a) probing all cells == brute force (approximation = pruning only)
+    cent_tbl = VersionedTable(str(tmp_path / "idx" / "centroids"))
+    cent_rows = sorted(
+        (int(r["cl"]), list(r["cv"]))
+        for r in cent_tbl.read(spark, v1).collect())
+    qids = list(range(1, 8))
+    exact = {(r["query_id"], r["rank"], r["vec_id"])
+             for r in brute_force_topk(base.read(spark), qids,
+                                       k=4).collect()}
+    full_probe = {(r["query_id"], r["rank"], r["vec_id"])
+                  for r in ivf_query_index(
+                      spark, root, qids, k=4, n_probe=len(cent_rows),
+                      version=v1).collect()}
+    assert full_probe == exact
+
+    # (b) refresh: new vectors take their pinned-centroid argmin cell
+    base.commit(emb.filter(F.col("vec_id") % 10 == 0), mode="append")
+    v2 = refresh_ivf_index(spark, base, root)
+    meta2 = index_meta(root, v2)
+    assert meta2["op"] == "ivf_delta" and meta2["quantizer"] == "kmeans"
+    cent_rows2 = sorted(
+        (int(r["cl"]), list(r["cv"]))
+        for r in cent_tbl.read(spark, v2).collect())
+    assert cent_rows2 == cent_rows          # frozen: no refit
+
+    cells = VersionedTable(str(tmp_path / "idx" / "cells")).read(
+        spark, meta2["cells_version"])
+    got_cells = {r["vec_id"]: r["cl"]
+                 for r in cells.filter(F.col("vec_id") % 10 == 0).collect()}
+    new_rows = emb.filter(F.col("vec_id") % 10 == 0).collect()
+    assert got_cells, "appended vectors missing from the inverted file"
+
+    def argmin_cell(v):
+        def score(c):
+            x = sum(ci * ci for ci in c) - 2 * sum(
+                a * b for a, b in zip(v, c))
+            import math
+            return math.copysign(
+                math.floor(abs(x) * 1e6 + 0.5) / 1e6, x) if x else 0.0
+        return min(cent_rows, key=lambda jc: (score(jc[1]), jc[0]))[0]
+
+    for r in new_rows:
+        v = [float(x) for x in r["embedding"]]
+        assert got_cells[r["vec_id"]] == argmin_cell(v), r["vec_id"]
+
+    # (c) refreshed search == frozen-quantizer relation over full table
+    spec_cells = ivf_cells_quantized(base.read(spark), cent_rows)
+    want = sorted(map(str, ivf_search(
+        spec_cells, cent_tbl.read(spark, v2), qids, k=4,
+        n_probe=2).collect()))
+    got = sorted(map(str, ivf_query_index(
+        spark, root, qids, k=4, n_probe=2, version=v2,
+        verify_against=base.read(spark)).collect()))
+    assert got == want
