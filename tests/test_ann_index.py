@@ -694,3 +694,34 @@ def test_kmeans_quantizer_recall_contract_and_frozen_refresh(
         spark, root, qids, k=4, n_probe=2, version=v2,
         verify_against=base.read(spark)).collect()))
     assert got == want
+
+
+def test_kmeans_quantizer_beats_label_proxy_recall(spark, sf_dir,
+                                                   tmp_path):
+    """The point of training the quantizer, measured: at the same
+    probe budget (n_probe=2 of 8 cells) the trained quantizer's
+    recall@5 vs brute force is 0.71 on this data against the label
+    proxy's 0.28 (~ the 0.25 random baseline; sf0.01 measures
+    0.62-0.65 vs 0.30).  Deterministic fit -> exact same number every
+    run; pinned with slack at 0.5 and at strictly-beats-label."""
+    from location_summary_etl_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(20))
+    exact = {(r["query_id"], r["vec_id"])
+             for r in brute_force_topk(emb, qids, k=5).collect()}
+
+    def recall(root, **kw):
+        v = build_ivf_index(emb, root, **kw)
+        approx = {(r["query_id"], r["vec_id"])
+                  for r in ivf_query_index(spark, root, qids, k=5,
+                                           n_probe=2, version=v).collect()}
+        return len(approx & exact) / len(exact)
+
+    r_label = recall(str(tmp_path / "lab"))
+    r_kmeans = recall(str(tmp_path / "km"), quantizer="kmeans",
+                      k_cells=8, train_iters=2)
+    assert r_kmeans >= 0.5, r_kmeans
+    assert r_kmeans > r_label, (r_kmeans, r_label)
