@@ -13,9 +13,13 @@ artifacts to the repo's own lakehouse format (sources/versioned.py):
   (:func:`ivf_centroids` schema: cl, cv, c_nrm), whose manifest
   ``operation`` tag carries the index metadata: the paired cells
   version (the two tables advance independently; the pin keeps them
-  consistent) and a FINGERPRINT of the indexed relation
-  (row count + sum of xxhash64(id) -- order-independent, so layout
-  changes don't false-alarm).
+  consistent), the quantizer configuration, and a FINGERPRINT of the
+  indexed relation (row count + sum of xxhash64(id) --
+  order-independent, so layout changes don't false-alarm);
+* ``<root>/cells_q8``   -- optional (``store_quantized=True``): the
+  int8-quantized inverted file (vec_id, cl, q8, q_l2sq), same
+  cell-range layout, serving :func:`ivf_query_index_quantized` at
+  1 byte/dim.
 
 The query path reads ONLY the pinned snapshots -- the base embeddings
 table is never touched (query vectors are looked up in the inverted
@@ -53,10 +57,37 @@ from location_summary_etl_spark.sources.versioned import VersionedTable
 
 _CELLS = "cells"
 _CENTROIDS = "centroids"
+_CELLS_Q8 = "cells_q8"
 
 
 class StaleIndexError(RuntimeError):
     """The pinned index no longer matches the base relation."""
+
+
+def _load_meta(cent_tbl: VersionedTable, version: int) -> dict:
+    """Parse a centroid manifest's ``operation`` tag as index metadata,
+    failing LOUDLY when the tag is not one of ours.  A plain
+    ``VersionedTable.compact()`` / ``restore()`` on the centroids table
+    (public API -- writes ``operation='compact'`` / ``'restore(...)'``)
+    would otherwise surface as a bare JSONDecodeError deep inside every
+    index read and silently drop the cells pin.  The index tables must
+    never be compacted/restored directly: the inverted file is
+    compacted THROUGH :func:`refresh_ivf_index` (which re-pins it in a
+    new generation), and a rollback is "pin an older generation"."""
+    raw = cent_tbl._manifest(version)["operation"]
+    try:
+        meta = json.loads(raw)
+    except (json.JSONDecodeError, TypeError):
+        meta = None
+    if not isinstance(meta, dict) or "op" not in meta:
+        raise ValueError(
+            f"centroid manifest v{version} at {cent_tbl.path} records "
+            f"operation {raw!r}, not index metadata -- the index tables "
+            "must not be compacted/restored/written directly (that "
+            "orphans the cells pin); manage the index only through "
+            "build_ivf_index/refresh_ivf_index/vacuum_index, and roll "
+            "back by pinning an older generation")
+    return meta
 
 
 def _fingerprint(emb: DataFrame, id_col: str) -> list[int]:
@@ -75,12 +106,57 @@ def _fingerprint(emb: DataFrame, id_col: str) -> list[int]:
     return [int(row["n"]), int(row["h"])]
 
 
+def _fingerprint_from_delta(old_fp: list[int], delta, id_col: str) -> list[int]:
+    """The new base fingerprint from the OLD one plus the CDC delta --
+    O(delta), where re-fingerprinting the base is O(corpus) per refresh
+    (and per micro-batch in the continuously-indexed ingest, exactly
+    where "reindex the delta, not the corpus" must also mean "don't
+    rescan the corpus").  Sound because the fingerprint is additive:
+    count and sum-of-xxhash64(id) shift by the inserts' ids minus the
+    deletes' ids, and an update (same id, changed payload) nets to
+    zero on both components -- which is also what the full rescan sees,
+    since the fingerprint never looked at the payload.  Equality with
+    the full aggregate is pinned by test."""
+    zero = F.lit(0).cast("decimal(38,0)")
+    h = F.xxhash64(F.col(id_col)).cast("decimal(38,0)")
+    row = delta.agg(
+        F.coalesce(F.sum(
+            F.when(F.col("_change_type") == "insert", 1)
+            .when(F.col("_change_type") == "delete", -1)
+            .otherwise(0)), F.lit(0)).alias("dn"),
+        F.coalesce(F.sum(
+            F.when(F.col("_change_type") == "insert", h)
+            .when(F.col("_change_type") == "delete", zero - h)
+            .otherwise(zero)), zero).alias("dh"),
+    ).first()
+    return [old_fp[0] + int(row["dn"]), old_fp[1] + int(row["dh"])]
+
+
+def _q8_of_cells(cells: DataFrame) -> DataFrame:
+    """Int8-quantize an inverted-file relation (:func:`ivf_cells`
+    schema) into the serve-time compressed representation: (vec_id,
+    cl, q8 array<tinyint>, q_l2sq bigint).  Codes and the integer L2
+    come from :func:`~location_summary_etl_spark.operators.quantize.int8_quantize`
+    verbatim (single-IEEE-op arithmetic, exact oracle parity); the
+    per-vector scale is dropped because cosine is scale-invariant.
+    tinyint is the honest 1-byte/dim physical claim -- codes are
+    bounded to [-127, 127] by construction."""
+    from location_summary_etl_spark.operators.quantize import int8_quantize
+
+    qd = int8_quantize(cells.select("vec_id", "cl", "c_v"),
+                       ["vec_id", "cl"], "c_v")
+    return qd.select(
+        "vec_id", "cl",
+        F.col("q").cast("array<tinyint>").alias("q8"), "q_l2sq")
+
+
 def build_ivf_index(emb: DataFrame, root: str, *, id_col: str = "vec_id",
                     vec_col: str = "embedding",
                     label_col: str = "label",
                     base_version: int | None = None,
                     quantizer: str = "label", k_cells: int = 8,
-                    train_iters: int = 2) -> int:
+                    train_iters: int = 2,
+                    store_quantized: bool = False) -> int:
     """Build and persist the index; returns the centroid-table version
     (THE index version a query pins).
 
@@ -115,7 +191,17 @@ def build_ivf_index(emb: DataFrame, root: str, *, id_col: str = "vec_id",
     trained 0.71 vs label-proxy 0.28 at sf0.001, 0.62-0.65 vs 0.30 at
     sf0.01 -- the label quantizer sits at the 0.25 random baseline by
     design (it never looked at the vectors), training is what buys
-    the IVF bargain its recall."""
+    the IVF bargain its recall.
+
+    ``store_quantized``: additionally persist ``<root>/cells_q8`` --
+    the int8-quantized inverted file (1 byte/dim + one exact integer
+    L2 per vector; see :func:`_q8_of_cells`) under the same
+    range-partitioned-by-cell layout and footer stats, pinned in the
+    manifest as ``q8_version``.  This is the serve-time table
+    :func:`ivf_query_index_quantized` scans: at 100 TB the candidate
+    read moves 4x fewer bytes than the float inverted file for a
+    ~1e-3 cosine error, and the float cells table remains the
+    exact-rescore / rebuild source of truth."""
     if quantizer == "label":
         cells = ivf_cells(emb, id_col, vec_col, label_col)
         cent = ivf_centroids(emb, label_col, vec_col)
@@ -141,11 +227,28 @@ def build_ivf_index(emb: DataFrame, root: str, *, id_col: str = "vec_id",
     cells_v = VersionedTable(os.path.join(root, _CELLS)).commit(
         cells.repartitionByRange("cl"), mode="overwrite",
         operation="ivf_cells", stats_columns=["cl"])
+    q8_v = None
+    if store_quantized:
+        q8_v = VersionedTable(os.path.join(root, _CELLS_Q8)).commit(
+            _q8_of_cells(cells).repartitionByRange("cl"), mode="overwrite",
+            operation="ivf_cells_q8", stats_columns=["cl"])
     meta = {
         "op": "ivf_build",
         "cells_version": cells_v,
+        "q8_version": q8_v,
         "base_version": base_version,
         "quantizer": quantizer,
+        # Quantizer configuration rides in the manifest so every later
+        # rebuild (delta past rebuild_fraction, cumulative drift,
+        # streaming-triggered) refits with the SAME shape: without it a
+        # kmeans index built with k_cells=64 would silently become the
+        # 8-cell default on its first rebuild, changing recall/pruning
+        # with no error.
+        "k_cells": k_cells,
+        "train_iters": train_iters,
+        # Rows delta-applied since the quantizer was last FIT (reset
+        # here; accumulated by refresh_ivf_index's drift contract).
+        "n_since_fit": 0,
         "fingerprint": _fingerprint(emb, id_col),
     }
     return VersionedTable(os.path.join(root, _CENTROIDS)).commit(
@@ -159,7 +262,7 @@ def index_meta(root: str, version: int | None = None) -> dict:
         version = tbl.latest_version()
     if version is None:
         raise FileNotFoundError(f"no ANN index committed under {root}")
-    return {"version": version, **json.loads(tbl._manifest(version)["operation"])}
+    return {"version": version, **_load_meta(tbl, version)}
 
 
 def ivf_query_index(spark: SparkSession, root: str, query_ids: list[int],
@@ -222,7 +325,6 @@ def ivf_query_index_vectors(spark: SparkSession, root: str,
     the fixed job buys an O(corpus) -> O(probed) scan; at bench scale
     prefer the id-keyed single-job path.  The corrupt-file test pins
     the mechanism independent of tier."""
-    from location_summary_etl_spark.functions.vectors import l2_norm
     from location_summary_etl_spark.operators.similarity import (
         ivf_search_vectors,
     )
@@ -230,13 +332,36 @@ def ivf_query_index_vectors(spark: SparkSession, root: str,
     meta = index_meta(root, version)
     cent = VersionedTable(os.path.join(root, _CENTROIDS)).read(
         spark, meta["version"])
-    qdf = spark.createDataFrame(
+    qdf = _query_frame(spark, queries)
+    probed = sorted({cl for _qid, cl in _probe_pairs(qdf, cent, n_probe)})
+    cells = VersionedTable(os.path.join(root, _CELLS)).read(
+        spark, meta["cells_version"], where_any=("cl", probed))
+    # skipping is never the predicate: the row filter still applies
+    # (files are multi-cell at small scale)
+    return ivf_search_vectors(cells.filter(F.col("cl").isin(probed)),
+                              cent, qdf, k=k, n_probe=n_probe)
+
+
+def _query_frame(spark: SparkSession,
+                 queries: list[tuple[int, list[float]]]) -> DataFrame:
+    """Literal query relation (query_id, q_v, q_nrm) -- the
+    :func:`ivf_search_vectors` input shape."""
+    from location_summary_etl_spark.functions.vectors import l2_norm
+
+    return spark.createDataFrame(
         [(int(i), [float(x) for x in v]) for i, v in queries],
         "query_id long, q_v array<double>",
     ).withColumn("q_nrm", l2_norm(F.col("q_v")))
-    # Probe selection against the k-row centroid table: same ranking
-    # expression as ivf_search_vectors, collected (|Q| x n_probe rows)
-    # so the file pruning below can see the cell set driver-side.
+
+
+def _probe_pairs(qdf: DataFrame, cent: DataFrame,
+                 n_probe: int) -> list[tuple[int, int]]:
+    """Probe selection against the k-row centroid table, collected
+    driver-side as (query_id, cl) pairs (|Q| x n_probe rows -- the
+    broadcast-side size class) so the candidate scan can be
+    FILE-PRUNED to the probed cells.  Same ranking expression and
+    rounding as :func:`ivf_search_vectors`'s in-plan probe, so both
+    formulations pick identical cells."""
     from pyspark.sql import Window
 
     from location_summary_etl_spark.functions.scalars import round_portable
@@ -244,21 +369,97 @@ def ivf_query_index_vectors(spark: SparkSession, root: str,
 
     wp = Window.partitionBy("query_id").orderBy(
         F.col("ccos").desc(), F.col("cl"))
-    probed = sorted({
-        r["cl"] for r in qdf.crossJoin(F.broadcast(cent))
+    return sorted(
+        (r["query_id"], r["cl"])
+        for r in qdf.crossJoin(F.broadcast(cent))
         .select("query_id", "cl", round_portable(
             cosine(F.col("q_v"), F.col("cv"),
                    F.col("q_nrm"), F.col("c_nrm")), 6).alias("ccos"))
         .withColumn("pr", F.row_number().over(wp))
         .filter(F.col("pr") <= n_probe)
-        .select("cl").distinct().collect()
-    })
-    cells = VersionedTable(os.path.join(root, _CELLS)).read(
-        spark, meta["cells_version"], where_any=("cl", probed))
-    # skipping is never the predicate: the row filter still applies
-    # (files are multi-cell at small scale)
-    return ivf_search_vectors(cells.filter(F.col("cl").isin(probed)),
-                              cent, qdf, k=k, n_probe=n_probe)
+        .select("query_id", "cl").collect()
+    )
+
+
+def ivf_query_index_quantized(spark: SparkSession, root: str,
+                              queries: list[tuple[int, list[float]]],
+                              k: int = 5, n_probe: int = IVF_N_PROBE,
+                              version: int | None = None) -> DataFrame:
+    """Quantized serving over the persisted index: the candidate scan
+    reads the int8 inverted file (``cells_q8`` -- 1 byte/dim + one
+    exact integer L2 per vector), file-pruned to the probed cells, and
+    scores with INTEGER dot products rescaled by the integer norms --
+    the ``quantized_topk`` math over the ``ivf_query_index_vectors``
+    serving shape.  Requires ``build_ivf_index(...,
+    store_quantized=True)``.
+
+    Path anatomy (what each stage touches at 100 TB):
+
+    1. probe selection -- FLOAT query vs the k-row float centroid
+       table (one tiny job; identical cell choice to the float path);
+    2. candidate scan -- ONLY the q8 files whose footer ``cl`` range
+       can contain a probed cell (``read(where_any=...)``), i.e.
+       O(probed cells' files) at 1 byte/dim;
+    3. scoring -- ``zip_with``/``aggregate`` integer dot, codegen'd,
+       JVM-side; exact integers make the result order-independent and
+       bit-identical to the DuckDB oracle before the single final
+       rounding.
+
+    Queries are quantized in-plan with the same
+    :func:`~location_summary_etl_spark.operators.quantize.int8_quantize`
+    expressions as the stored codes.  All-zero queries or candidates
+    (integer norm 0) are excluded, matching the float paths' null-
+    cosine filter and the oracle's ``nrm > 0``."""
+    from location_summary_etl_spark.functions.scalars import round_portable
+    from location_summary_etl_spark.operators.quantize import int8_quantize
+
+    meta = index_meta(root, version)
+    if meta.get("q8_version") is None:
+        raise ValueError(
+            f"index generation v{meta['version']} at {root} carries no "
+            "quantized inverted file; rebuild with build_ivf_index(..., "
+            "store_quantized=True) to serve quantized queries")
+    cent = VersionedTable(os.path.join(root, _CENTROIDS)).read(
+        spark, meta["version"])
+    qdf = _query_frame(spark, queries)
+    pairs = _probe_pairs(qdf, cent, n_probe)
+    probed = sorted({cl for _qid, cl in pairs})
+    q8 = VersionedTable(os.path.join(root, _CELLS_Q8)).read(
+        spark, meta["q8_version"], where_any=("cl", probed))
+    # quantize the literal queries with the exact stored-code arithmetic
+    qq = int8_quantize(qdf.select("query_id", "q_v"), ["query_id"], "q_v")
+    qq = qq.select(
+        "query_id", F.col("q").cast("array<tinyint>").alias("_qq"),
+        F.col("q_l2sq").alias("_q_l2sq")).filter(F.col("_q_l2sq") > 0)
+    pairs_df = spark.createDataFrame(pairs, "query_id long, cl int")
+    probes = qq.join(F.broadcast(pairs_df), "query_id")
+    dot = F.aggregate(
+        F.zip_with("_qq", "q8",
+                   lambda a, b: a.cast("bigint") * b.cast("bigint")),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    scored = (
+        q8.filter(F.col("cl").isin(probed))  # skipping is not the predicate
+        .filter(F.col("q_l2sq") > 0)
+        .join(F.broadcast(probes), "cl")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            round_portable(
+                dot.cast("double")
+                / (F.sqrt(F.col("_q_l2sq").cast("double"))
+                   * F.sqrt(F.col("q_l2sq").cast("double"))), 6
+            ).alias("qcosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "qcosine")
+    )
 
 
 def vacuum_index(root: str, retain_generations: int = 2,
@@ -281,8 +482,8 @@ def vacuum_index(root: str, retain_generations: int = 2,
     if not versions:
         raise FileNotFoundError(f"no ANN index committed under {root}")
     keep = versions[-retain_generations:]
-    pins = [json.loads(cent_tbl._manifest(v)["operation"])["cells_version"]
-            for v in keep]
+    metas = [_load_meta(cent_tbl, v) for v in keep]
+    pins = [m["cells_version"] for m in metas]
     cells_tbl = VersionedTable(os.path.join(root, _CELLS))
     cvs = cells_tbl.versions()
     oldest_pin = min(pins)
@@ -291,19 +492,38 @@ def vacuum_index(root: str, retain_generations: int = 2,
             f"retained index generation pins cells v{oldest_pin}, which "
             f"is already gone from {cells_tbl.path} (was the cells table "
             "vacuumed directly?); rebuild before vacuuming")
-    return {
+    out = {
         "centroids": cent_tbl.vacuum(retain_last=retain_generations,
                                      grace_seconds=grace_seconds),
         "cells": cells_tbl.vacuum(
             retain_last=len(cvs) - cvs.index(oldest_pin),
             grace_seconds=grace_seconds),
     }
+    # The quantized inverted file (when any retained generation carries
+    # one) follows the same pin-derived retention.
+    q8_pins = [m["q8_version"] for m in metas
+               if m.get("q8_version") is not None]
+    if q8_pins:
+        q8_tbl = VersionedTable(os.path.join(root, _CELLS_Q8))
+        qvs = q8_tbl.versions()
+        oldest_q8 = min(q8_pins)
+        if oldest_q8 not in qvs:
+            raise ValueError(
+                f"retained index generation pins cells_q8 v{oldest_q8}, "
+                f"which is already gone from {q8_tbl.path} (was the "
+                "cells_q8 table vacuumed directly?); rebuild before "
+                "vacuuming")
+        out["cells_q8"] = q8_tbl.vacuum(
+            retain_last=len(qvs) - qvs.index(oldest_q8),
+            grace_seconds=grace_seconds)
+    return out
 
 
 def refresh_ivf_index(spark: SparkSession, base, root: str, *,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       label_col: str = "label",
-                      rebuild_fraction: float = 0.2) -> int:
+                      rebuild_fraction: float = 0.2,
+                      compact_files: int | None = 64) -> int:
     """Incrementally refresh the index after the base
     :class:`~location_summary_etl_spark.sources.versioned.VersionedTable`
     advanced -- the 100 TB answer to "0.1% of the corpus was appended":
@@ -331,12 +551,32 @@ def refresh_ivf_index(spark: SparkSession, base, root: str, *,
     rows verbatim.
 
     ``rebuild_fraction``: when the delta exceeds this fraction of the
-    indexed rows, fall back to :func:`build_ivf_index` -- re-cluster
-    the whole inverted file (restoring range-partitioned layout that
-    repeated deltas erode) and refit every centroid.  With a TRAINED
-    coarse quantizer this is where the drift-triggered refit would
-    hook; with the label quantizer it is purely a layout/IO decision,
-    never a correctness one.
+    indexed rows, fall back to :func:`build_ivf_index` (same quantizer
+    CONFIGURATION -- k_cells/train_iters/store_quantized ride in the
+    manifest) -- re-cluster the whole inverted file and refit every
+    centroid.  For a TRAINED (kmeans) quantizer the guard is also
+    CUMULATIVE: K successive deltas each below the threshold must not
+    together erode the frozen fit, so the manifest tracks
+    ``n_since_fit`` (rows delta-applied since the last fit) and a
+    refresh whose cumulative fraction crosses ``rebuild_fraction``
+    forces the refit even though its own delta is small.  The label
+    quantizer is drift-FREE by construction (touched centroids are
+    recomputed exactly on every delta), so only fragmentation matters
+    there -- handled by ``compact_files``, not by rebuilds.
+
+    ``compact_files``: every delta refresh appends new cell files to
+    the inverted file(s); unbounded, a long-lived continuously-indexed
+    stream (streaming/jobs.py) fragments its own read path into
+    thousands of per-batch files.  When a post-merge inverted-file
+    manifest exceeds this many files, the refresh REWRITES it through
+    the build's ``repartitionByRange("cl")`` layout (operation
+    ``ivf_compact``, fresh ``cl`` footer stats) and pins the compacted
+    version -- restoring both the file count and the range clustering
+    that repeated deltas erode, as one O(corpus) pass amortized over
+    the ~``compact_files`` refreshes that triggered it.  Older
+    generations keep their exact pre-compaction file lists (time
+    travel holds; vacuum retires them on the normal schedule).
+    ``None`` disables.
 
     Preconditions: the index was built with ``base_version`` (else
     only a rebuild can refresh -- raised, not guessed), and ``id_col``
@@ -366,22 +606,42 @@ def refresh_ivf_index(spark: SparkSession, base, root: str, *,
         # Metadata-only base commits (compaction, replay): nothing to
         # reindex -- publish a new generation re-pinning the SAME cells
         # version under the new base version, so verify_against stays
-        # truthful without a single data-file write.
+        # truthful without a single data-file write.  Zero netted
+        # changes means the additive fingerprint is unchanged too, so
+        # it is carried, not rescanned (the O(corpus) aggregate this
+        # path used to pay per micro-batch replay).
         cent = VersionedTable(os.path.join(root, _CENTROIDS)).read(
             spark, meta["version"])
         return VersionedTable(os.path.join(root, _CENTROIDS)).commit(
             cent, mode="overwrite", operation=json.dumps({
                 "op": "ivf_repin",
                 "cells_version": meta["cells_version"],
+                "q8_version": meta.get("q8_version"),
                 "base_version": new_v,
                 "quantizer": meta.get("quantizer", "label"),
-                "fingerprint": _fingerprint(base.read(spark, new_v), id_col),
+                "k_cells": meta.get("k_cells", 8),
+                "train_iters": meta.get("train_iters", 2),
+                "n_since_fit": meta.get("n_since_fit", 0),
+                "fingerprint": meta["fingerprint"],
             }))
     quantizer = meta.get("quantizer", "label")
-    if n_base > 0 and n_delta / n_base > rebuild_fraction:
+    n_since_fit = int(meta.get("n_since_fit", 0) or 0)
+    over_delta = n_base > 0 and n_delta / n_base > rebuild_fraction
+    # Cumulative-drift refit contract (kmeans only): the frozen
+    # quantizer never refits on a delta, so successive small deltas
+    # accumulate against the SAME pinned fit -- K refreshes each below
+    # the threshold can together exceed it while recall decays.  The
+    # label quantizer recomputes touched centroids exactly every delta
+    # (no fit to drift), so it rebuilds only on the per-delta check.
+    over_drift = (quantizer == "kmeans" and n_base > 0
+                  and (n_since_fit + n_delta) / n_base > rebuild_fraction)
+    if over_delta or over_drift:
         return build_ivf_index(
             base.read(spark, new_v), root, id_col=id_col, vec_col=vec_col,
-            label_col=label_col, base_version=new_v, quantizer=quantizer)
+            label_col=label_col, base_version=new_v, quantizer=quantizer,
+            k_cells=int(meta.get("k_cells", 8)),
+            train_iters=int(meta.get("train_iters", 2)),
+            store_quantized=meta.get("q8_version") is not None)
 
     old_cent = VersionedTable(os.path.join(root, _CENTROIDS)).read(
         spark, meta["version"])
@@ -422,6 +682,38 @@ def refresh_ivf_index(spark: SparkSession, base, root: str, *,
     cells_tbl = VersionedTable(os.path.join(root, _CELLS))
     new_cells_v = cells_tbl.merge(spark, updates, keys=["cl", "vec_id"],
                                   delete_col="_del")
+    # The quantized inverted file (when this index stores one) takes
+    # the SAME file-granular merge, keyed identically -- its codes are
+    # derived from the delta's float vectors with the exact build-time
+    # arithmetic, so a refreshed q8 table equals a from-scratch one.
+    new_q8_v = meta.get("q8_version")
+    if new_q8_v is not None:
+        q8_tbl = VersionedTable(os.path.join(root, _CELLS_Q8))
+        q8_updates = (
+            _q8_of_cells(post.drop("_del"))
+            .withColumn("_del", F.lit(False))
+            .unionByName(pre.select(
+                "vec_id", "cl",
+                F.lit(None).cast("array<tinyint>").alias("q8"),
+                F.lit(None).cast("bigint").alias("q_l2sq"),
+                "_del"))
+        )
+        new_q8_v = q8_tbl.merge(spark, q8_updates, keys=["cl", "vec_id"],
+                                delete_col="_del")
+    # Fragmentation bound: past compact_files, rewrite through the
+    # build's range layout as a NEW version (older pins untouched).
+    if compact_files is not None:
+        if cells_tbl._manifest(new_cells_v)["n_files"] > compact_files:
+            new_cells_v = cells_tbl.commit(
+                cells_tbl.read(spark, new_cells_v).repartitionByRange("cl"),
+                mode="overwrite", operation="ivf_compact",
+                stats_columns=["cl"])
+        if (new_q8_v is not None
+                and q8_tbl._manifest(new_q8_v)["n_files"] > compact_files):
+            new_q8_v = q8_tbl.commit(
+                q8_tbl.read(spark, new_q8_v).repartitionByRange("cl"),
+                mode="overwrite", operation="ivf_compact",
+                stats_columns=["cl"])
 
     # Touched cells: bounded by the cell count by construction (the
     # quantizer has few cells; a driver-side list is the broadcast-side
@@ -451,9 +743,15 @@ def refresh_ivf_index(spark: SparkSession, base, root: str, *,
         new_cent, mode="overwrite", operation=json.dumps({
             "op": "ivf_delta",
             "cells_version": new_cells_v,
+            "q8_version": new_q8_v,
             "base_version": new_v,
             "n_delta": n_delta,
             "quantizer": quantizer,
+            "k_cells": meta.get("k_cells", 8),
+            "train_iters": meta.get("train_iters", 2),
+            "n_since_fit": n_since_fit + n_delta,
             "touched_cells": [int(c) for c in touched],
-            "fingerprint": _fingerprint(base.read(spark, new_v), id_col),
+            # O(delta) additive update, not an O(corpus) rescan
+            "fingerprint": _fingerprint_from_delta(
+                meta["fingerprint"], delta, id_col),
         }))

@@ -606,9 +606,13 @@ class VersionedTable:
         (thousands of per-batch files make every scan pay open/footer
         costs).  Data is byte-identical; only layout changes, and
         readers pinned to older versions keep their exact file lists
-        until vacuum.  At scale, compact per partition/key-range
-        instead of globally -- this is the whole-table degenerate
-        form."""
+        until vacuum.  Data-skipping stats SURVIVE: the compacted
+        files get fresh footer stats over the same column set the
+        base manifest recorded (same contract as ``merge()``) --
+        without this, one compaction would silently turn every
+        ``read(where=...)`` back into a full scan.  At scale, compact
+        per partition/key-range instead of globally -- this is the
+        whole-table degenerate form."""
         base_version = self.latest_version()
         if base_version is None:
             raise FileNotFoundError(f"no committed version at {self.path}")
@@ -618,8 +622,12 @@ class VersionedTable:
         new_files = sorted(
             os.path.join(out_dir, f) for f in os.listdir(out_dir)
             if f.endswith(".parquet"))
+        fstats = self._manifest(base_version).get("stats") or {}
+        stat_cols = sorted({c for per in fstats.values() for c in per})
+        stats = (_footer_stats(new_files, stat_cols)
+                 if stat_cols and new_files else None)
         return self._publish(base_version + 1, "compact", new_files,
-                             schema=snapshot.schema)
+                             schema=snapshot.schema, stats=stats)
 
     def restore(self, version: int) -> int:
         """Publish a NEW version whose file list (and schema) is an

