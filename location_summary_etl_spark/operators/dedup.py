@@ -833,13 +833,16 @@ def ngram_gram_reuse_probe(docs: DataFrame, id_col: str = "doc_id",
     return row["d"] / row["t"]
 
 
+_CAP_UNSET = object()  # sentinel: caller did not touch the skew caps
+
+
 def ngram_jaccard_pairs_auto(docs: DataFrame, id_col: str = "doc_id",
                              text_col: str = "text", n: int = 3,
                              threshold: float = 0.5,
                              prefer: str | None = None,
                              sample_docs: int = NGRAM_PROBE_DOCS,
-                             max_df: int | None = DEFAULT_MAX_DF,
-                             cap_mode: str = "filter") -> DataFrame:
+                             max_df=_CAP_UNSET,
+                             cap_mode=_CAP_UNSET) -> DataFrame:
     """Selectivity-gated form selection between
     :func:`ngram_jaccard_pairs` (capped inverted-index aggregate --
     the skew-safe default and the measured winner over most of the
@@ -851,9 +854,32 @@ def ngram_jaccard_pairs_auto(docs: DataFrame, id_col: str = "doc_id",
     "aggregate"``/``"prefix"`` pins it (tests, A/B) -- the same
     explicit-override contract as ``flagship_nation_summary
     (use_window=...)``.  Both forms emit the identical exact-Jaccard
-    relation (same oracle), so the gate is purely physical."""
+    relation (same oracle), so the gate is purely physical.
+
+    CAP CONTRACT: the prefix form carries no df cap (see its SKEW
+    POSTURE), so ``max_df``/``cap_mode`` can only be honored by the
+    aggregate form.  A caller who passes either EXPLICITLY is asking
+    for skew safety, and the gate therefore never routes them to
+    prefix -- the explicit cap pins the aggregate form (and the probe
+    job is skipped).  Combining an explicit cap with
+    ``prefer="prefix"`` is contradictory and raises rather than
+    silently dropping the cap.  Left unset, the aggregate form runs
+    with its usual DEFAULT_MAX_DF filter cap."""
+    cap_explicit = max_df is not _CAP_UNSET or cap_mode is not _CAP_UNSET
+    max_df = DEFAULT_MAX_DF if max_df is _CAP_UNSET else max_df
+    cap_mode = "filter" if cap_mode is _CAP_UNSET else cap_mode
+    if prefer == "prefix" and cap_explicit:
+        raise ValueError(
+            "ngram_jaccard_pairs_auto: prefer='prefix' with an explicit "
+            "max_df/cap_mode is contradictory -- the prefix form carries "
+            "no df cap; call ngram_jaccard_pairs_prefix directly if the "
+            "cap is disposable, or drop prefer to keep the cap")
     if prefer is None:
-        if threshold >= NGRAM_PREFIX_MIN_THRESHOLD:
+        if cap_explicit:
+            # an explicitly requested skew cap only exists in the
+            # aggregate form -- never gate it away
+            prefer = "aggregate"
+        elif threshold >= NGRAM_PREFIX_MIN_THRESHOLD:
             ratio = ngram_gram_reuse_probe(docs, id_col, text_col, n,
                                            sample_docs)
             prefer = ("prefix" if ratio >= NGRAM_PREFIX_MIN_REUSE_RATIO
@@ -863,8 +889,6 @@ def ngram_jaccard_pairs_auto(docs: DataFrame, id_col: str = "doc_id",
             # at EVERY probed reuse ratio -- skip the probe job
             prefer = "aggregate"
     if prefer == "prefix":
-        # NOTE: the prefix form carries no df cap (see its SKEW
-        # POSTURE); max_df/cap_mode apply to the aggregate form only.
         return ngram_jaccard_pairs_prefix(docs, id_col, text_col, n,
                                           threshold)
     if prefer == "aggregate":

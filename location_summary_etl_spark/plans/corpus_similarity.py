@@ -230,6 +230,121 @@ def ann_topk_ivf_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("ann_topk_ivf_delta", ann_topk_ivf_delta, _IVF_SQL)
 
 
+def ann_topk_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized SERVING over the persisted index (the r9 sanctioned
+    addition): the build persists the int8 inverted file alongside the
+    float cells (``store_quantized=True``), and the query takes
+    ``ivf_query_index_quantized`` -- float probe selection against the
+    k-row centroid table, candidate scan FILE-PRUNED to the probed
+    cells at 1 byte/dim, codegen'd integer-dot scoring rescaled by the
+    exact integer norms (the ``ann_topk_quantized`` math over the
+    ``ann_topk_ivf_persisted`` serving shape).  Queries arrive as
+    LITERAL vectors (the production shape), fetched driver-side for
+    the standard query set.  Integer exactness makes the oracle
+    parity bit-for-bit before the single final rounding."""
+    from location_summary_etl_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_query_index_quantized,
+    )
+    from location_summary_etl_spark.operators.similarity import (
+        fetch_query_rows,
+    )
+    from location_summary_etl_spark.plans.corpus_warehouse import _fresh_dir
+
+    emb = _emb(spark, sf_dir)
+    root = _fresh_dir("annidxq8", sf_dir)
+    version = build_ivf_index(emb, root, store_quantized=True)
+    queries = [(int(i), [float(x) for x in v])
+               for i, v in fetch_query_rows(emb, "vec_id", "embedding",
+                                            QUERY_IDS)]
+    return ivf_query_index_quantized(spark, root, queries, k=5,
+                                     n_probe=IVF_N_PROBE, version=version)
+
+
+# The oracle composes the two proven fragments: _IVF_SQL's probe
+# selection (float query vs rounded per-label centroids) and
+# QUANTIZED_TOPK_SQL's integer scoring, restricted to the probed cells.
+_IVF_Q8_SQL = f"""
+WITH e AS (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+flat AS (
+    SELECT label, i, v[i] AS x
+    FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         UNNEST(generate_series(1, len(v))) AS t(i)
+),
+cent AS (
+    SELECT label AS cl,
+           list(round(CAST(cx AS DOUBLE), {CENTROID_SCALE}) ORDER BY i) AS cv
+    FROM (SELECT label, i, AVG(x) AS cx FROM flat GROUP BY label, i)
+    GROUP BY label
+),
+centn AS (SELECT cl, cv, sqrt(list_dot_product(cv, cv)) AS c_nrm FROM cent),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id IN ({_IDS})),
+probe AS (
+    SELECT query_id, cl FROM (
+        SELECT q.query_id, c.cl,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(CAST(list_dot_product(q.qv, c.cv)
+                                       / (q.qn * c.c_nrm) AS DOUBLE), 6) DESC,
+                            c.cl) AS pr
+        FROM q CROSS JOIN centn c
+        WHERE q.qn > 0 AND c.c_nrm > 0
+    ) WHERE pr <= {IVF_N_PROBE}
+),
+qz AS (
+    SELECT vec_id,
+           CASE WHEN qscale = 0 THEN list_transform(v, x -> 0)
+                ELSE list_transform(
+                    v, x -> CAST(sign(x / qscale) * floor(abs(x / qscale) + 0.5)
+                                 AS INT))
+           END AS code
+    FROM (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) / 127.0 AS qscale
+        FROM e
+    )
+),
+nz AS (
+    SELECT vec_id, code,
+           sqrt(CAST(list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            list_transform(code, x -> CAST(x AS BIGINT)
+                                                      * CAST(x AS BIGINT))),
+               (a, x) -> a + x) AS DOUBLE)) AS nrm8
+    FROM qz
+),
+scored AS (
+    SELECT p.query_id, e.vec_id,
+           round(CAST(CAST(list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                                  list_transform(list_zip(qq.code, c.code),
+                                                 z -> CAST(z[1] AS BIGINT)
+                                                      * CAST(z[2] AS BIGINT))),
+                     (a, x) -> a + x) AS DOUBLE)
+                 / (qq.nrm8 * c.nrm8) AS DOUBLE), 6) AS qcosine
+    FROM e
+    JOIN probe p ON e.label = p.cl
+    JOIN nz c ON c.vec_id = e.vec_id
+    JOIN nz qq ON qq.vec_id = p.query_id
+    WHERE e.vec_id <> p.query_id AND c.nrm8 > 0 AND qq.nrm8 > 0
+)
+SELECT query_id, rank, vec_id, qcosine FROM (
+    SELECT query_id, vec_id, qcosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY qcosine DESC, vec_id) AS INT) AS rank
+    FROM scored
+)
+WHERE rank <= 5
+"""
+
+register("ann_topk_ivf_quantized", ann_topk_ivf_quantized, _IVF_Q8_SQL)
+
+
 
 def embedding_label_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)

@@ -2095,3 +2095,38 @@ def test_ngram_auto_selects_by_reuse_probe_and_threshold(spark):
     b = sorted(str(r) for r in ngram_jaccard_pairs_auto(
         sparse, prefer="prefix").collect())
     assert a == b
+
+
+def test_ngram_auto_explicit_cap_is_never_gated_away(spark):
+    """The r9 cap contract (ADVICE r8): a caller who EXPLICITLY passes
+    max_df/cap_mode is asking for skew safety, which only the
+    aggregate form provides -- the gate must pin aggregate even in
+    prefix's measured-win cell (and skip the probe job), and the
+    contradictory prefer='prefix' + explicit cap combination raises
+    instead of silently dropping the cap."""
+    import pytest as _pytest
+
+    from location_summary_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs_auto,
+    )
+
+    sparse = spark.createDataFrame(
+        [(i, " ".join(f"u{i}w{j}" for j in range(8))) for i in range(40)],
+        "doc_id long, text string")
+
+    def form(df):
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        return "prefix" if "array_intersect" in opt else "aggregate"
+
+    # sparse + t=0.8 is the prefix win cell (asserted above); an
+    # explicit cap must override it in every spelling
+    assert form(ngram_jaccard_pairs_auto(
+        sparse, threshold=0.8, max_df=100)) == "aggregate"
+    assert form(ngram_jaccard_pairs_auto(
+        sparse, threshold=0.8, cap_mode="census")) == "aggregate"
+    assert form(ngram_jaccard_pairs_auto(
+        sparse, threshold=0.8, max_df=None)) == "aggregate"
+
+    with _pytest.raises(ValueError, match="contradictory"):
+        ngram_jaccard_pairs_auto(sparse, threshold=0.8, prefer="prefix",
+                                 max_df=100)

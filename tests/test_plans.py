@@ -616,3 +616,23 @@ def test_q3_eager_form_matches_above_join_spec_on_edge_data(spark, tmp_path):
         for r in got
     ] == expect
     assert len(got) == 10 and len(rev) > 10, "limit path not exercised"
+
+
+def test_nation_balance_score_gate_routes_to_window_form(spark, sf_dir):
+    """nation_balance_score now routes through minmax_score_auto (r9
+    order #1): at any bench-testable scale the customer source is far
+    under cap/4, so the gate must land on the SAME single-lineage
+    window plan the entry always ran (one customer scan, a
+    windowspecdefinition, no broadcast of a bounds relation) -- the
+    r8/r9 bench-comparability pin.  The flip side (broadcast on
+    unbounded inputs) is covered by the operator-level gate test."""
+    from location_summary_etl_spark.plans.corpus_reference import (
+        nation_balance_score,
+    )
+
+    df = nation_balance_score(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(" in opt
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    # single lineage: exactly one customer scan feeds the whole plan
+    assert phys.count("customer.parquet") == 1, phys
