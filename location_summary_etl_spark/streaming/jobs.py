@@ -465,7 +465,8 @@ def foreach_batch_indexed_ingest(stream_df: DataFrame, table, index_root,
                                  id_col: str = "vec_id",
                                  vec_col: str = "embedding",
                                  label_col: str = "label",
-                                 rebuild_fraction: float = 0.2):
+                                 rebuild_fraction: float = 0.2,
+                                 compact_files: int | None = 64):
     """Continuously-indexed corpus: every micro-batch is (1) committed
     to the base :class:`VersionedTable` under
     :func:`versioned_append_batch`'s exactly-once-effect contract,
@@ -484,6 +485,30 @@ def foreach_batch_indexed_ingest(stream_df: DataFrame, table, index_root,
     refresh no-ops (base unchanged -> current generation returned
     without a write).  Idempotent end-to-end, no 2-phase anything.
 
+    MEASURED per-batch cost (tools/ab_stream_ingest.py, sf10 tier =
+    200k vectors, probe-bracketed quiet window, 2026-08-15): the
+    refresh is a FIXED ~2.0-2.6 s regardless of batch size -- batches
+    of 200 / 1000 / 4000 rows refresh in ~2.6 / 2.2 / 2.2 s (13 ->
+    2.2 -> 0.55 s/krow) -- because the cost is the pipeline (CDC
+    manifest diff, merge discovery scan, touched-cell centroid
+    recompute: a random batch touches every cell), not the delta rows.
+    Consequences, measured:
+
+    * per-batch refresh is the FRESHNESS-max configuration; when the
+      stream's batches are small relative to that fixed cost, refresh
+      every N batches instead -- the deferred shape is already
+      crash-equivalent (refresh diffs against the index's own pin, so
+      one refresh spanning 4 x 200-row commits cost 1.98 s vs 10.6 s
+      for 4 per-batch refreshes, byte-identical index);
+    * the full rebuild fallback cost 6.6 s on the same corpus, ~3x one
+      delta refresh -- the rebuild_fraction=0.2 default sits well on
+      the right side of that trade;
+    * fragmentation grows ~1 cell file per refresh; the default
+      compact_files=64 threshold trips roughly every ~55 batches, and
+      the compaction-tripping refresh measured 8.0 s (vs ~2.2 s
+      steady-state; files 20 -> 10) -- an O(corpus) rewrite amortized
+      to ~0.1 s/batch, paid inside the refresh that trips it.
+
     Returns the started StreamingQuery (caller drains/stops it)."""
     from location_summary_etl_spark.operators.ann_index import (
         refresh_ivf_index,
@@ -494,7 +519,8 @@ def foreach_batch_indexed_ingest(stream_df: DataFrame, table, index_root,
         refresh_ivf_index(batch.sparkSession, table, index_root,
                           id_col=id_col, vec_col=vec_col,
                           label_col=label_col,
-                          rebuild_fraction=rebuild_fraction)
+                          rebuild_fraction=rebuild_fraction,
+                          compact_files=compact_files)
 
     return (
         stream_df.writeStream.outputMode("append")
