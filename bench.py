@@ -43,6 +43,8 @@ import time
 EXTRAS = [
     "dedup_minhash_lsh_uncapped",
     "dedup_ngram_jaccard_uncapped",
+    "dedup_ngram_jaccard_auto",
+    "ann_topk_ivf_quantized",
     "multimodal_audio_decode",
     "merge_upsert_orders",
     "ann_topk_ivf_persisted",
@@ -154,6 +156,10 @@ def main() -> None:
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     pass_probes: list[float] = [hostprobe.probe()] if probing else []
+    # Second probe class (r9): aggregate-bandwidth kernel, RECORDED so
+    # scan-heavy cross-window swings can be correlated with it (quiet
+    # 0.47-0.65 s; see tools/hostprobe.py).  Not yet a gate.
+    bw_probes: list[float] = [hostprobe.probe_mt()] if probing else []
     times_by_pass: list[dict[str, float]] = []
     for _ in range(passes):
         pass_times: dict[str, float] = {}
@@ -171,6 +177,7 @@ def main() -> None:
         times_by_pass.append(pass_times)
         if probing:
             pass_probes.append(hostprobe.probe())
+            bw_probes.append(hostprobe.probe_mt())
     times = {n: round(min(p[n] for p in times_by_pass), 3) for n in names}
     quiet_idx = [
         i for i in range(passes)
@@ -239,6 +246,7 @@ def main() -> None:
         "probe_threshold_sec": probe_threshold if probing else None,
         "probe_startup_sec": startup_probes or None,
         "probe_pass_sec": pass_probes or None,
+        "probe_bw_sec": bw_probes or None,
         "probe_quiet_passes": quiet_passes if probing else None,
         # Blind-spot cells (see module docstring): queries whose quiet-
         # pass minima spread > UNSTABLE_SPREAD.  Cross-round deltas on

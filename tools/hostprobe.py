@@ -27,6 +27,17 @@ honestly labelled, but cross-window deltas are still only suggestive;
 the authoritative comparison remains the interleaved same-session A/B
 (tools/ab_*.py pattern), and bench.py's min-across-passes defends
 against within-run flips.
+
+Second probe class (r9, addressing that LIMIT): :func:`probe_mt` runs
+the same kernel on MT_THREADS threads at once (numpy releases the GIL
+inside ufunc loops, so this is real parallel streaming) -- a
+single-core kernel can pass while the co-tenant saturates the
+machine's AGGREGATE memory bandwidth, which is what a 32-thread
+parquet scan actually competes for.  Quiet value measured 0.3-0.65 s
+on this host (2026-08-15, repeated runs after the warm round).  RECORDED, not
+gating: bench.py stamps it alongside the arithmetic probes so future
+rounds can correlate scan-heavy swings with the MT value before any
+threshold is trusted to gate.
 """
 
 from __future__ import annotations
@@ -34,6 +45,8 @@ from __future__ import annotations
 import time
 
 QUIET_SEC = 1.4   # quiet ~1.05 s; >1.4 s = co-tenant steal regime
+MT_THREADS = 8
+MT_QUIET_SEC = 1.0  # quiet 0.3-0.65 s measured; >1.0 = contended band
 
 
 def probe(runs: int = 4) -> float:
@@ -52,6 +65,37 @@ def probe(runs: int = 4) -> float:
     for _ in range(runs):
         (np.arange(50_000_000) * 3 + 1).sum()
     return round(time.perf_counter() - t0, 3)
+
+
+def probe_mt(threads: int = MT_THREADS, runs: int = 2,
+             n: int = 25_000_000) -> float:
+    """Wall time of ``threads`` concurrent executions of the streaming
+    kernel (``runs`` each) -- the aggregate-memory-bandwidth probe the
+    single-core kernel cannot be (see module docstring).  One untimed
+    parallel round first (per-thread first-touch page faults are
+    allocator state, not host contention), then MIN of two timed
+    rounds: measured, a fresh interpreter's first timed round can
+    still read 2-6x steady (THP/allocator settling) while contention
+    only ever INFLATES, so the min is the honest contention reading."""
+    import threading
+
+    import numpy as np
+
+    def work():
+        for _ in range(runs):
+            (np.arange(n) * 3 + 1).sum()
+
+    def round_of():
+        ts = [threading.Thread(target=work) for _ in range(threads)]
+        t0 = time.perf_counter()
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        return round(time.perf_counter() - t0, 3)
+
+    round_of()
+    return min(round_of(), round_of())
 
 
 def wait_quiet(
