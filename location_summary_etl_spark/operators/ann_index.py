@@ -409,7 +409,18 @@ def ivf_query_index_quantized(spark: SparkSession, root: str,
     :func:`~location_summary_etl_spark.operators.quantize.int8_quantize`
     expressions as the stored codes.  All-zero queries or candidates
     (integer norm 0) are excluded, matching the float paths' null-
-    cosine filter and the oracle's ``nrm > 0``."""
+    cosine filter and the oracle's ``nrm > 0``.
+
+    MEASURED vs the float serving path (tools/ab_ann_quantized.py,
+    sf10 tier = 200k vectors, probe-bracketed quiet window,
+    2026-08-15): candidate scan 8.2 MB vs 56.9 MB on disk (6.9x fewer
+    bytes -- the float inverted file stores array<double>, so int8
+    beats the naive 4x), serve latency 0.98 vs 1.64 s min-of-5
+    interleaved (-40%), top-10 agreement 0.80 (the ~1e-3 quantized-
+    cosine error reorders near-ties; both rankings are exactly
+    oracled, so the trade is visible, not hidden).  At warehouse
+    scale the byte ratio is the whole story: the candidate scan is
+    the O(probed cells' bytes) term."""
     from location_summary_etl_spark.functions.scalars import round_portable
     from location_summary_etl_spark.operators.quantize import int8_quantize
 
