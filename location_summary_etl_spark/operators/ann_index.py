@@ -384,7 +384,8 @@ def _probe_pairs(qdf: DataFrame, cent: DataFrame,
 def ivf_query_index_quantized(spark: SparkSession, root: str,
                               queries: list[tuple[int, list[float]]],
                               k: int = 5, n_probe: int = IVF_N_PROBE,
-                              version: int | None = None) -> DataFrame:
+                              version: int | None = None,
+                              backend: str = "pandas") -> DataFrame:
     """Quantized serving over the persisted index: the candidate scan
     reads the int8 inverted file (``cells_q8`` -- 1 byte/dim + one
     exact integer L2 per vector), file-pruned to the probed cells, and
@@ -411,16 +412,27 @@ def ivf_query_index_quantized(spark: SparkSession, root: str,
     (integer norm 0) are excluded, matching the float paths' null-
     cosine filter and the oracle's ``nrm > 0``.
 
-    MEASURED vs the float serving path (tools/ab_ann_quantized.py,
-    sf10 tier = 200k vectors, probe-bracketed quiet window,
-    2026-08-15): candidate scan 8.2 MB vs 56.9 MB on disk (6.9x fewer
-    bytes -- the float inverted file stores array<double>, so int8
-    beats the naive 4x), serve latency 0.98 vs 1.64 s min-of-5
-    interleaved (-40%), top-10 agreement 0.80 (the ~1e-3 quantized-
-    cosine error reorders near-ties; both rankings are exactly
-    oracled, so the trade is visible, not hidden).  At warehouse
-    scale the byte ratio is the whole story: the candidate scan is
-    the O(probed cells' bytes) term."""
+    ``backend``: ``"pandas"`` (default) scores each Arrow batch of
+    pruned candidates with ONE int64 matmul -- exact integers make the
+    matmul order-free, so it is bit-identical to the expression form
+    (asserted by test) with none of the float paths' sequential-fold
+    discipline; ``"expr"`` keeps the scoring entirely JVM-side
+    (zip_with/aggregate -- Catalyst evaluates array lambdas
+    interpreted, the measured 3x tax) for callers that must not
+    launch Python workers.
+
+    MEASURED (tools/ab_ann_quantized.py + the backend A/B, sf10 tier
+    = 200k vectors, probe-bracketed quiet windows, 2026-08-15):
+    candidate scan 8.2 MB vs the float path's 56.9 MB on disk (6.9x
+    fewer bytes -- the float inverted file stores array<double>, so
+    int8 beats the naive 4x); serve latency float 1.64 s / expr
+    quantized 1.03 / pandas quantized 0.36 s min-of-5 interleaved
+    (results byte-identical across both quantized backends); top-10
+    agreement vs float 0.80 (the ~1e-3 quantized-cosine error
+    reorders near-ties; both rankings are exactly oracled, so the
+    trade is visible, not hidden).  At warehouse scale the byte ratio
+    is the whole story: the candidate scan is the O(probed cells'
+    bytes) term."""
     from location_summary_etl_spark.functions.scalars import round_portable
     from location_summary_etl_spark.operators.quantize import int8_quantize
 
@@ -437,31 +449,39 @@ def ivf_query_index_quantized(spark: SparkSession, root: str,
     probed = sorted({cl for _qid, cl in pairs})
     q8 = VersionedTable(os.path.join(root, _CELLS_Q8)).read(
         spark, meta["q8_version"], where_any=("cl", probed))
-    # quantize the literal queries with the exact stored-code arithmetic
-    qq = int8_quantize(qdf.select("query_id", "q_v"), ["query_id"], "q_v")
-    qq = qq.select(
-        "query_id", F.col("q").cast("array<tinyint>").alias("_qq"),
-        F.col("q_l2sq").alias("_q_l2sq")).filter(F.col("_q_l2sq") > 0)
-    pairs_df = spark.createDataFrame(pairs, "query_id long, cl int")
-    probes = qq.join(F.broadcast(pairs_df), "query_id")
-    dot = F.aggregate(
-        F.zip_with("_qq", "q8",
-                   lambda a, b: a.cast("bigint") * b.cast("bigint")),
-        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
-    scored = (
-        q8.filter(F.col("cl").isin(probed))  # skipping is not the predicate
-        .filter(F.col("q_l2sq") > 0)
-        .join(F.broadcast(probes), "cl")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id", "vec_id",
-            round_portable(
-                dot.cast("double")
-                / (F.sqrt(F.col("_q_l2sq").cast("double"))
-                   * F.sqrt(F.col("q_l2sq").cast("double"))), 6
-            ).alias("qcosine"),
+    cand = (q8.filter(F.col("cl").isin(probed))  # skipping is not the
+            .filter(F.col("q_l2sq") > 0))        # predicate
+    if backend == "pandas":
+        scored = _q8_score_pandas(cand, queries, pairs, k)
+    elif backend == "expr":
+        # quantize the literal queries with the exact stored-code
+        # arithmetic, score with JVM higher-order expressions
+        qq = int8_quantize(qdf.select("query_id", "q_v"),
+                           ["query_id"], "q_v")
+        qq = qq.select(
+            "query_id", F.col("q").cast("array<tinyint>").alias("_qq"),
+            F.col("q_l2sq").alias("_q_l2sq")).filter(F.col("_q_l2sq") > 0)
+        pairs_df = spark.createDataFrame(pairs, "query_id long, cl int")
+        probes = qq.join(F.broadcast(pairs_df), "query_id")
+        dot = F.aggregate(
+            F.zip_with("_qq", "q8",
+                       lambda a, b: a.cast("bigint") * b.cast("bigint")),
+            F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+        scored = (
+            cand.join(F.broadcast(probes), "cl")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id", "vec_id",
+                round_portable(
+                    dot.cast("double")
+                    / (F.sqrt(F.col("_q_l2sq").cast("double"))
+                       * F.sqrt(F.col("q_l2sq").cast("double"))), 6
+                ).alias("qcosine"),
+            )
         )
-    )
+    else:
+        raise ValueError(
+            f"backend must be 'pandas' or 'expr', got {backend!r}")
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
@@ -471,6 +491,74 @@ def ivf_query_index_quantized(spark: SparkSession, root: str,
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "qcosine")
     )
+
+
+def _q8_score_pandas(cand: DataFrame,
+                     queries: list[tuple[int, list[float]]],
+                     pairs: list[tuple[int, int]], k: int) -> DataFrame:
+    """Arrow-batched int64-matmul scorer over the pruned q8 candidates
+    -- the ``quantized_topk`` batch shape applied AFTER cell pruning.
+    Exact integers make the matmul order-free, so rows are
+    bit-identical to the expression backend (pinned by test); the
+    per-query probed-cell membership (different queries probe
+    different cells) rides in the broadcast next to the query codes.
+    Per-batch pre-cut in the final ranking order keeps the top-k
+    window's shuffle O(partitions x |Q| x k)."""
+    import numpy as np
+
+    from location_summary_etl_spark.operators.quantize import _np_quantize
+    from location_summary_etl_spark.session import partition_for_python_scan
+
+    spark = cand.sparkSession
+    qm = np.array([v for _i, v in queries], dtype=np.float64)
+    qq, _ = _np_quantize(qm)
+    qn = np.sqrt((qq * qq).sum(axis=1).astype(np.float64))
+    qids = np.array([i for i, _v in queries], dtype=np.int64)
+    live = qn > 0
+    qids, qq, qn = qids[live], qq[live], qn[live]
+    cells_of = {int(q): {c for p, c in pairs if p == q}
+                for q in qids.tolist()}
+    bq = spark.sparkContext.broadcast((qids, qq, qn, cells_of))
+    cand = partition_for_python_scan(
+        cand.select("vec_id", "cl", "q8", "q_l2sq"))
+
+    def score(batches):
+        import pandas as pd
+
+        qids, qq, qn, cells_of = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vids = pdf["vec_id"].to_numpy(np.int64)
+            cls = pdf["cl"].to_numpy(np.int64)
+            cm = np.stack(pdf["q8"].to_numpy()).astype(np.int64)
+            cn = np.sqrt(pdf["q_l2sq"].to_numpy(np.float64))
+            dots = cm @ qq.T  # exact int64
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (cn[:, None] * qn[None, :])
+            p = float(10 ** 6)
+            cos = np.sign(cos) * np.floor(np.abs(cos) * p + 0.5) / p
+            n_b, n_q = cos.shape
+            out = pd.DataFrame({
+                "query_id": np.repeat(qids, n_b),
+                "vec_id": np.tile(vids, n_q),
+                "cl": np.tile(cls, n_q),
+                "qcosine": cos.T.reshape(-1),
+            })
+            out = out[np.isfinite(out["qcosine"])]
+            out = out[out["query_id"] != out["vec_id"]]
+            out = out[[c in cells_of[q] for q, c in
+                       zip(out["query_id"], out["cl"])]]
+            out = (
+                out.sort_values(["query_id", "qcosine", "vec_id"],
+                                ascending=[True, False, True])
+                .groupby("query_id", sort=False)
+                .head(k)
+            )
+            yield out[["query_id", "vec_id", "qcosine"]]
+
+    return cand.mapInPandas(
+        score, "query_id bigint, vec_id bigint, qcosine double")
 
 
 def vacuum_index(root: str, retain_generations: int = 2,

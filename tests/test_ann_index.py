@@ -998,6 +998,12 @@ def test_quantized_serving_matches_numpy_backend_and_prunes(
     want = quantized_topk(emb, qids, k=5)
     assert _topk_sets(got.withColumnRenamed("qcosine", "cosine")) == \
         _topk_sets(want.withColumnRenamed("qcosine", "cosine"))
+    # both serving backends are bit-identical (exact integer dots)
+    got_expr = ivf_query_index_quantized(spark, root, queries, k=5,
+                                         n_probe=n_cells, version=v,
+                                         backend="expr")
+    assert sorted(map(str, got_expr.collect())) == \
+        sorted(map(str, got.collect()))
 
     # (b) constructed 4-cell index: corrupt every q8 file that cannot
     # hold cell 2, query the cell-2 centroid with n_probe=1

@@ -64,11 +64,15 @@ def main() -> None:
                                          k=k, version=v)
     q8 = lambda: ivf_query_index_quantized(spark, root, queries,  # noqa
                                            k=k, version=v)
+    q8e = lambda: ivf_query_index_quantized(spark, root, queries,  # noqa
+                                            k=k, version=v, backend="expr")
 
     a = {(r["query_id"], r["vec_id"]) for r in fl().collect()}
     b = {(r["query_id"], r["vec_id"]) for r in q8().collect()}
     print(f"top-{k} agreement: {len(a & b)}/{len(a)} "
           f"({len(a & b) / len(a):.2f})", flush=True)
+    assert sorted(map(str, q8().collect())) == \
+        sorted(map(str, q8e().collect())), "quantized backends disagree"
     nf_f, by_f = scan_bytes(fl())
     nf_q, by_q = scan_bytes(q8())
     print(f"scan: float {nf_f} files / {by_f / 1e6:.2f} MB vs "
@@ -77,13 +81,17 @@ def main() -> None:
 
     print("startup probes:",
           hostprobe.wait_quiet(attempts=20, sleep_sec=110), flush=True)
-    timed(spark, fl()); timed(spark, q8())
-    tf, tq = [], []
+    timed(spark, fl()); timed(spark, q8()); timed(spark, q8e())
+    tf, tq, te = [], [], []
     for _ in range(5):
         tf.append(timed(spark, fl()))
         tq.append(timed(spark, q8()))
+        te.append(timed(spark, q8e()))
     print(f"{tier}: float min {min(tf):.3f}s {sorted(round(x, 3) for x in tf)}"
-          f" | int8 min {min(tq):.3f}s {sorted(round(x, 3) for x in tq)}"
+          f" | int8-pandas min {min(tq):.3f}s "
+          f"{sorted(round(x, 3) for x in tq)}"
+          f" | int8-expr min {min(te):.3f}s "
+          f"{sorted(round(x, 3) for x in te)}"
           f" | probe={hostprobe.probe()} bw={hostprobe.probe_mt()}",
           flush=True)
     spark.stop()
