@@ -600,11 +600,11 @@ def vacuum_index(root: str, retain_generations: int = 2,
     }
     # The quantized inverted file (when any retained generation carries
     # one) follows the same pin-derived retention.
+    q8_tbl = VersionedTable(os.path.join(root, _CELLS_Q8))
+    qvs = q8_tbl.versions()
     q8_pins = [m["q8_version"] for m in metas
                if m.get("q8_version") is not None]
     if q8_pins:
-        q8_tbl = VersionedTable(os.path.join(root, _CELLS_Q8))
-        qvs = q8_tbl.versions()
         oldest_q8 = min(q8_pins)
         if oldest_q8 not in qvs:
             raise ValueError(
@@ -615,6 +615,16 @@ def vacuum_index(root: str, retain_generations: int = 2,
         out["cells_q8"] = q8_tbl.vacuum(
             retain_last=len(qvs) - qvs.index(oldest_q8),
             grace_seconds=grace_seconds)
+    elif qvs:
+        # A q8 table exists but NO retained generation pins it any
+        # more (e.g. the index was rebuilt with store_quantized=False)
+        # -- without this branch its files would be orphaned forever.
+        # Retire everything but its latest version; removing the
+        # abandoned table entirely is a caller decision (it may be
+        # about to re-enable store_quantized), so the residue is one
+        # version, not unbounded history.
+        out["cells_q8"] = q8_tbl.vacuum(retain_last=1,
+                                        grace_seconds=grace_seconds)
     return out
 
 

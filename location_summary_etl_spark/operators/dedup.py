@@ -857,25 +857,32 @@ def ngram_jaccard_pairs_auto(docs: DataFrame, id_col: str = "doc_id",
     relation (same oracle), so the gate is purely physical.
 
     CAP CONTRACT: the prefix form carries no df cap (see its SKEW
-    POSTURE), so ``max_df``/``cap_mode`` can only be honored by the
-    aggregate form.  A caller who passes either EXPLICITLY is asking
-    for skew safety, and the gate therefore never routes them to
-    prefix -- the explicit cap pins the aggregate form (and the probe
-    job is skipped).  Combining an explicit cap with
-    ``prefer="prefix"`` is contradictory and raises rather than
-    silently dropping the cap.  Left unset, the aggregate form runs
-    with its usual DEFAULT_MAX_DF filter cap."""
-    cap_explicit = max_df is not _CAP_UNSET or cap_mode is not _CAP_UNSET
+    POSTURE), so a REQUESTED cap -- an explicit non-None ``max_df``,
+    or an explicit ``cap_mode`` -- can only be honored by the
+    aggregate form; the gate therefore never routes such a caller to
+    prefix (the requested cap pins the aggregate form and the probe
+    job is skipped), and combining a requested cap with
+    ``prefer="prefix"`` raises rather than silently dropping it.
+    An explicit ``max_df=None`` is the opposite request -- NO cap --
+    which BOTH forms honor, so it leaves the gate free (both branches
+    then emit the identical uncapped exact-Jaccard relation: the
+    oracle-stable configuration for probe-gated callers).  Left
+    unset, the aggregate form runs with its usual DEFAULT_MAX_DF
+    filter cap -- skew-safe, but then the gate's two branches differ
+    wherever the cap bites, so oracle-paired callers should pin the
+    form or pass ``max_df=None``."""
+    cap_requested = ((max_df is not _CAP_UNSET and max_df is not None)
+                     or cap_mode is not _CAP_UNSET)
     max_df = DEFAULT_MAX_DF if max_df is _CAP_UNSET else max_df
     cap_mode = "filter" if cap_mode is _CAP_UNSET else cap_mode
-    if prefer == "prefix" and cap_explicit:
+    if prefer == "prefix" and cap_requested:
         raise ValueError(
-            "ngram_jaccard_pairs_auto: prefer='prefix' with an explicit "
+            "ngram_jaccard_pairs_auto: prefer='prefix' with a requested "
             "max_df/cap_mode is contradictory -- the prefix form carries "
             "no df cap; call ngram_jaccard_pairs_prefix directly if the "
             "cap is disposable, or drop prefer to keep the cap")
     if prefer is None:
-        if cap_explicit:
+        if cap_requested:
             # an explicitly requested skew cap only exists in the
             # aggregate form -- never gate it away
             prefer = "aggregate"

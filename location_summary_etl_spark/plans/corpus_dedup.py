@@ -189,7 +189,12 @@ FROM blocks a JOIN blocks b
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
 """
 
-NGRAM_JACCARD_SQL = """
+def ngram_jaccard_sql(threshold: float) -> str:
+    """UNCAPPED n-gram Jaccard oracle at ``threshold`` -- the semantic
+    both the uncapped aggregate form and the prefix-filtered form
+    emit, so it is the stable pairing for the probe-gated auto entry
+    (whichever branch the gate picks)."""
+    return f"""
 WITH tok AS (
     SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ),
@@ -215,8 +220,11 @@ SELECT id_a, id_b,
 FROM shared
 JOIN cnt ca ON id_a = ca.doc_id
 JOIN cnt cb ON id_b = cb.doc_id
-WHERE round(CAST(shared / (ca.n + cb.n - shared) AS DOUBLE), 4) >= 0.5
+WHERE round(CAST(shared / (ca.n + cb.n - shared) AS DOUBLE), 4) >= {threshold}
 """
+
+
+NGRAM_JACCARD_SQL = ngram_jaccard_sql(0.5)
 
 def ngram_jaccard_capped_sql(threshold: float, max_df: int) -> str:
     """Oracle for ngram_jaccard_pairs(max_df=...): grams with document
@@ -341,13 +349,18 @@ def dedup_ngram_jaccard_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     ngram_jaccard_pairs_auto at t=0.7 runs the bounded gram-reuse
     probe (one O(sample) job at any corpus scale) and picks the form.
     On this corpus the probe measures ~0.63 reuse (< the 0.95 prefix
-    bound), so the gate lands on the capped aggregate -- the oracle is
-    therefore the capped SQL at the same threshold, and the probe
-    itself executes under the external gate.  The bench headline keeps
-    timing the PINNED forms (dedup_ngram_jaccard / _prefix entries
-    unchanged) so r9/r8 stay comparable."""
+    bound), so the gate lands on the aggregate.  The entry is
+    deliberately CAP-FREE (``max_df=None``): both gate branches then
+    emit the identical uncapped exact-Jaccard relation, so the oracle
+    pairing is stable no matter which branch a tier's probe sample
+    lands on -- a probe-dependent pairing against the capped SQL
+    would break the moment some corpus measured >= 0.95 reuse (the
+    prefix form carries no cap).  The bench headline keeps timing the
+    PINNED forms (dedup_ngram_jaccard / _prefix entries unchanged)
+    so r9/r8 stay comparable."""
     return ngram_jaccard_pairs_auto(_docs(spark, sf_dir), n=3,
-                                    threshold=NGRAM_AUTO_THRESHOLD)
+                                    threshold=NGRAM_AUTO_THRESHOLD,
+                                    max_df=None)
 
 
 def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -386,7 +399,7 @@ register("dedup_simhash_pairs", dedup_simhash_pairs, SIMHASH_NEAR_DUP_SQL)
 register("dedup_ngram_jaccard", dedup_ngram_jaccard,
          ngram_jaccard_capped_sql(0.5, DEFAULT_MAX_DF))
 register("dedup_ngram_jaccard_auto", dedup_ngram_jaccard_auto,
-         ngram_jaccard_capped_sql(NGRAM_AUTO_THRESHOLD, DEFAULT_MAX_DF))
+         ngram_jaccard_sql(NGRAM_AUTO_THRESHOLD))
 register("dedup_ngram_jaccard_prefix", dedup_ngram_jaccard_prefix,
          NGRAM_JACCARD_SQL)
 register("dedup_minhash_lsh_uncapped", dedup_minhash_lsh_uncapped,

@@ -860,7 +860,7 @@ def test_auto_compaction_bounds_inverted_file_fragmentation(
         after_m = cells_tbl._manifest(index_meta(root, g)["cells_version"])
         if compacted_at is None and after_m["n_files"] < before:
             compacted_at = step
-            assert after_m["operation"] == "compact" or True
+            assert after_m["operation"] == "ivf_compact", after_m
     assert compacted_at is not None, "threshold never tripped"
     latest_m = cells_tbl._manifest(index_meta(root, gens[-1])["cells_version"])
     assert latest_m["n_files"] <= 7  # bounded, not monotonically growing

@@ -2097,13 +2097,16 @@ def test_ngram_auto_selects_by_reuse_probe_and_threshold(spark):
     assert a == b
 
 
-def test_ngram_auto_explicit_cap_is_never_gated_away(spark):
-    """The r9 cap contract (ADVICE r8): a caller who EXPLICITLY passes
-    max_df/cap_mode is asking for skew safety, which only the
-    aggregate form provides -- the gate must pin aggregate even in
-    prefix's measured-win cell (and skip the probe job), and the
-    contradictory prefer='prefix' + explicit cap combination raises
-    instead of silently dropping the cap."""
+def test_ngram_auto_requested_cap_is_never_gated_away(spark):
+    """The r9 cap contract (ADVICE r8): a caller who REQUESTS a cap
+    (non-None max_df, or an explicit cap_mode) is asking for skew
+    safety, which only the aggregate form provides -- the gate must
+    pin aggregate even in prefix's measured-win cell (and skip the
+    probe job), and the contradictory prefer='prefix' + requested-cap
+    combination raises instead of silently dropping the cap.  An
+    explicit max_df=None is the OPPOSITE request (no cap, which both
+    forms honor) and leaves the gate free -- the oracle-stable
+    configuration the probe-gated corpus entry uses."""
     import pytest as _pytest
 
     from location_summary_etl_spark.operators.dedup import (
@@ -2118,15 +2121,20 @@ def test_ngram_auto_explicit_cap_is_never_gated_away(spark):
         opt = df._jdf.queryExecution().optimizedPlan().toString()
         return "prefix" if "array_intersect" in opt else "aggregate"
 
-    # sparse + t=0.8 is the prefix win cell (asserted above); an
-    # explicit cap must override it in every spelling
+    # sparse + t=0.8 is the prefix win cell (asserted above); a
+    # requested cap must override it in both spellings
     assert form(ngram_jaccard_pairs_auto(
         sparse, threshold=0.8, max_df=100)) == "aggregate"
     assert form(ngram_jaccard_pairs_auto(
         sparse, threshold=0.8, cap_mode="census")) == "aggregate"
+    # explicit max_df=None = cap-free: the gate stays free and still
+    # picks prefix in its win cell
     assert form(ngram_jaccard_pairs_auto(
-        sparse, threshold=0.8, max_df=None)) == "aggregate"
+        sparse, threshold=0.8, max_df=None)) == "prefix"
 
     with _pytest.raises(ValueError, match="contradictory"):
         ngram_jaccard_pairs_auto(sparse, threshold=0.8, prefer="prefix",
                                  max_df=100)
+    # prefix + cap-free is NOT contradictory
+    ngram_jaccard_pairs_auto(sparse, threshold=0.8, prefer="prefix",
+                             max_df=None)

@@ -130,11 +130,11 @@ def main() -> None:
     t0 = time.perf_counter()
     refresh_ivf_index(spark, base, root)
     t_def = time.perf_counter() - t0
-    per_batch_500 = [r[1] for r in results[defer_size]]
+    per_batch_defer = [r[1] for r in results[defer_size]]
     print(f"deferred: {DEFER_N} x {defer_size} rows -> ONE refresh "
           f"{t_def:.2f}s vs {DEFER_N} per-batch refreshes "
-          f"~{DEFER_N * min(per_batch_500):.2f}s "
-          f"(min-based; per-batch min {min(per_batch_500):.2f}s)",
+          f"~{DEFER_N * min(per_batch_defer):.2f}s "
+          f"(min-based; per-batch min {min(per_batch_defer):.2f}s)",
           flush=True)
 
     # sanity: the maintained index answers and passes the staleness gate
