@@ -1088,3 +1088,58 @@ def test_delta_refresh_maintains_quantized_cells(spark, sf_dir, tmp_path):
     assert "cells_q8" in removed
     still = ivf_query_index_quantized(spark, root, queries, k=5, version=v2)
     assert still.count() > 0
+
+
+def test_kmeans_quantized_index_refresh_end_to_end(spark, sf_dir, tmp_path):
+    """The two r8/r9 options COMBINED: a trained (frozen) kmeans
+    quantizer with a stored q8 inverted file, maintained through a
+    delta refresh -- quantized serving over the refreshed index equals
+    a from-scratch kmeans+q8 build of the full base (the q8 merge is
+    quantizer-independent; the frozen centroids republish verbatim)."""
+    from location_summary_etl_spark.operators.ann_index import (
+        ivf_query_index_quantized,
+        refresh_ivf_index,
+    )
+    from location_summary_etl_spark.operators.similarity import (
+        fetch_query_rows,
+    )
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = VersionedTable(str(tmp_path / "base"))
+    base.commit(emb.filter(F.col("vec_id") % 10 != 0), mode="overwrite")
+    root = str(tmp_path / "idx")
+    build_ivf_index(base.read(spark), root,
+                    base_version=base.latest_version(),
+                    quantizer="kmeans", k_cells=6, train_iters=1,
+                    store_quantized=True)
+    base.commit(emb.filter(F.col("vec_id") % 10 == 0), mode="append")
+    v2 = refresh_ivf_index(spark, base, root)
+    m2 = index_meta(root, v2)
+    assert m2["op"] == "ivf_delta" and m2["quantizer"] == "kmeans"
+    assert m2["q8_version"] is not None
+
+    # from-scratch spec: SAME frozen centroids (pin them from the
+    # refreshed index's generation -- a fresh kmeans fit over the full
+    # table would legitimately train different cells)
+    cent_tbl = VersionedTable(str(tmp_path / "idx" / "centroids"))
+    pinned = sorted((int(r["cl"]), list(r["cv"]))
+                    for r in cent_tbl.read(spark, v2).collect())
+    from location_summary_etl_spark.operators.ann_index import (
+        _q8_of_cells,
+    )
+    from location_summary_etl_spark.operators.similarity import (
+        ivf_cells_quantized,
+    )
+    spec_q8 = _q8_of_cells(
+        ivf_cells_quantized(base.read(spark), pinned))
+    got_q8 = VersionedTable(str(tmp_path / "idx" / "cells_q8")).read(
+        spark, m2["q8_version"])
+    assert sorted(map(str, got_q8.collect())) == \
+        sorted(map(str, spec_q8.collect()))
+
+    queries = [(int(i), [float(x) for x in vec])
+               for i, vec in fetch_query_rows(emb, "vec_id", "embedding",
+                                              [1, 2, 3])]
+    got = ivf_query_index_quantized(spark, root, queries, k=4, version=v2)
+    assert got.count() == 12
