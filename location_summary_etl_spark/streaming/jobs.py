@@ -466,7 +466,8 @@ def foreach_batch_indexed_ingest(stream_df: DataFrame, table, index_root,
                                  vec_col: str = "embedding",
                                  label_col: str = "label",
                                  rebuild_fraction: float = 0.2,
-                                 compact_files: int | None = 64):
+                                 compact_files: int | None = 64,
+                                 refresh_every: int = 1):
     """Continuously-indexed corpus: every micro-batch is (1) committed
     to the base :class:`VersionedTable` under
     :func:`versioned_append_batch`'s exactly-once-effect contract,
@@ -509,18 +510,33 @@ def foreach_batch_indexed_ingest(stream_df: DataFrame, table, index_root,
       steady-state; files 20 -> 10) -- an O(corpus) rewrite amortized
       to ~0.1 s/batch, paid inside the refresh that trips it.
 
+    ``refresh_every``: the executable form of that curve.  1 (default)
+    refreshes per batch (freshness-max); N refreshes on every Nth
+    batch id (a deterministic cadence -- batch ids are stable across
+    checkpoint restarts, so a replayed cycle re-lands on the same
+    schedule), and each refresh covers EVERY batch since the index's
+    own pin, so skipped batches are never lost -- the same property
+    that makes the crash window safe makes the cadence safe.  The
+    index then lags the base by at most N-1 committed batches (the
+    caller's staleness budget); after stopping the stream mid-cycle,
+    one direct ``refresh_ivf_index`` call catches the index up.
+
     Returns the started StreamingQuery (caller drains/stops it)."""
     from location_summary_etl_spark.operators.ann_index import (
         refresh_ivf_index,
     )
 
+    if refresh_every < 1:
+        raise ValueError(f"refresh_every must be >= 1, got {refresh_every}")
+
     def step(batch: DataFrame, batch_id: int) -> None:
         versioned_append_batch(table, batch, batch_id)
-        refresh_ivf_index(batch.sparkSession, table, index_root,
-                          id_col=id_col, vec_col=vec_col,
-                          label_col=label_col,
-                          rebuild_fraction=rebuild_fraction,
-                          compact_files=compact_files)
+        if batch_id % refresh_every == refresh_every - 1:
+            refresh_ivf_index(batch.sparkSession, table, index_root,
+                              id_col=id_col, vec_col=vec_col,
+                              label_col=label_col,
+                              rebuild_fraction=rebuild_fraction,
+                              compact_files=compact_files)
 
     return (
         stream_df.writeStream.outputMode("append")

@@ -590,3 +590,87 @@ def test_indexed_ingest_keeps_index_current_per_batch(spark, tmp_path):
     assert [o["op"] for o in ops] == [
         "ivf_build", "ivf_delta", "ivf_delta", "ivf_delta"]
     assert [o["base_version"] for o in ops] == [0, 1, 2, 3]
+
+
+def test_indexed_ingest_deferred_refresh_cadence(spark, tmp_path):
+    """refresh_every=N (the executable form of the r9 cost curve):
+    with 3 micro-batches and refresh_every=3, exactly ONE refresh
+    lands (on batch id 2) and it covers all three batches -- results
+    equal a from-scratch build.  With a cadence that leaves the last
+    batches uncovered, the index lags by design and one direct
+    refresh_ivf_index call catches it up."""
+    import json
+    import os
+
+    from location_summary_etl_spark.operators.ann_index import (
+        build_ivf_index,
+        index_meta,
+        ivf_query_index,
+        refresh_ivf_index,
+    )
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+    from location_summary_etl_spark.streaming.jobs import (
+        foreach_batch_indexed_ingest,
+    )
+
+    schema = "vec_id bigint, embedding array<float>, label int"
+
+    def drive(name, refresh_every, n_slices):
+        base = VersionedTable(str(tmp_path / f"base_{name}"))
+        base.commit(spark.createDataFrame(
+            [(i, [float(i % 7), float(i % 5), 1.0], i % 4)
+             for i in range(100)], schema), mode="overwrite")
+        root = str(tmp_path / f"idx_{name}")
+        g0 = build_ivf_index(base.read(spark), root,
+                             base_version=base.latest_version())
+        src = str(tmp_path / f"src_{name}")
+        (spark.createDataFrame(
+            [(1000 + i, [9.0, float(i), 1.0], i % 4)
+             for i in range(10 * n_slices)], schema)
+            .withColumn("slice", (F.col("vec_id") % n_slices).cast("int"))
+            .repartition("slice")
+            .write.partitionBy("slice").parquet(src))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        q = foreach_batch_indexed_ingest(
+            stream, base, root, str(tmp_path / f"ckpt_{name}"),
+            rebuild_fraction=1.0, refresh_every=refresh_every)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return base, root, g0
+
+    # cadence divides the batch count: one refresh covers everything
+    base, root, g0 = drive("full", refresh_every=3, n_slices=3)
+    assert base.latest_version() == 3
+    meta = index_meta(root)
+    assert meta["version"] == g0 + 1           # ONE refresh, not three
+    assert meta["base_version"] == 3           # ...covering all batches
+    full_root = str(tmp_path / "spec_full")
+    vf = build_ivf_index(base.read(spark), full_root)
+    qids = [1, 2, 1003, 1016, 1029]
+    got = sorted(map(str, ivf_query_index(
+        spark, root, qids, k=4, verify_against=base.read(spark))
+        .collect()))
+    want = sorted(map(str, ivf_query_index(
+        spark, full_root, qids, k=4, version=vf).collect()))
+    assert got == want
+    cent = VersionedTable(os.path.join(root, "centroids"))
+    ops = [json.loads(h["operation"])["op"] for h in cent.history()]
+    assert ops == ["ivf_build", "ivf_delta"]
+
+    # cadence leaves a tail: index lags by design, one call repairs
+    base2, root2, g0b = drive("lag", refresh_every=2, n_slices=3)
+    assert base2.latest_version() == 3
+    meta2 = index_meta(root2)
+    assert meta2["version"] == g0b + 1         # refreshed at batch 1 only
+    assert meta2["base_version"] == 2          # lagging the base (v3)
+    g = refresh_ivf_index(spark, base2, root2)  # catch-up
+    assert index_meta(root2, g)["base_version"] == 3
+    ivf_query_index(spark, root2, [1, 1003], k=3,
+                    verify_against=base2.read(spark)).collect()
