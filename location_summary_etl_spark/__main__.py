@@ -13,6 +13,14 @@ the idempotent partitioned writer instead of a blind append.
                                                   [--mode append|overwrite|overwrite_partitions]
     python -m location_summary_etl_spark explain <query> [--sf-dir D]
                                                   [--mode formatted|simple|extended|cost]
+    python -m location_summary_etl_spark index {build|refresh|query|info|vacuum} ...
+
+The ``index`` group is the persisted-ANN-index life-cycle
+(operators/ann_index.py) as an operable surface: ``build`` from a
+VersionedTable (delta-refreshable) or a bare parquet dir
+(rebuild-only), ``refresh`` after base commits, ``query`` by corpus
+ids with an optional staleness check, ``info`` for the pinned
+metadata, ``vacuum`` for pin-aware retention across all index tables.
 """
 
 from __future__ import annotations
@@ -44,7 +52,121 @@ def build_parser() -> argparse.ArgumentParser:
     exp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     exp.add_argument("--mode", default="formatted",
                      choices=["formatted", "simple", "extended", "cost"])
+
+    idx = sub.add_parser(
+        "index", help="persisted ANN index life-cycle (build/refresh/"
+        "query/info/vacuum)")
+    isub = idx.add_subparsers(dest="index_cmd", required=True)
+
+    ib = isub.add_parser("build", help="build an index generation")
+    ib.add_argument("--base", required=True,
+                    help="VersionedTable root (delta-refreshable) or a "
+                    "bare parquet path (rebuild-only)")
+    ib.add_argument("--root", required=True, help="index root directory")
+    ib.add_argument("--id-col", default="vec_id")
+    ib.add_argument("--vec-col", default="embedding")
+    ib.add_argument("--label-col", default="label")
+    ib.add_argument("--quantizer", default="label",
+                    choices=["label", "kmeans"])
+    ib.add_argument("--k-cells", type=int, default=8)
+    ib.add_argument("--train-iters", type=int, default=2)
+    ib.add_argument("--store-quantized", action="store_true",
+                    help="also persist the int8 inverted file "
+                    "(serves ivf_query_index_quantized)")
+
+    ir = isub.add_parser("refresh", help="delta-refresh after base commits")
+    ir.add_argument("--base", required=True, help="VersionedTable root")
+    ir.add_argument("--root", required=True)
+    ir.add_argument("--id-col", default="vec_id")
+    ir.add_argument("--vec-col", default="embedding")
+    ir.add_argument("--label-col", default="label")
+    ir.add_argument("--rebuild-fraction", type=float, default=0.2)
+    ir.add_argument("--compact-files", type=int, default=64)
+
+    iq = isub.add_parser("query", help="top-k for corpus ids")
+    iq.add_argument("--root", required=True)
+    iq.add_argument("--ids", required=True,
+                    help="comma-separated query ids, e.g. 0,1,2")
+    iq.add_argument("--k", type=int, default=5)
+    iq.add_argument("--n-probe", type=int, default=2)
+    iq.add_argument("--version", type=int, default=None,
+                    help="pin an index generation (default: latest)")
+    iq.add_argument("--verify-base", default=None,
+                    help="VersionedTable root to staleness-check against")
+
+    ii = isub.add_parser("info", help="print the pinned index metadata")
+    ii.add_argument("--root", required=True)
+    ii.add_argument("--version", type=int, default=None)
+
+    iv = isub.add_parser("vacuum", help="pin-aware retention")
+    iv.add_argument("--root", required=True)
+    iv.add_argument("--retain", type=int, default=2)
+    iv.add_argument("--grace-seconds", type=float, default=3600.0)
     return p
+
+
+def _index_main(args, spark) -> int:
+    """The ``index`` subcommand group over operators/ann_index.py."""
+    import json
+    import os
+
+    from location_summary_etl_spark.operators import ann_index
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    def _is_versioned(path: str) -> bool:
+        return os.path.isdir(os.path.join(path, "_manifests"))
+
+    if args.index_cmd == "build":
+        if _is_versioned(args.base):
+            tbl = VersionedTable(args.base)
+            emb, base_version = tbl.read(spark), tbl.latest_version()
+        else:
+            emb, base_version = spark.read.parquet(args.base), None
+        v = ann_index.build_ivf_index(
+            emb, args.root, id_col=args.id_col, vec_col=args.vec_col,
+            label_col=args.label_col, base_version=base_version,
+            quantizer=args.quantizer, k_cells=args.k_cells,
+            train_iters=args.train_iters,
+            store_quantized=args.store_quantized)
+        print(f"built index generation v{v} at {args.root}"
+              + ("" if base_version is not None else
+                 " (bare parquet base: refresh unavailable, rebuild only)"))
+        return 0
+    if args.index_cmd == "refresh":
+        if not _is_versioned(args.base):
+            print(f"{args.base} is not a VersionedTable root "
+                  "(no _manifests); delta refresh needs one", file=sys.stderr)
+            return 2
+        v = ann_index.refresh_ivf_index(
+            spark, VersionedTable(args.base), args.root,
+            id_col=args.id_col, vec_col=args.vec_col,
+            label_col=args.label_col,
+            rebuild_fraction=args.rebuild_fraction,
+            compact_files=args.compact_files)
+        meta = ann_index.index_meta(args.root, v)
+        print(f"index at generation v{v} (op={meta['op']}, "
+              f"base_version={meta['base_version']})")
+        return 0
+    if args.index_cmd == "query":
+        ids = [int(x) for x in args.ids.split(",") if x.strip()]
+        verify = (VersionedTable(args.verify_base).read(spark)
+                  if args.verify_base else None)
+        ann_index.ivf_query_index(
+            spark, args.root, ids, k=args.k, n_probe=args.n_probe,
+            version=args.version, verify_against=verify).show(
+                len(ids) * args.k, truncate=False)
+        return 0
+    if args.index_cmd == "info":
+        print(json.dumps(ann_index.index_meta(args.root, args.version),
+                         indent=1))
+        return 0
+    # vacuum
+    removed = ann_index.vacuum_index(args.root,
+                                     retain_generations=args.retain,
+                                     grace_seconds=args.grace_seconds)
+    for table, files in removed.items():
+        print(f"{table}: removed {len(files)} file(s)")
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -57,7 +179,12 @@ def main(argv: list[str] | None = None) -> int:
             print(name)
         return 0
 
+    if args.cmd == "index" and args.index_cmd in ("info",):
+        return _index_main(args, None)  # metadata only: no session
+
     spark = get_session(app_name=f"lse-{args.cmd}")
+    if args.cmd == "index":
+        return _index_main(args, spark)
     if args.cmd in ("run", "explain"):
         qs = corpus.queries()
         if args.query not in qs:

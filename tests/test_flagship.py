@@ -89,3 +89,51 @@ def test_cli_explain_prints_physical_plan(spark, sf_dir, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "Physical Plan" in out and "HashAggregate" in out
+
+
+def test_cli_index_lifecycle(spark, sf_dir, tmp_path, capsys):
+    """The `index` subcommand group drives the full persisted-ANN
+    life-cycle: build from a VersionedTable, query with a staleness
+    check, commit a delta + refresh, info shows the delta op, vacuum
+    retires the dropped generation."""
+    from pyspark.sql import functions as F
+
+    from location_summary_etl_spark.__main__ import main
+    from location_summary_etl_spark.sources.registry import load_table
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = VersionedTable(str(tmp_path / "base"))
+    base.commit(emb.filter(F.col("vec_id") % 10 != 0), mode="overwrite")
+    root = str(tmp_path / "idx")
+
+    assert main(["index", "build", "--base", base.path,
+                 "--root", root]) == 0
+    assert "built index generation v0" in capsys.readouterr().out
+
+    assert main(["index", "query", "--root", root, "--ids", "1,2",
+                 "--k", "3", "--verify-base", base.path]) == 0
+    out = capsys.readouterr().out
+    assert "query_id" in out and "cosine" in out
+
+    base.commit(emb.filter(F.col("vec_id") % 10 == 0), mode="append")
+    assert main(["index", "refresh", "--base", base.path,
+                 "--root", root]) == 0
+    assert "op=ivf_delta" in capsys.readouterr().out
+
+    assert main(["index", "info", "--root", root]) == 0
+    info = capsys.readouterr().out
+    assert '"op": "ivf_delta"' in info and '"base_version": 1' in info
+
+    assert main(["index", "vacuum", "--root", root, "--retain", "1",
+                 "--grace-seconds", "0"]) == 0
+    assert "centroids: removed" in capsys.readouterr().out
+
+    # bare-parquet build: rebuild-only note, still queryable
+    root2 = str(tmp_path / "idx2")
+    import os
+    assert main(["index", "build",
+                 "--base", os.path.join(sf_dir, "embeddings.parquet"),
+                 "--root", root2]) == 0
+    assert "rebuild only" in capsys.readouterr().out
+    assert main(["index", "query", "--root", root2, "--ids", "3"]) == 0
