@@ -81,7 +81,9 @@ def build_parser() -> argparse.ArgumentParser:
     ir.add_argument("--vec-col", default="embedding")
     ir.add_argument("--label-col", default="label")
     ir.add_argument("--rebuild-fraction", type=float, default=0.2)
-    ir.add_argument("--compact-files", type=int, default=64)
+    ir.add_argument("--compact-files", type=int, default=64,
+                    help="inverted-file fragmentation bound; 0 disables "
+                    "compaction (the library's None)")
 
     iq = isub.add_parser("query", help="top-k for corpus ids")
     iq.add_argument("--root", required=True)
@@ -93,14 +95,24 @@ def build_parser() -> argparse.ArgumentParser:
                     help="pin an index generation (default: latest)")
     iq.add_argument("--verify-base", default=None,
                     help="VersionedTable root to staleness-check against")
+    iq.add_argument("--quantized", action="store_true",
+                    help="serve from the int8 inverted file (index must "
+                    "be built with --store-quantized); query vectors are "
+                    "looked up in the pinned float cells table")
 
     ii = isub.add_parser("info", help="print the pinned index metadata")
     ii.add_argument("--root", required=True)
     ii.add_argument("--version", type=int, default=None)
 
+    def _retain(v: str) -> int:
+        n = int(v)
+        if n < 1:
+            raise argparse.ArgumentTypeError("retain must be >= 1")
+        return n
+
     iv = isub.add_parser("vacuum", help="pin-aware retention")
     iv.add_argument("--root", required=True)
-    iv.add_argument("--retain", type=int, default=2)
+    iv.add_argument("--retain", type=_retain, default=2)
     iv.add_argument("--grace-seconds", type=float, default=3600.0)
     return p
 
@@ -114,7 +126,8 @@ def _index_main(args, spark) -> int:
     from location_summary_etl_spark.sources.versioned import VersionedTable
 
     def _is_versioned(path: str) -> bool:
-        return os.path.isdir(os.path.join(path, "_manifests"))
+        # the layout knowledge stays in sources/versioned.py
+        return os.path.isdir(VersionedTable(path).manifest_dir)
 
     if args.index_cmd == "build":
         if _is_versioned(args.base):
@@ -142,7 +155,8 @@ def _index_main(args, spark) -> int:
             id_col=args.id_col, vec_col=args.vec_col,
             label_col=args.label_col,
             rebuild_fraction=args.rebuild_fraction,
-            compact_files=args.compact_files)
+            compact_files=args.compact_files if args.compact_files > 0
+            else None)
         meta = ann_index.index_meta(args.root, v)
         print(f"index at generation v{v} (op={meta['op']}, "
               f"base_version={meta['base_version']})")
@@ -151,6 +165,29 @@ def _index_main(args, spark) -> int:
         ids = [int(x) for x in args.ids.split(",") if x.strip()]
         verify = (VersionedTable(args.verify_base).read(spark)
                   if args.verify_base else None)
+        if args.quantized:
+            # id-keyed quantized serving: look the query vectors up in
+            # the PINNED float cells table (the same one-scan lookup
+            # the float id-keyed path pays), then serve from the int8
+            # inverted file.  verify_against applies the same
+            # staleness gate before any scan.
+            if verify is not None:
+                meta = ann_index.verify_index(args.root, verify,
+                                              version=args.version)
+            else:
+                meta = ann_index.index_meta(args.root, args.version)
+            cells = VersionedTable(
+                os.path.join(args.root, "cells")).read(
+                    spark, meta["cells_version"])
+            rows = (cells.filter(cells.vec_id.isin(ids))
+                    .select("vec_id", "c_v").collect())
+            queries = [(int(r["vec_id"]), [float(x) for x in r["c_v"]])
+                       for r in rows]
+            ann_index.ivf_query_index_quantized(
+                spark, args.root, queries, k=args.k,
+                n_probe=args.n_probe, version=args.version).show(
+                    len(ids) * args.k, truncate=False)
+            return 0
         ann_index.ivf_query_index(
             spark, args.root, ids, k=args.k, n_probe=args.n_probe,
             version=args.version, verify_against=verify).show(
@@ -179,8 +216,10 @@ def main(argv: list[str] | None = None) -> int:
             print(name)
         return 0
 
-    if args.cmd == "index" and args.index_cmd in ("info",):
-        return _index_main(args, None)  # metadata only: no session
+    if args.cmd == "index" and args.index_cmd in ("info", "vacuum"):
+        # metadata/filesystem only -- neither touches Spark, so neither
+        # pays the multi-second local JVM startup
+        return _index_main(args, None)
 
     spark = get_session(app_name=f"lse-{args.cmd}")
     if args.cmd == "index":

@@ -265,6 +265,23 @@ def index_meta(root: str, version: int | None = None) -> dict:
     return {"version": version, **_load_meta(tbl, version)}
 
 
+def verify_index(root: str, base: DataFrame, *, id_col: str = "vec_id",
+                 version: int | None = None) -> dict:
+    """The staleness gate as a standalone check: raises
+    :class:`StaleIndexError` unless the pinned generation was built
+    from ``base``'s current contents; returns the verified metadata.
+    One count+sum aggregate over the id column -- a production caller
+    runs it once per base commit, not per query."""
+    meta = index_meta(root, version)
+    current = _fingerprint(base, id_col)
+    if current != meta["fingerprint"]:
+        raise StaleIndexError(
+            f"index v{meta['version']} at {root} was built from "
+            f"fingerprint {meta['fingerprint']}, but the base relation "
+            f"is now {current}; rebuild or pin a matching version")
+    return meta
+
+
 def ivf_query_index(spark: SparkSession, root: str, query_ids: list[int],
                     k: int = 5, n_probe: int = IVF_N_PROBE,
                     version: int | None = None,
@@ -275,14 +292,11 @@ def ivf_query_index(spark: SparkSession, root: str, query_ids: list[int],
     ``version`` pins an index generation (default: latest);
     ``verify_against`` raises :class:`StaleIndexError` when the pinned
     generation was not built from that relation's current contents."""
-    meta = index_meta(root, version)
     if verify_against is not None:
-        current = _fingerprint(verify_against, id_col)
-        if current != meta["fingerprint"]:
-            raise StaleIndexError(
-                f"index v{meta['version']} at {root} was built from "
-                f"fingerprint {meta['fingerprint']}, but the base relation "
-                f"is now {current}; rebuild or pin a matching version")
+        meta = verify_index(root, verify_against, id_col=id_col,
+                            version=version)
+    else:
+        meta = index_meta(root, version)
     cent = VersionedTable(os.path.join(root, _CENTROIDS)).read(
         spark, meta["version"])
     cells = VersionedTable(os.path.join(root, _CELLS)).read(

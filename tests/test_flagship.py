@@ -129,11 +129,21 @@ def test_cli_index_lifecycle(spark, sf_dir, tmp_path, capsys):
                  "--grace-seconds", "0"]) == 0
     assert "centroids: removed" in capsys.readouterr().out
 
-    # bare-parquet build: rebuild-only note, still queryable
+    # bare-parquet build: rebuild-only note, still queryable; with
+    # --store-quantized the int8 serving path is reachable from the CLI
     root2 = str(tmp_path / "idx2")
     import os
     assert main(["index", "build",
                  "--base", os.path.join(sf_dir, "embeddings.parquet"),
-                 "--root", root2]) == 0
+                 "--root", root2, "--store-quantized"]) == 0
     assert "rebuild only" in capsys.readouterr().out
     assert main(["index", "query", "--root", root2, "--ids", "3"]) == 0
+    assert "cosine" in capsys.readouterr().out
+    assert main(["index", "query", "--root", root2, "--ids", "3",
+                 "--quantized"]) == 0
+    assert "qcosine" in capsys.readouterr().out
+
+    # CLI-level validation: retain must be >= 1 (argparse exits 2)
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        main(["index", "vacuum", "--root", root2, "--retain", "0"])
