@@ -134,6 +134,10 @@ def main() -> None:
     from tools import hostprobe
     startup_probes = hostprobe.wait_quiet(attempts=20, sleep_sec=110)
     probes: dict[str, float] = {}
+    # Aggregate-bandwidth stamps (r9, recorded not gating): start/final
+    # only -- the window characterization, without paying ~1.5 s per
+    # query row the way the arithmetic boundary probes justify.
+    bw_probes: dict[str, float] = {"_startup": hostprobe.probe_mt()}
 
     floor = float("inf")
     for _ in range(3):
@@ -170,6 +174,7 @@ def main() -> None:
                   f"ratio={s / k:.2f}", flush=True)
         results[name] = row
     probes["_final"] = hostprobe.probe()
+    bw_probes["_final"] = hostprobe.probe_mt()
     noisy = sorted(n for n, p in probes.items() if p > hostprobe.QUIET_SEC)
     if noisy:
         print(f"NOISY boundary probes (> {hostprobe.QUIET_SEC}s): {noisy}",
@@ -192,6 +197,8 @@ def main() -> None:
             "probe_startup_sec": startup_probes,
             "probe_sec": {**payload.get("deep", {}).get("probe_sec", {}),
                           **{k: round(v, 3) for k, v in probes.items()}},
+            "probe_bw_sec": {k: round(v, 3)
+                             for k, v in bw_probes.items()},
             "queries": deep_prev,
         }
         results = deep_prev
@@ -232,6 +239,7 @@ def main() -> None:
         "probe_threshold_sec": hostprobe.QUIET_SEC,
         "probe_startup_sec": startup_probes,
         "probe_sec": {k: round(v, 3) for k, v in probes.items()},
+        "probe_bw_sec": {k: round(v, 3) for k, v in bw_probes.items()},
         "queries": results,
     }
     # A full rerun refreshes the MAIN table only -- an existing deep
