@@ -291,8 +291,30 @@ def main() -> None:
         lines += _deep_md_lines(prev_deep, [sf for sf, _ in
                                             (("0.1", ""), ("1", ""),
                                              ("10", ""))])
-    with open(os.path.join(HERE, "BENCH_CROSSOVER.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
+    # NOTES SURVIVE a full rerun too: every committed "## ... notes"
+    # section after the deep table (r7 corrections, r8/r9 refresh
+    # notes) is hand-written evidence, not generated -- the r9 full
+    # rerun silently deleted all of them before this carry (the same
+    # bug the deep branch fixed for its own section in r7).
+    mdpath = os.path.join(HERE, "BENCH_CROSSOVER.md")
+    carried = ""
+    try:
+        with open(mdpath) as f:
+            old = f.read()
+        sections = []
+        pos = 0
+        while (pos := old.find("\n## ", pos)) != -1:
+            sections.append(pos)
+            pos += 1
+        for p in sections:
+            heading = old[p:old.find("\n", p + 1)]
+            if "Deep tier" not in heading:
+                nxt = old.find("\n## ", p + 1)
+                carried += old[p:nxt if nxt != -1 else None]
+    except FileNotFoundError:
+        pass
+    with open(mdpath, "w") as f:
+        f.write("\n".join(lines) + "\n" + carried)
     print("wrote BENCH_CROSSOVER.{json,md}")
 
 
