@@ -439,9 +439,11 @@ def ivf_query_index_quantized(spark: SparkSession, root: str,
     = 200k vectors, probe-bracketed quiet windows, 2026-08-15):
     candidate scan 8.2 MB vs the float path's 56.9 MB on disk (6.9x
     fewer bytes -- the float inverted file stores array<double>, so
-    int8 beats the naive 4x); serve latency float 1.64 s / expr
-    quantized 1.03 / pandas quantized 0.36 s min-of-5 interleaved
-    (results byte-identical across both quantized backends); top-10
+    int8 beats the naive 4x); serve latency min-of-5 interleaved,
+    two quiet windows: float 1.43-1.64 s / expr quantized 0.91-1.03 /
+    pandas quantized 0.36-0.47 s (results byte-identical across both
+    quantized backends, and the second window re-measured the
+    merge-vectorized membership filter); top-10
     agreement vs float 0.80 (the ~1e-3 quantized-cosine error
     reorders near-ties; both rankings are exactly oracled, so the
     trade is visible, not hidden).  At warehouse scale the byte ratio
@@ -530,16 +532,21 @@ def _q8_score_pandas(cand: DataFrame,
     qids = np.array([i for i, _v in queries], dtype=np.int64)
     live = qn > 0
     qids, qq, qn = qids[live], qq[live], qn[live]
-    cells_of = {int(q): {c for p, c in pairs if p == q}
-                for q in qids.tolist()}
-    bq = spark.sparkContext.broadcast((qids, qq, qn, cells_of))
+    pair_arr = np.array([(int(q), int(c)) for q, c in pairs],
+                        dtype=np.int64).reshape(-1, 2)
+    bq = spark.sparkContext.broadcast((qids, qq, qn, pair_arr))
     cand = partition_for_python_scan(
         cand.select("vec_id", "cl", "q8", "q_l2sq"))
 
     def score(batches):
         import pandas as pd
 
-        qids, qq, qn, cells_of = bq.value
+        qids, qq, qn, pair_arr = bq.value
+        # the (query_id, cl) membership as a vectorizable merge side:
+        # per-row python set lookups cost ~0.3 s per million scored
+        # pairs, the merge is a hash join inside pandas
+        pairs_pdf = pd.DataFrame(
+            {"query_id": pair_arr[:, 0], "cl": pair_arr[:, 1]})
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -561,8 +568,7 @@ def _q8_score_pandas(cand: DataFrame,
             })
             out = out[np.isfinite(out["qcosine"])]
             out = out[out["query_id"] != out["vec_id"]]
-            out = out[[c in cells_of[q] for q, c in
-                       zip(out["query_id"], out["cl"])]]
+            out = out.merge(pairs_pdf, on=["query_id", "cl"])
             out = (
                 out.sort_values(["query_id", "qcosine", "vec_id"],
                                 ascending=[True, False, True])
