@@ -41,6 +41,8 @@ import time
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
+DEEP_MARKER = "\n## Deep tier (sf10)\n"  # the one GENERATED "## " heading
+
 REPEATS = int(os.environ.get("CROSSOVER_REPEATS", "2"))
 # min-of-REPEATS after one warm run, per (query, engine, sf)
 
@@ -197,8 +199,14 @@ def main() -> None:
             "probe_startup_sec": startup_probes,
             "probe_sec": {**payload.get("deep", {}).get("probe_sec", {}),
                           **{k: round(v, 3) for k, v in probes.items()}},
-            "probe_bw_sec": {k: round(v, 3)
-                             for k, v in bw_probes.items()},
+            # bw stamps ACCUMULATE per refresh (the deep table mixes
+            # invocations, so a singleton would erase the window
+            # evidence behind every retained row -- r9 finding)
+            "probe_bw_runs": (
+                payload.get("deep", {}).get("probe_bw_runs", [])
+                + [{"queries": names,
+                    **{k.lstrip("_"): round(v, 3)
+                       for k, v in bw_probes.items()}}]),
             "queries": deep_prev,
         }
         results = deep_prev
@@ -208,8 +216,7 @@ def main() -> None:
         mdpath = os.path.join(HERE, "BENCH_CROSSOVER.md")
         with open(mdpath) as f:
             md = f.read()
-        marker = "\n## Deep tier (sf10)\n"
-        head, _, rest = md.partition(marker)
+        head, _, rest = md.partition(DEEP_MARKER)
         # The deep section runs to the next "## " heading; any notes /
         # corrections sections after it survive the rewrite (a merge
         # once silently deleted the committed r7 notes).
@@ -307,8 +314,11 @@ def main() -> None:
             sections.append(pos)
             pos += 1
         for p in sections:
-            heading = old[p:old.find("\n", p + 1)]
-            if "Deep tier" not in heading:
+            heading = old[p:old.find("\n", p + 1)] + "\n"
+            # exclude ONLY the exact generated deep heading: a
+            # hand-written note that merely mentions "Deep tier" in
+            # its title must survive (r9 review finding)
+            if heading != DEEP_MARKER:
                 nxt = old.find("\n## ", p + 1)
                 carried += old[p:nxt if nxt != -1 else None]
     except FileNotFoundError:
