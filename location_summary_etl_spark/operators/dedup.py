@@ -857,44 +857,55 @@ def ngram_jaccard_pairs_auto(docs: DataFrame, id_col: str = "doc_id",
     relation (same oracle), so the gate is purely physical.
 
     CAP CONTRACT: the prefix form carries no df cap (see its SKEW
-    POSTURE), so a REQUESTED cap -- an explicit non-None ``max_df``,
-    or an explicit ``cap_mode`` -- can only be honored by the
-    aggregate form; the gate therefore never routes such a caller to
-    prefix (the requested cap pins the aggregate form and the probe
-    job is skipped), and combining a requested cap with
-    ``prefer="prefix"`` raises rather than silently dropping it.
-    An explicit ``max_df=None`` is the opposite request -- NO cap --
-    which BOTH forms honor, so it leaves the gate free (both branches
-    then emit the identical uncapped exact-Jaccard relation: the
-    oracle-stable configuration for probe-gated callers).  Left
-    unset, the aggregate form runs with its usual DEFAULT_MAX_DF
-    filter cap -- skew-safe, but then the gate's two branches differ
-    wherever the cap bites, so oracle-paired callers should pin the
-    form or pass ``max_df=None``."""
-    cap_requested = ((max_df is not _CAP_UNSET and max_df is not None)
-                     or cap_mode is not _CAP_UNSET)
+    POSTURE), so a REQUESTED cap can only be honored by the aggregate
+    form; the gate therefore never routes such a caller to prefix (the
+    requested cap pins the aggregate form and the probe job is
+    skipped), and combining a requested cap with ``prefer="prefix"``
+    raises rather than silently dropping it.  A cap counts as
+    REQUESTED only when an effective cap exists: an explicit non-None
+    ``max_df``, or an explicit ``cap_mode`` whose ``max_df`` resolves
+    non-None (i.e. left unset, so the default applies).  An explicit
+    ``max_df=None`` is the opposite request -- NO cap -- which BOTH
+    forms honor, so it leaves the gate free even alongside an explicit
+    ``cap_mode`` (the mode is then vacuous: there is no cap for it to
+    shape; both branches emit the identical uncapped exact-Jaccard
+    relation, the oracle-stable configuration for probe-gated
+    callers).  Left fully unset, the aggregate form runs with its
+    usual DEFAULT_MAX_DF filter cap -- skew-safe, but then the gate's
+    two branches differ wherever the cap bites, so oracle-paired
+    callers should pin the form or pass ``max_df=None``."""
+    from location_summary_etl_spark.operators.gates import gate
+
+    cap_touched = (max_df is not _CAP_UNSET or cap_mode is not _CAP_UNSET)
     max_df = DEFAULT_MAX_DF if max_df is _CAP_UNSET else max_df
     cap_mode = "filter" if cap_mode is _CAP_UNSET else cap_mode
+    # A cap is REQUESTED only when the caller touched the cap knobs AND
+    # an effective cap exists -- explicit max_df=None is behaviorally
+    # cap-free, so it never pins the gate (explicit cap_mode alongside
+    # it is vacuous rather than a request).
+    cap_requested = cap_touched and max_df is not None
     if prefer == "prefix" and cap_requested:
         raise ValueError(
             "ngram_jaccard_pairs_auto: prefer='prefix' with a requested "
             "max_df/cap_mode is contradictory -- the prefix form carries "
             "no df cap; call ngram_jaccard_pairs_prefix directly if the "
             "cap is disposable, or drop prefer to keep the cap")
-    if prefer is None:
+
+    def _decide() -> str:
         if cap_requested:
             # an explicitly requested skew cap only exists in the
             # aggregate form -- never gate it away
-            prefer = "aggregate"
-        elif threshold >= NGRAM_PREFIX_MIN_THRESHOLD:
+            return "aggregate"
+        if threshold >= NGRAM_PREFIX_MIN_THRESHOLD:
             ratio = ngram_gram_reuse_probe(docs, id_col, text_col, n,
                                            sample_docs)
-            prefer = ("prefix" if ratio >= NGRAM_PREFIX_MIN_REUSE_RATIO
-                      else "aggregate")
-        else:
-            # measured: at moderate thresholds the aggregate form wins
-            # at EVERY probed reuse ratio -- skip the probe job
-            prefer = "aggregate"
+            return ("prefix" if ratio >= NGRAM_PREFIX_MIN_REUSE_RATIO
+                    else "aggregate")
+        # measured: at moderate thresholds the aggregate form wins at
+        # EVERY probed reuse ratio -- skip the probe job
+        return "aggregate"
+
+    prefer = gate(prefer, _decide)
     if prefer == "prefix":
         return ngram_jaccard_pairs_prefix(docs, id_col, text_col, n,
                                           threshold)

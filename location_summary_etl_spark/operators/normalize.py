@@ -101,17 +101,11 @@ def minmax_score_auto(df: DataFrame, col: str, out_col: str,
     or large -> broadcast form (never a forced single-partition pass
     on an unbounded input).  An explicit bool pins the form, same
     contract as ``flagship_nation_summary(use_window=...)``."""
-    if use_window is None:
-        from location_summary_etl_spark.session import (
-            broadcast_cap_bytes,
-            source_bytes,
-        )
+    from location_summary_etl_spark.operators.gates import gate, source_fits
 
-        b = source_bytes(df)
-        use_window = (
-            b is not None
-            and b <= broadcast_cap_bytes(df.sparkSession)
-            // _WINDOW_SOURCE_FRACTION)
+    use_window = gate(
+        use_window,
+        lambda: source_fits(df, fraction=_WINDOW_SOURCE_FRACTION))
     if use_window:
         return minmax_score_window(df, col, out_col)
     return minmax_score(df, col, out_col)

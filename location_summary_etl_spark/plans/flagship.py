@@ -97,10 +97,7 @@ from location_summary_etl_spark.operators.snapshot import (
 from location_summary_etl_spark.operators.windows import (
     guarded_unpartitioned,
 )
-from location_summary_etl_spark.session import (
-    broadcast_cap_bytes,
-    source_bytes,
-)
+from location_summary_etl_spark.operators.gates import gate, source_fits
 from location_summary_etl_spark.sources.registry import load_table
 
 FINAL_COLS = [
@@ -148,12 +145,10 @@ def flagship_nation_summary(spark: SparkSession, sf_dir: str,
     # conservatively to the window form: one declarative shuffle, never
     # a forced-broadcast OOM.  Both forms keep ties, per the
     # reference's 3-way-join semantics (App.scala:41-48).
-    if use_window is None:
-        cust_bytes = source_bytes(customer)
-        use_window = (
-            cust_bytes is None
-            or cust_bytes * _MAXSIDE_EXPANSION
-            > broadcast_cap_bytes(spark) // _BROADCAST_MARGIN)
+    use_window = gate(
+        use_window,
+        lambda: not source_fits(customer, expansion=_MAXSIDE_EXPANSION,
+                                fraction=_BROADCAST_MARGIN))
     argmax = latest_snapshot_window if use_window else latest_snapshot_join
     latest = argmax(orders, ["o_custkey"], "o_orderdate")
 

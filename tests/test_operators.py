@@ -2135,6 +2135,18 @@ def test_ngram_auto_requested_cap_is_never_gated_away(spark):
     with _pytest.raises(ValueError, match="contradictory"):
         ngram_jaccard_pairs_auto(sparse, threshold=0.8, prefer="prefix",
                                  max_df=100)
+    # an explicit cap_mode whose max_df is left to default IS an
+    # effective-cap request, so it is contradictory with prefix too
+    with _pytest.raises(ValueError, match="contradictory"):
+        ngram_jaccard_pairs_auto(sparse, threshold=0.8, prefer="prefix",
+                                 cap_mode="census")
     # prefix + cap-free is NOT contradictory
     ngram_jaccard_pairs_auto(sparse, threshold=0.8, prefer="prefix",
                              max_df=None)
+    # ADVICE r9: explicit cap_mode ALONGSIDE explicit max_df=None is
+    # behaviorally cap-free (no cap for the mode to shape) -- it must
+    # neither pin the gate nor count as contradictory with prefix
+    assert form(ngram_jaccard_pairs_auto(
+        sparse, threshold=0.8, max_df=None, cap_mode="census")) == "prefix"
+    ngram_jaccard_pairs_auto(sparse, threshold=0.8, prefer="prefix",
+                             max_df=None, cap_mode="census")
