@@ -150,13 +150,107 @@ def _q8_of_cells(cells: DataFrame) -> DataFrame:
         F.col("q").cast("array<tinyint>").alias("q8"), "q_l2sq")
 
 
+# Hot-cell skew guard default: no cell may hold more than this fraction
+# of the indexed rows.  Chosen against the probe-pruning guarantee it
+# protects: the candidate scan reads the n_probe largest cells in the
+# worst case, so a per-cell bound of 1/4 caps the worst probed scan at
+# n_probe/4 of the corpus (n_probe=2 -> <=50%) regardless of how skewed
+# the embedding distribution is -- without it, one hot cell degrades
+# n_probe pruning AND the q8 file-pruning built on it to a near-full
+# scan.  For the default k_cells=8 the balanced share is 1/8, so a
+# balanced build never comes near the bound.  Same posture as the dedup
+# family's default-on max_df/max_bucket caps (r4).
+IVF_MAX_CELL_FRACTION = 0.25
+
+# Re-seeding never fans one hot cell into more than this many
+# sub-centroids per pass: the split is a repair, not a re-clustering,
+# and the literal-argmin expression grows with the centroid count.
+_MAX_SPLIT_FANOUT = 16
+
+
+def _split_hot_cells(emb: DataFrame, cents: list, id_col: str,
+                     vec_col: str, max_cell_fraction: float,
+                     train_iters: int,
+                     max_rounds: int = 3) -> tuple[list, dict[int, int]]:
+    """Build-time hot-cell split for the TRAINED quantizer: re-seed
+    sub-centroids inside every cell holding more than
+    ``max_cell_fraction`` of the rows, until the bound holds or
+    ``max_rounds`` passes ran.
+
+    The split is part of the FIT, not a new index structure: each pass
+    k-means-fits ``ceil(count/cap)`` sub-centroids on the hot cell's
+    members (seeded and iterated exactly like the top-level fit), then
+    the hot centroid is REPLACED by its sub-centroids in one flat
+    list -- assignment stays a single literal L2-argmin over that
+    list, so the query path, the delta-refresh assignment, and the
+    "probing every cell recovers brute force" exactness contract are
+    untouched; queries simply see more, better-placed centroids where
+    the data is dense.  Per pass: one column-pruned count aggregate
+    plus, per hot cell, a k-means fit whose scans are filtered to that
+    cell (lineage recomputation, no checkpoint -- at build time the
+    corpus is being scanned repeatedly anyway).  A cell of (near-)
+    identical vectors cannot be split geometrically (every sub-seed
+    converges to the same point and the argmin tie-break drains to
+    one id); such a cell stays hot after ``max_rounds`` and is
+    reported in the returned counts rather than looped on forever --
+    it also cannot be pruned geometrically, so splitting could not
+    have bounded a query that probes it anyway.
+
+    Returns the final flat centroid list and the final per-cell
+    counts (the manifest's ``cell_counts``).
+    """
+    import math
+
+    from location_summary_etl_spark.operators.clustering import kmeans_fit
+    from location_summary_etl_spark.operators.similarity import (
+        ivf_cells_quantized,
+    )
+
+    for _round in range(max_rounds + 1):
+        counts = {
+            int(r["cl"]): int(r["n"])
+            for r in ivf_cells_quantized(emb, cents, id_col, vec_col)
+            .groupBy("cl").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        total = sum(counts.values())
+        cap = math.ceil(total * max_cell_fraction)
+        hot = sorted(c for c, n in counts.items() if n > cap)
+        if not hot or _round == max_rounds:
+            return cents, counts
+        assign = ivf_cells_quantized(emb, cents, id_col, vec_col)
+        for c in hot:
+            m = min(math.ceil(counts[c] / cap), _MAX_SPLIT_FANOUT)
+            if m < 2:
+                continue
+            next_id = max(j for j, _ in cents) + 1
+            sub = kmeans_fit(assign.filter(F.col("cl") == c),
+                             "vec_id", "c_v", k=m, iters=train_iters)
+            if len(sub) < 2:
+                continue  # geometrically unsplittable; keep the cell
+            cents = ([cc for cc in cents if cc[0] != c]
+                     + [(next_id + i, cv) for i, (_, cv) in enumerate(sub)])
+    return cents, counts
+
+
+def _cell_counts(cells: DataFrame) -> dict[int, int]:
+    """Per-cell row counts -- one column-pruned aggregate; the
+    centroid-table size class (bounded by the cell count)."""
+    return {
+        int(r["cl"]): int(r["n"])
+        for r in cells.groupBy("cl")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+
 def build_ivf_index(emb: DataFrame, root: str, *, id_col: str = "vec_id",
                     vec_col: str = "embedding",
                     label_col: str = "label",
                     base_version: int | None = None,
                     quantizer: str = "label", k_cells: int = 8,
                     train_iters: int = 2,
-                    store_quantized: bool = False) -> int:
+                    store_quantized: bool = False,
+                    max_cell_fraction: float | None =
+                    IVF_MAX_CELL_FRACTION) -> int:
     """Build and persist the index; returns the centroid-table version
     (THE index version a query pins).
 
@@ -201,10 +295,25 @@ def build_ivf_index(emb: DataFrame, root: str, *, id_col: str = "vec_id",
     :func:`ivf_query_index_quantized` scans: at 100 TB the candidate
     read moves 4x fewer bytes than the float inverted file for a
     ~1e-3 cosine error, and the float cells table remains the
-    exact-rescore / rebuild source of truth."""
+    exact-rescore / rebuild source of truth.
+
+    ``max_cell_fraction``: the default-on hot-cell skew guard
+    (:func:`_split_hot_cells`) for the TRAINED quantizer -- a skewed
+    embedding distribution that concentrates the corpus into few
+    cells would otherwise make ``n_probe`` pruning (and the q8
+    file-pruning built on it) scan nearly everything.  Cells holding
+    more than this fraction of the rows are split by re-seeding
+    sub-centroids; ``None`` disables.  The LABEL quantizer is exempt
+    by design: its cells mirror an external blocking column (the
+    exactly-oracle-able corpus-gate contract), so re-cutting them
+    would silently break the cl==label semantics callers rely on --
+    skewed labels are the caller's modeling choice, the same way a
+    skewed join key is."""
+    counts: dict[int, int]
     if quantizer == "label":
         cells = ivf_cells(emb, id_col, vec_col, label_col)
         cent = ivf_centroids(emb, label_col, vec_col)
+        counts = _cell_counts(cells)
     elif quantizer == "kmeans":
         from location_summary_etl_spark.functions.vectors import l2_norm
         from location_summary_etl_spark.operators.clustering import (
@@ -216,7 +325,13 @@ def build_ivf_index(emb: DataFrame, root: str, *, id_col: str = "vec_id",
 
         cents = kmeans_fit(emb, id_col, vec_col, k=k_cells,
                            iters=train_iters)
+        if max_cell_fraction is not None:
+            cents, counts = _split_hot_cells(
+                emb, cents, id_col, vec_col, max_cell_fraction,
+                train_iters)
         cells = ivf_cells_quantized(emb, cents, id_col, vec_col)
+        if max_cell_fraction is None:
+            counts = _cell_counts(cells)
         cent = emb.sparkSession.createDataFrame(
             [(int(j), [float(x) for x in cv]) for j, cv in cents],
             "cl int, cv array<double>",
@@ -249,6 +364,11 @@ def build_ivf_index(emb: DataFrame, root: str, *, id_col: str = "vec_id",
         # Rows delta-applied since the quantizer was last FIT (reset
         # here; accumulated by refresh_ivf_index's drift contract).
         "n_since_fit": 0,
+        # Hot-cell skew guard state: per-cell row counts (maintained
+        # O(touched) by delta refreshes) and the bound they are held
+        # under.  JSON keys are strings; readers re-int them.
+        "cell_counts": {str(c): n for c, n in sorted(counts.items())},
+        "max_cell_fraction": max_cell_fraction,
         "fingerprint": _fingerprint(emb, id_col),
     }
     return VersionedTable(os.path.join(root, _CENTROIDS)).commit(
@@ -751,6 +871,8 @@ def refresh_ivf_index(spark: SparkSession, base, root: str, *,
                 "k_cells": meta.get("k_cells", 8),
                 "train_iters": meta.get("train_iters", 2),
                 "n_since_fit": meta.get("n_since_fit", 0),
+                "cell_counts": meta.get("cell_counts"),
+                "max_cell_fraction": meta.get("max_cell_fraction"),
                 "fingerprint": meta["fingerprint"],
             }))
     quantizer = meta.get("quantizer", "label")
@@ -770,7 +892,8 @@ def refresh_ivf_index(spark: SparkSession, base, root: str, *,
             label_col=label_col, base_version=new_v, quantizer=quantizer,
             k_cells=int(meta.get("k_cells", 8)),
             train_iters=int(meta.get("train_iters", 2)),
-            store_quantized=meta.get("q8_version") is not None)
+            store_quantized=meta.get("q8_version") is not None,
+            max_cell_fraction=meta.get("max_cell_fraction"))
 
     old_cent = VersionedTable(os.path.join(root, _CENTROIDS)).read(
         spark, meta["version"])
@@ -849,6 +972,29 @@ def refresh_ivf_index(spark: SparkSession, base, root: str, *,
     # of the centroid patch, same size class as the centroid table).
     touched = sorted(r["cl"] for r in updates.select("cl")
                      .distinct().collect())
+    # Skew-guard bookkeeping: carry the manifest's per-cell counts,
+    # recounting ONLY the touched cells from the post-merge inverted
+    # file (file-pruned by the cl footer stats -- O(touched cells)
+    # read, the same cost class as the label path's centroid refit).
+    # Additive counting from the delta alone would be wrong: a
+    # same-cell update's upsert row replaces in place (net 0) and is
+    # indistinguishable in `updates` from a true insert.  A legacy
+    # manifest without counts heals with one column-pruned full count
+    # (then stays O(touched) forever after).
+    counts_raw = meta.get("cell_counts")
+    if counts_raw is None:
+        counts = _cell_counts(cells_tbl.read(spark, new_cells_v))
+    else:
+        counts = {int(c): int(n) for c, n in counts_raw.items()}
+        if touched:
+            recount = _cell_counts(
+                cells_tbl.read(spark, new_cells_v,
+                               where=("cl", touched[0], touched[-1]))
+                .filter(F.col("cl").isin(touched)))
+            for c in touched:
+                counts.pop(c, None)  # emptied cells drop out
+            counts.update(recount)
+    max_cf = meta.get("max_cell_fraction")
     if quantizer == "kmeans":
         # frozen quantizer: centroids never move on a delta -- the
         # refreshed generation republishes them verbatim (refit is the
@@ -868,6 +1014,84 @@ def refresh_ivf_index(spark: SparkSession, base, root: str, *,
                            F.col("c_v").alias(vec_col)),
             label_col, vec_col)
         new_cent = kept.unionByName(refit)
+
+    # Refresh-time hot-cell skew guard (trained quantizer only --
+    # label cells mirror the blocking column, see build_ivf_index):
+    # deltas can grow a cell past the bound between rebuilds.  Unlike
+    # the build's global re-fit, the refresh split is WITHIN-CELL:
+    # the hot cell's members are read file-pruned, sub-centroids are
+    # re-seeded on exactly them, and the merge rewrites only that
+    # cell's files -- every other cell is carried by path, preserving
+    # the file-granular CoW contract.  One pass per refresh: a cell
+    # grows gradually between refreshes, so a residually-hot cell is
+    # caught by the next one (the manifest's counts make the check
+    # O(1)).
+    split_cells: list[int] = []
+    if quantizer == "kmeans" and max_cf is not None and counts:
+        import math
+
+        from location_summary_etl_spark.functions.vectors import l2_norm
+        from location_summary_etl_spark.operators.clustering import (
+            kmeans_fit,
+        )
+        from location_summary_etl_spark.operators.similarity import (
+            ivf_cells_quantized,
+        )
+
+        total = sum(counts.values())
+        cap = math.ceil(total * max_cf)
+        t_iters = int(meta.get("train_iters", 2))
+        for c in sorted(k for k, n in counts.items() if n > cap):
+            m = min(math.ceil(counts[c] / cap), _MAX_SPLIT_FANOUT)
+            if m < 2:
+                continue
+            members = cells_tbl.read(
+                spark, new_cells_v, where=("cl", c, c),
+            ).filter(F.col("cl") == c)
+            sub = kmeans_fit(members, "vec_id", "c_v", k=m, iters=t_iters)
+            if len(sub) < 2:
+                # geometrically unsplittable (near-identical members
+                # collapse every sub-seed); renaming would just churn
+                continue
+            # id allocation must clear EMPTY cells too: their
+            # centroids exist with no counts entry, so take the max
+            # over the centroid table, not over counts
+            next_id = int(new_cent.agg(F.max("cl")).first()[0]) + 1
+            subg = [(next_id + i, cv) for i, (_, cv) in enumerate(sub)]
+            new_assign = ivf_cells_quantized(members, subg,
+                                             "vec_id", "c_v")
+            dels = members.select(
+                "vec_id", "cl",
+                F.lit(None).cast("array<double>").alias("c_v"),
+                F.lit(None).cast("double").alias("c_nrm"),
+                F.lit(True).alias("_del"))
+            new_cells_v = cells_tbl.merge(
+                spark,
+                new_assign.withColumn("_del", F.lit(False))
+                .unionByName(dels),
+                keys=["cl", "vec_id"], delete_col="_del")
+            if new_q8_v is not None:
+                q8_tbl = VersionedTable(os.path.join(root, _CELLS_Q8))
+                new_q8_v = q8_tbl.merge(
+                    spark,
+                    _q8_of_cells(new_assign)
+                    .withColumn("_del", F.lit(False))
+                    .unionByName(dels.select(
+                        "vec_id", "cl",
+                        F.lit(None).cast("array<tinyint>").alias("q8"),
+                        F.lit(None).cast("bigint").alias("q_l2sq"),
+                        "_del")),
+                    keys=["cl", "vec_id"], delete_col="_del")
+            sub_rows = spark.createDataFrame(
+                [(int(j), [float(x) for x in cv]) for j, cv in subg],
+                "cl int, cv array<double>",
+            ).withColumn("c_nrm", l2_norm(F.col("cv")))
+            new_cent = (new_cent.filter(F.col("cl") != c)
+                        .unionByName(sub_rows))
+            del counts[c]
+            counts.update(_cell_counts(new_assign))
+            split_cells.append(int(c))
+
     return VersionedTable(os.path.join(root, _CENTROIDS)).commit(
         new_cent, mode="overwrite", operation=json.dumps({
             "op": "ivf_delta",
@@ -879,6 +1103,9 @@ def refresh_ivf_index(spark: SparkSession, base, root: str, *,
             "k_cells": meta.get("k_cells", 8),
             "train_iters": meta.get("train_iters", 2),
             "n_since_fit": n_since_fit + n_delta,
+            "cell_counts": {str(c): n for c, n in sorted(counts.items())},
+            "max_cell_fraction": max_cf,
+            "split_cells": split_cells,
             "touched_cells": [int(c) for c in touched],
             # O(delta) additive update, not an O(corpus) rescan
             "fingerprint": _fingerprint_from_delta(

@@ -746,9 +746,13 @@ def test_rebuild_preserves_quantizer_config(spark, tmp_path):
         [(i, [float(i % 7), float(i % 5), 1.0], i % 4)
          for i in range(100)], schema), mode="overwrite")
     root = str(tmp_path / "idx")
+    # max_cell_fraction=None: this test pins the EXACT centroid count
+    # through a rebuild, which the (default-on) hot-cell split guard
+    # may legitimately change -- disabling it must itself carry through
     v1 = build_ivf_index(base.read(spark), root,
                          base_version=base.latest_version(),
-                         quantizer="kmeans", k_cells=5, train_iters=1)
+                         quantizer="kmeans", k_cells=5, train_iters=1,
+                         max_cell_fraction=None)
     m1 = index_meta(root, v1)
     assert (m1["k_cells"], m1["train_iters"]) == (5, 1)
 
@@ -762,6 +766,7 @@ def test_rebuild_preserves_quantizer_config(spark, tmp_path):
     assert m2["quantizer"] == "kmeans"
     assert (m2["k_cells"], m2["train_iters"]) == (5, 1)
     assert m2["n_since_fit"] == 0
+    assert m2["max_cell_fraction"] is None  # the opt-out carried too
     cent = VersionedTable(str(tmp_path / "idx" / "centroids")).read(spark, v2)
     assert cent.count() == 5  # not the 8-cell default
 
@@ -1143,3 +1148,220 @@ def test_kmeans_quantized_index_refresh_end_to_end(spark, sf_dir, tmp_path):
                                               [1, 2, 3])]
     got = ivf_query_index_quantized(spark, root, queries, k=4, version=v2)
     assert got.count() == 12
+
+
+# ------------------------------------------------ hot-cell skew guard
+
+
+def _skewed_hot_blob(spark):
+    """1000 vectors: 850 in one dense region (uniform 1D lattice inside
+    it, ids scrambled so the sub-split's first-m-ids seeding lands
+    spread positions) + 3 well-separated cold regions.  An unguarded
+    k_cells=4 fit puts the 850 into one cell."""
+    rows = []
+    for i in range(3, 853):  # hot blob: positions 0..84.9 along dim 0
+        pos = ((i * 211) % 850) * 0.1
+        rows.append((i, [pos, 0.0, 0.0, 50.0], 0))
+    corners = [[300.0, 0.0, 0.0, 0.0], [0.0, 300.0, 0.0, 0.0],
+               [0.0, 0.0, 300.0, 0.0]]
+    for j, corner in enumerate(corners):
+        rows.append((j, corner, 1 + j))  # ids 0..2: the cold seeds
+    for i in range(853, 1000):
+        corner = corners[i % 3]
+        rows.append((i, [c + (i % 7) * 0.1 for c in corner], 1 + i % 3))
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int")
+
+
+def test_build_split_guard_bounds_hot_cells(spark, tmp_path):
+    """Default-on hot-cell guard (quantizer='kmeans'): a corpus whose
+    embedding distribution concentrates 85% of rows into one trained
+    cell gets that cell split by re-seeded sub-centroids until no cell
+    exceeds max_cell_fraction -- and exactness is untouched (probing
+    every cell still recovers brute force)."""
+    from location_summary_etl_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = _skewed_hot_blob(spark)
+
+    # baseline: guard off reproduces the skew-killer
+    root_off = str(tmp_path / "off")
+    v_off = build_ivf_index(emb, root_off, quantizer="kmeans",
+                            k_cells=4, train_iters=4,
+                            max_cell_fraction=None)
+    m_off = index_meta(root_off, v_off)
+    counts_off = {int(c): n for c, n in m_off["cell_counts"].items()}
+    assert max(counts_off.values()) >= 800  # one hot cell holds ~85%
+
+    # guard on (default fraction 0.25): bound holds
+    root = str(tmp_path / "on")
+    v = build_ivf_index(emb, root, quantizer="kmeans",
+                        k_cells=4, train_iters=4)
+    m = index_meta(root, v)
+    assert m["max_cell_fraction"] == 0.25
+    counts = {int(c): n for c, n in m["cell_counts"].items()}
+    total = sum(counts.values())
+    assert total == 1000
+    import math
+    cap = math.ceil(total * 0.25)
+    assert max(counts.values()) <= cap, counts
+    assert len(counts) > len(counts_off)  # sub-centroids were added
+
+    # manifest counts are the true counts
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+    cells = VersionedTable(str(tmp_path / "on" / "cells")).read(
+        spark, m["cells_version"])
+    true_counts = {r["cl"]: r["n"] for r in cells.groupBy("cl").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == true_counts
+
+    # exactness contract: probing every cell == brute force
+    qids = [3, 100, 500, 853]
+    exact = {(r["query_id"], r["rank"], r["vec_id"])
+             for r in brute_force_topk(emb, qids, k=5).collect()}
+    full = {(r["query_id"], r["rank"], r["vec_id"])
+            for r in ivf_query_index(spark, root, qids, k=5,
+                                     n_probe=len(counts),
+                                     version=v).collect()}
+    assert full == exact
+
+    # the payoff the guard protects: a worst-case probe now scans a
+    # bounded candidate set instead of ~85% of the corpus
+    worst2 = sum(sorted(counts.values())[-2:])
+    assert worst2 <= 2 * cap
+    assert worst2 < max(counts_off.values())
+
+
+def test_refresh_split_guard_and_counts_bookkeeping(spark, tmp_path):
+    """A delta that grows one cell past the bound gets that cell split
+    DURING refresh: file-pruned within-cell re-seed, only the hot
+    cell's files rewritten (cold build files carried by path), q8
+    table maintained through the split, manifest counts stay exact,
+    and probing every cell still recovers brute force."""
+    from location_summary_etl_spark.operators.ann_index import (
+        _q8_of_cells,
+        refresh_ivf_index,
+    )
+    from location_summary_etl_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    schema = "vec_id bigint, embedding array<double>, label int"
+    # 4 balanced natural clusters, 100 rows each
+    clusters = [[0.0, 0.0], [100.0, 0.0], [0.0, 100.0], [100.0, 100.0]]
+    rows = []
+    for i in range(400):
+        c = clusters[i % 4]
+        rows.append((i, [c[0] + (i % 10) * 0.1, c[1] + (i // 40) * 0.1],
+                     i % 4))
+    base = VersionedTable(str(tmp_path / "base"))
+    base.commit(spark.createDataFrame(rows, schema), mode="overwrite")
+    root = str(tmp_path / "idx")
+    # pin one file per cell at this tiny scale (AQE would coalesce
+    # everything into one file, leaving nothing to carry by path)
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    old_co = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        v1 = build_ivf_index(base.read(spark), root,
+                             base_version=base.latest_version(),
+                             quantizer="kmeans", k_cells=4, train_iters=2,
+                             store_quantized=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", old_co)
+    m1 = index_meta(root, v1)
+    counts1 = {int(c): n for c, n in m1["cell_counts"].items()}
+    assert sorted(counts1.values()) == [100, 100, 100, 100]
+    cells_tbl = VersionedTable(str(tmp_path / "idx" / "cells"))
+    build_files = set(cells_tbl._manifest(m1["cells_version"])["files"])
+
+    # 19.5% delta (under rebuild_fraction): all near cluster 0 but
+    # offset, so cell 0 grows to 178/478 > ceil(478*0.25)=120
+    delta = [(1000 + i, [8.0 + (i % 6) * 0.1, 0.5 + (i % 13) * 0.1], 0)
+             for i in range(78)]
+    base.commit(spark.createDataFrame(delta, schema), mode="append")
+    v2 = refresh_ivf_index(spark, base, root)
+    m2 = index_meta(root, v2)
+    assert m2["op"] == "ivf_delta"
+    assert m2["split_cells"], "hot cell was not split"
+    import math
+    counts2 = {int(c): n for c, n in m2["cell_counts"].items()}
+    total = sum(counts2.values())
+    assert total == 478
+    assert max(counts2.values()) <= math.ceil(total * 0.25), counts2
+
+    # manifest counts == true counts after the split
+    cells2 = cells_tbl.read(spark, m2["cells_version"])
+    true_counts = {r["cl"]: r["n"] for r in cells2.groupBy("cl").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts2 == true_counts
+
+    # cold cells carried BY PATH through delta-merge + split-merge
+    final_files = set(cells_tbl._manifest(m2["cells_version"])["files"])
+    assert build_files & final_files, "every build file was rewritten"
+
+    # q8 inverted file maintained through the split: equals the spec
+    # quantization of the post-split float cells
+    q8 = VersionedTable(str(tmp_path / "idx" / "cells_q8")).read(
+        spark, m2["q8_version"])
+    assert sorted(map(str, q8.collect())) == sorted(
+        map(str, _q8_of_cells(cells2).collect()))
+
+    # exactness: probing every cell == brute force over the new base
+    qids = [0, 1000, 201]
+    exact = {(r["query_id"], r["rank"], r["vec_id"])
+             for r in brute_force_topk(base.read(spark), qids,
+                                       k=5).collect()}
+    full = {(r["query_id"], r["rank"], r["vec_id"])
+            for r in ivf_query_index(spark, root, qids, k=5,
+                                     n_probe=len(counts2),
+                                     version=v2).collect()}
+    assert full == exact
+
+
+def test_refresh_counts_stay_exact_without_split(spark, sf_dir, tmp_path):
+    """cell_counts bookkeeping on the ordinary (no-split) delta path,
+    label quantizer: touched cells are recounted file-pruned, untouched
+    cells keep their manifest numbers, and the result equals a full
+    recount.  Also pins that the LABEL quantizer is exempt from
+    splitting even under extreme label skew."""
+    from location_summary_etl_spark.operators.ann_index import (
+        refresh_ivf_index,
+    )
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = VersionedTable(str(tmp_path / "base"))
+    base.commit(emb.filter(F.col("vec_id") % 10 != 0), mode="overwrite")
+    root = str(tmp_path / "idx")
+    v1 = build_ivf_index(base.read(spark), root,
+                         base_version=base.latest_version())
+    m1 = index_meta(root, v1)
+    assert m1["quantizer"] == "label"
+
+    base.commit(emb.filter(F.col("vec_id") % 10 == 0), mode="append")
+    v2 = refresh_ivf_index(spark, base, root)
+    m2 = index_meta(root, v2)
+    counts = {int(c): n for c, n in m2["cell_counts"].items()}
+    cells = VersionedTable(str(tmp_path / "idx" / "cells")).read(
+        spark, m2["cells_version"])
+    true_counts = {r["cl"]: r["n"] for r in cells.groupBy("cl").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == true_counts
+
+    # label skew does NOT split (cl==label semantics preserved):
+    skew = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0], 7) for i in range(200)]
+        + [(1000 + i, [50.0, float(i)], i % 2) for i in range(20)],
+        "vec_id bigint, embedding array<double>, label int")
+    root2 = str(tmp_path / "skewlabel")
+    v = build_ivf_index(skew, root2)  # 200/220 rows in label 7
+    m = index_meta(root2, v)
+    counts = {int(c): n for c, n in m["cell_counts"].items()}
+    assert counts[7] == 200  # hot label intact, not re-cut
+    assert set(counts) == {0, 1, 7}
