@@ -99,6 +99,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="serve from the int8 inverted file (index must "
                     "be built with --store-quantized); query vectors are "
                     "looked up in the pinned float cells table")
+    iq.add_argument("--refine", type=int, default=0,
+                    help="with --quantized: float-rescore the int8 "
+                    "top-R candidates (R >= k, e.g. 4-10x k) so the "
+                    "final ranking uses exact cosine; 0 disables")
 
     ii = isub.add_parser("info", help="print the pinned index metadata")
     ii.add_argument("--root", required=True)
@@ -168,24 +172,29 @@ def _index_main(args, spark) -> int:
         if args.quantized:
             # id-keyed quantized serving: look the query vectors up in
             # the PINNED float cells table (the same one-scan lookup
-            # the float id-keyed path pays), then serve from the int8
-            # inverted file.  verify_against applies the same
-            # staleness gate before any scan.
-            if verify is not None:
-                meta = ann_index.verify_index(args.root, verify,
-                                              version=args.version)
-            else:
-                meta = ann_index.index_meta(args.root, args.version)
+            # the float id-keyed path pays; IN pushdown over the
+            # id-sorted layout prunes the scan), then serve from the
+            # int8 inverted file -- staleness gating delegates to
+            # ivf_query_index_quantized(verify_against=...).
+            meta = ann_index.index_meta(args.root, args.version)
             cells = VersionedTable(
                 os.path.join(args.root, "cells")).read(
                     spark, meta["cells_version"])
             rows = (cells.filter(cells.vec_id.isin(ids))
                     .select("vec_id", "c_v").collect())
+            if len(rows) != len(ids):
+                missing = sorted(set(ids) - {int(r["vec_id"])
+                                             for r in rows})
+                print(f"error: ids not in the indexed corpus: "
+                      f"{missing}", file=sys.stderr)
+                return 2
             queries = [(int(r["vec_id"]), [float(x) for x in r["c_v"]])
                        for r in rows]
             ann_index.ivf_query_index_quantized(
                 spark, args.root, queries, k=args.k,
-                n_probe=args.n_probe, version=args.version).show(
+                n_probe=args.n_probe, version=args.version,
+                refine=args.refine if args.refine > 0 else None,
+                verify_against=verify).show(
                     len(ids) * args.k, truncate=False)
             return 0
         ann_index.ivf_query_index(

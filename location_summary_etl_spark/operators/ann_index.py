@@ -339,8 +339,15 @@ def build_ivf_index(emb: DataFrame, root: str, *, id_col: str = "vec_id",
     else:
         raise ValueError(
             f"quantizer must be 'label' or 'kmeans', got {quantizer!r}")
+    # Float inverted file: range-partitioned by cell (probe/file-prune
+    # locality) AND id-sorted within each partition -- the id-sort costs
+    # nothing at build time but makes parquet page-level column-index
+    # pruning effective for the refine stage's point lookups (an IN
+    # (ids) pushdown over an id-sorted file decodes only the pages that
+    # can contain a candidate id, instead of the whole cell).
     cells_v = VersionedTable(os.path.join(root, _CELLS)).commit(
-        cells.repartitionByRange("cl"), mode="overwrite",
+        cells.repartitionByRange("cl").sortWithinPartitions("cl", "vec_id"),
+        mode="overwrite",
         operation="ivf_cells", stats_columns=["cl"])
     q8_v = None
     if store_quantized:
@@ -519,7 +526,10 @@ def ivf_query_index_quantized(spark: SparkSession, root: str,
                               queries: list[tuple[int, list[float]]],
                               k: int = 5, n_probe: int = IVF_N_PROBE,
                               version: int | None = None,
-                              backend: str = "pandas") -> DataFrame:
+                              backend: str = "pandas",
+                              refine: int | None = None,
+                              verify_against: DataFrame | None = None,
+                              id_col: str = "vec_id") -> DataFrame:
     """Quantized serving over the persisted index: the candidate scan
     reads the int8 inverted file (``cells_q8`` -- 1 byte/dim + one
     exact integer L2 per vector), file-pruned to the probed cells, and
@@ -568,11 +578,41 @@ def ivf_query_index_quantized(spark: SparkSession, root: str,
     reorders near-ties; both rankings are exactly oracled, so the
     trade is visible, not hidden).  At warehouse scale the byte ratio
     is the whole story: the candidate scan is the O(probed cells'
-    bytes) term."""
+    bytes) term.
+
+    ``refine``: the standard IVF accuracy repair for the ~0.80 top-10
+    agreement -- the int8 scan selects the top-``refine`` candidates
+    per query (R >= k, typically 4-10x k), their FLOAT vectors alone
+    are fetched back (scan pruned to the probed cells' files, an
+    ``IN (ids)`` pushdown over the build's id-sorted-within-cell
+    layout letting parquet's page-level column index decode only the
+    pages that can hold a candidate), and the final top-k is ranked
+    by EXACT float cosine -- the output then carries ``cosine`` (the
+    float paths' column) instead of ``qcosine``, because the scores
+    ARE the float scores.  The candidate scan stays 1 byte/dim; the
+    float fetch is O(R x |Q|) rows.  R sizing is corpus-dependent:
+    exactness is GUARANTEED once R covers every probed candidate
+    (unit-pinned); at finite R, agreement is monotone in R and the
+    right R tracks how tightly the corpus packs top cosines relative
+    to the ~1e-3 quantization error -- measured at the sf10 tier
+    (tools/ab_ann_refine.py, 2026-08-15): R=4k stayed at the bare
+    path's 0.80, R=10k measured 1.00 at +0.13 s over bare int8
+    (0.57 vs 0.44 s) while the float path costs 1.43 s.
+
+    ``verify_against``: same staleness contract as
+    :func:`ivf_query_index` -- pass the current base relation and a
+    pinned generation whose fingerprint no longer matches raises
+    :class:`StaleIndexError` instead of silently serving stale
+    results (previously only the float path offered this, so the CLI
+    hand-rolled the verify-then-read sequence)."""
     from location_summary_etl_spark.functions.scalars import round_portable
     from location_summary_etl_spark.operators.quantize import int8_quantize
 
-    meta = index_meta(root, version)
+    if verify_against is not None:
+        meta = verify_index(root, verify_against, id_col=id_col,
+                            version=version)
+    else:
+        meta = index_meta(root, version)
     if meta.get("q8_version") is None:
         raise ValueError(
             f"index generation v{meta['version']} at {root} carries no "
@@ -587,8 +627,12 @@ def ivf_query_index_quantized(spark: SparkSession, root: str,
         spark, meta["q8_version"], where_any=("cl", probed))
     cand = (q8.filter(F.col("cl").isin(probed))  # skipping is not the
             .filter(F.col("q_l2sq") > 0))        # predicate
+    # the pandas scorer pre-cuts each batch to the final ranking depth;
+    # with a refine stage that depth is R, not k (the rescore must see
+    # the full quantized top-R)
+    depth = k if refine is None else max(k, refine)
     if backend == "pandas":
-        scored = _q8_score_pandas(cand, queries, pairs, k)
+        scored = _q8_score_pandas(cand, queries, pairs, depth)
     elif backend == "expr":
         # quantize the literal queries with the exact stored-code
         # arithmetic, score with JVM higher-order expressions
@@ -622,10 +666,43 @@ def ivf_query_index_quantized(spark: SparkSession, root: str,
 
     w = Window.partitionBy("query_id").orderBy(
         F.col("qcosine").desc(), F.col("vec_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if refine is None:
+        return (ranked.filter(F.col("rank") <= k)
+                .select("query_id", "rank", "vec_id", "qcosine"))
+
+    if refine < k:
+        raise ValueError(f"refine={refine} must be >= k={k}")
+    from location_summary_etl_spark.functions.vectors import cosine
+
+    # Quantized top-R per query, collected driver-side: R x |Q| pairs,
+    # the broadcast size class (same bound as _probe_pairs) -- literal
+    # ids are what let the float fetch push an IN filter into the scan.
+    cand = [(int(r["query_id"]), int(r["vec_id"]))
+            for r in ranked.filter(F.col("rank") <= refine)
+            .select("query_id", "vec_id").collect()]
+    ids = sorted({v for _q, v in cand})
+    flt = (
+        VersionedTable(os.path.join(root, _CELLS)).read(
+            spark, meta["cells_version"], where_any=("cl", probed))
+        .filter(F.col("vec_id").isin(ids))
+        .select("vec_id", "c_v", "c_nrm"))
+    pairs_df = spark.createDataFrame(cand, "query_id long, vec_id long")
+    exact = (
+        flt.join(F.broadcast(pairs_df), "vec_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id", "vec_id",
+            round_portable(
+                cosine(F.col("q_v"), F.col("c_v"),
+                       F.col("q_nrm"), F.col("c_nrm")), 6).alias("cosine"))
+        .filter(F.col("cosine").isNotNull()))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "vec_id", "qcosine")
+        .select("query_id", "rank", "vec_id", "cosine")
     )
 
 
@@ -957,7 +1034,9 @@ def refresh_ivf_index(spark: SparkSession, base, root: str, *,
     if compact_files is not None:
         if cells_tbl._manifest(new_cells_v)["n_files"] > compact_files:
             new_cells_v = cells_tbl.commit(
-                cells_tbl.read(spark, new_cells_v).repartitionByRange("cl"),
+                cells_tbl.read(spark, new_cells_v)
+                .repartitionByRange("cl")
+                .sortWithinPartitions("cl", "vec_id"),
                 mode="overwrite", operation="ivf_compact",
                 stats_columns=["cl"])
         if (new_q8_v is not None

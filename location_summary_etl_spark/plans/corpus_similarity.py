@@ -264,7 +264,9 @@ def ann_topk_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The oracle composes the two proven fragments: _IVF_SQL's probe
 # selection (float query vs rounded per-label centroids) and
 # QUANTIZED_TOPK_SQL's integer scoring, restricted to the probed cells.
-_IVF_Q8_SQL = f"""
+# The CTE block is shared with the refined variant below, which adds a
+# float-rescore layer on top of the same quantized scoring.
+_IVF_Q8_CTES = f"""
 WITH e AS (
     SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
            sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -332,7 +334,9 @@ scored AS (
     JOIN nz c ON c.vec_id = e.vec_id
     JOIN nz qq ON qq.vec_id = p.query_id
     WHERE e.vec_id <> p.query_id AND c.nrm8 > 0 AND qq.nrm8 > 0
-)
+)"""
+
+_IVF_Q8_SQL = _IVF_Q8_CTES + """
 SELECT query_id, rank, vec_id, qcosine FROM (
     SELECT query_id, vec_id, qcosine,
            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -343,6 +347,76 @@ WHERE rank <= 5
 """
 
 register("ann_topk_ivf_quantized", ann_topk_ivf_quantized, _IVF_Q8_SQL)
+
+
+# R for the refined corpus entry: 4x k, the low end of the standard
+# refine band.  The oracle mirrors the SAME truncation (quantized
+# top-R then float rescore), so the pairing is exact at ANY R; the
+# accuracy-vs-R trade itself is measured in tools/ab_ann_refine.py
+# (sf10: R=4k stays at the bare-int8 0.80 agreement because this
+# corpus packs top cosines within the ~1e-3 quantization error,
+# R=10k measures 1.00).
+_REFINE_R = 20
+
+
+def ann_topk_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refined quantized serving (``refine=R``): the int8 candidate
+    scan picks the top-R per query, ONLY those R ids' float vectors
+    are fetched back (IN-pushdown over the id-sorted cell layout,
+    page-level pruning), and the final top-k is ranked by EXACT float
+    cosine -- the standard IVF answer to the quantized path's ~0.80
+    top-10 agreement (measured 1.00 at R=10k on the sf10 tier,
+    tools/ab_ann_refine.py) while the bulk scan stays 1 byte/dim.
+    Output carries ``cosine`` (exact float scores), oracle-paired with
+    the same quantized CTEs plus a float-rescore layer."""
+    from location_summary_etl_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_query_index_quantized,
+    )
+    from location_summary_etl_spark.operators.similarity import (
+        fetch_query_rows,
+    )
+    from location_summary_etl_spark.plans.corpus_warehouse import _fresh_dir
+
+    emb = _emb(spark, sf_dir)
+    root = _fresh_dir("annidxrf", sf_dir)
+    version = build_ivf_index(emb, root, store_quantized=True)
+    queries = [(int(i), [float(x) for x in v])
+               for i, v in fetch_query_rows(emb, "vec_id", "embedding",
+                                            QUERY_IDS)]
+    return ivf_query_index_quantized(spark, root, queries, k=5,
+                                     n_probe=IVF_N_PROBE, version=version,
+                                     refine=_REFINE_R)
+
+
+_IVF_REFINE_SQL = _IVF_Q8_CTES + f""",
+qtop AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY qcosine DESC, vec_id) AS qr
+        FROM scored
+    ) WHERE qr <= {_REFINE_R}
+),
+rescored AS (
+    SELECT t.query_id, t.vec_id,
+           round(CAST(list_dot_product(q.qv, e.v)
+                      / (q.qn * e.nrm) AS DOUBLE), 6) AS cosine
+    FROM qtop t
+    JOIN e ON e.vec_id = t.vec_id
+    JOIN q ON q.query_id = t.query_id
+    WHERE e.nrm > 0
+)
+SELECT query_id, rank, vec_id, cosine FROM (
+    SELECT query_id, vec_id, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS INT) AS rank
+    FROM rescored
+)
+WHERE rank <= 5
+"""
+
+register("ann_topk_ivf_refined", ann_topk_ivf_refined, _IVF_REFINE_SQL)
 
 
 

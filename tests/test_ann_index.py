@@ -1365,3 +1365,138 @@ def test_refresh_counts_stay_exact_without_split(spark, sf_dir, tmp_path):
     counts = {int(c): n for c, n in m["cell_counts"].items()}
     assert counts[7] == 200  # hot label intact, not re-cut
     assert set(counts) == {0, 1, 7}
+
+
+# ------------------------------------------- quantized refine stage
+
+
+def test_refine_recovers_exact_float_ranking(spark, sf_dir, tmp_path):
+    """refine=R: the int8 scan selects top-R, floats are fetched for
+    exactly those ids, and the final top-k is the EXACT float ranking
+    -- row-for-row equal to ivf_query_index_vectors (same rounding,
+    same tie order, same `cosine` column) once R covers the float
+    top-k.  Also pins refine < k as an error and staleness gating on
+    the quantized path (ADVICE r9: previously only the float path had
+    verify_against)."""
+    import pytest as _pytest
+
+    from location_summary_etl_spark.operators.ann_index import (
+        ivf_query_index_quantized,
+        ivf_query_index_vectors,
+    )
+    from location_summary_etl_spark.operators.similarity import (
+        fetch_query_rows,
+    )
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = VersionedTable(str(tmp_path / "base"))
+    base.commit(emb, mode="overwrite")
+    root = str(tmp_path / "idx")
+    v = build_ivf_index(base.read(spark), root,
+                        base_version=base.latest_version(),
+                        store_quantized=True)
+    queries = [(int(i), [float(x) for x in vec])
+               for i, vec in fetch_query_rows(emb, "vec_id", "embedding",
+                                              [1, 2, 3, 4, 5])]
+
+    float_rows = ivf_query_index_vectors(
+        spark, root, queries, k=5, version=v).collect()
+    want = sorted(map(str, float_rows))
+    # R >= every probed candidate: refine rescans ALL candidates in
+    # float, so the result is GUARANTEED row-for-row float-identical
+    # (same rounding, ties, column name); finite R trades that
+    # guarantee for the bounded fetch -- agreement must then be
+    # monotone in R, asserted below
+    R_ALL = 10 ** 6
+    got_df = ivf_query_index_quantized(spark, root, queries, k=5,
+                                       version=v, refine=R_ALL)
+    assert got_df.columns == ["query_id", "rank", "vec_id", "cosine"]
+    assert sorted(map(str, got_df.collect())) == want
+
+    # both quantized backends refine to the same exact ranking
+    got_expr = ivf_query_index_quantized(spark, root, queries, k=5,
+                                         version=v, refine=R_ALL,
+                                         backend="expr")
+    assert sorted(map(str, got_expr.collect())) == want
+
+    # moderate R: refined agreement with the float top-k is at least
+    # the bare int8 path's (the refine stage can only fix rankings)
+    fset = {(r["query_id"], r["vec_id"]) for r in float_rows}
+    q8set = {(r["query_id"], r["vec_id"])
+             for r in ivf_query_index_quantized(
+                 spark, root, queries, k=5, version=v).collect()}
+    r40set = {(r["query_id"], r["vec_id"])
+              for r in ivf_query_index_quantized(
+                  spark, root, queries, k=5, version=v,
+                  refine=40).collect()}
+    assert len(fset & r40set) >= len(fset & q8set)
+
+    with _pytest.raises(ValueError, match="refine=3 must be >= k=5"):
+        ivf_query_index_quantized(spark, root, queries, k=5,
+                                  version=v, refine=3)
+
+    # staleness gate on the quantized path: fresh base passes, a
+    # changed base raises before any scan
+    ok = ivf_query_index_quantized(spark, root, queries, k=5, version=v,
+                                   refine=R_ALL,
+                                   verify_against=base.read(spark))
+    assert sorted(map(str, ok.collect())) == want
+    base.commit(base.read(spark).limit(50), mode="overwrite")
+    with pytest.raises(StaleIndexError, match="rebuild or pin"):
+        ivf_query_index_quantized(spark, root, queries, k=5, version=v,
+                                  verify_against=base.read(spark))
+
+
+def test_refine_float_fetch_is_pruned_and_bounded(spark, sf_dir,
+                                                  tmp_path):
+    """The refine fetch pushes the candidate-id IN filter into the
+    float scan (visible as a pushed filter over vec_id) and the float
+    side of the refined plan joins exactly R x |Q| candidate pairs at
+    most -- the fetch is point lookups, not a float re-scan of the
+    probed cells' rows."""
+    from location_summary_etl_spark.operators.ann_index import (
+        ivf_query_index_quantized,
+    )
+    from location_summary_etl_spark.operators.similarity import (
+        fetch_query_rows,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = str(tmp_path / "idx")
+    v = build_ivf_index(emb, root, store_quantized=True)
+    queries = [(int(i), [float(x) for x in vec])
+               for i, vec in fetch_query_rows(emb, "vec_id", "embedding",
+                                              [1, 2])]
+    df = ivf_query_index_quantized(spark, root, queries, k=5,
+                                   version=v, refine=20)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the IN(ids) predicate reached the float scan as a pushed filter
+    assert "PushedFilters: [In(vec_id" in plan, plan
+    # exact-rescore output is bounded by the candidate pairs
+    n = df.count()
+    assert n <= 2 * 5
+    # and the rescored relation upstream of top-k is <= R x |Q|
+    # (2 queries x R=20): count it by raising k to R
+    all_ranked = ivf_query_index_quantized(spark, root, queries, k=20,
+                                           version=v, refine=20)
+    assert all_ranked.count() <= 2 * 20
+
+
+def test_build_layout_is_id_sorted_within_cells(spark, sf_dir, tmp_path):
+    """The float inverted file is sorted by (cl, vec_id) within each
+    data file -- the layout the refine fetch's page-level pruning
+    leans on (and compaction restores it after fragmenting deltas)."""
+    import pyarrow.parquet as pq
+
+    from location_summary_etl_spark.sources.versioned import VersionedTable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = str(tmp_path / "idx")
+    build_ivf_index(emb, root)
+    m = index_meta(root)
+    cells_tbl = VersionedTable(str(tmp_path / "idx" / "cells"))
+    for f in cells_tbl._manifest(m["cells_version"])["files"]:
+        t = pq.read_table(f, columns=["cl", "vec_id"])
+        pairs = list(zip(t["cl"].to_pylist(), t["vec_id"].to_pylist()))
+        assert pairs == sorted(pairs), f
