@@ -21,14 +21,18 @@ so each artifact records whether its own window was quiet --
 ``probe_quiet_passes == 0`` marks a run whose totals are upper
 bounds only and not comparable round-over-round.
 
-The probe's documented blind spot (r8): scan-heavy queries moved
-1.3-1.9x between windows the ARITHMETIC probe called quiet (an
-IO/bandwidth contention class it cannot see).  The artifact therefore
-self-describes those cells: per-query minima are kept PER PASS, and a
-query whose quiet-pass minima disagree by more than
-``UNSTABLE_SPREAD`` is listed in ``unstable_queries`` -- a reader of
-BENCH_r{N}.json alone can tell wobble from regression for that query
-family without the crossover prose.
+The arithmetic probe's documented blind spot (r8) -- scan-heavy
+queries moving 1.3-1.9x between windows it called quiet -- was
+identified in r9 as AGGREGATE MEMORY BANDWIDTH and is CLOSED as a gate
+in r10: the startup wait and the per-pass quiet certification both
+require the multi-threaded streaming probe (``hostprobe.probe_mt``,
+preallocated-buffer kernel, quiet 0.13-0.15 s, threshold 0.45) under
+its threshold alongside the arithmetic one.  Residual self-description
+stays: per-query minima are kept PER PASS, and a query whose
+quiet-pass minima disagree by more than ``UNSTABLE_SPREAD`` is listed
+in ``unstable_queries`` -- a reader of BENCH_r{N}.json alone can tell
+wobble from regression for that query family without the crossover
+prose.
 """
 
 from __future__ import annotations
@@ -115,10 +119,21 @@ def main() -> None:
     probing = os.environ.get("SPARK_GRAFT_BENCH_PROBE", "1") != "0"
     probe_threshold = float(os.environ.get(
         "SPARK_GRAFT_BENCH_PROBE_THRESHOLD", str(hostprobe.QUIET_SEC)))
+    bw_threshold = float(os.environ.get(
+        "SPARK_GRAFT_BENCH_PROBE_BW_THRESHOLD",
+        str(hostprobe.MT_QUIET_SEC)))
     startup_probes: list[float] = []
+    startup_bw_probes: list[float] = []
     if probing:
-        startup_probes = hostprobe.wait_quiet(
+        # r10: the startup gate requires BOTH probe classes quiet --
+        # three r9 same-commit windows separated on the bandwidth
+        # probe (totals 8.5/9.3/10.6 s <-> bw 0.31/1.18/1.32
+        # old-scale) while the arithmetic probe called all three
+        # quiet, so arithmetic-only gating can mint absolutes in a
+        # bandwidth-contended window.
+        startup_probes, startup_bw_probes = hostprobe.wait_quiet_all(
             threshold=probe_threshold,
+            bw_threshold=bw_threshold,
             attempts=int(os.environ.get(
                 "SPARK_GRAFT_BENCH_PROBE_ATTEMPTS", "10")),
             sleep_sec=float(os.environ.get(
@@ -156,9 +171,9 @@ def main() -> None:
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     pass_probes: list[float] = [hostprobe.probe()] if probing else []
-    # Second probe class (r9): aggregate-bandwidth kernel, RECORDED so
-    # scan-heavy cross-window swings can be correlated with it (quiet
-    # 0.47-0.65 s; see tools/hostprobe.py).  Not yet a gate.
+    # Second probe class: aggregate-bandwidth kernel.  GATING since
+    # r10 (recorded-only in r9): a pass counts as quiet only when the
+    # bandwidth stamps on both sides of it also cleared bw_threshold.
     bw_probes: list[float] = [hostprobe.probe_mt()] if probing else []
     times_by_pass: list[dict[str, float]] = []
     for _ in range(passes):
@@ -182,7 +197,9 @@ def main() -> None:
     quiet_idx = [
         i for i in range(passes)
         if probing and pass_probes[i] <= probe_threshold
-        and pass_probes[i + 1] <= probe_threshold]
+        and pass_probes[i + 1] <= probe_threshold
+        and bw_probes[i] <= bw_threshold
+        and bw_probes[i + 1] <= bw_threshold]
     quiet_passes = len(quiet_idx) if probing else 0
 
     # Probe blind-spot self-description: a query whose per-pass minima
@@ -244,8 +261,13 @@ def main() -> None:
         # quiet_passes == 0 means every pass overlapped a steal burst:
         # the totals are upper bounds, not comparable round-over-round.
         "probe_threshold_sec": probe_threshold if probing else None,
+        "probe_bw_threshold_sec": bw_threshold if probing else None,
         "probe_startup_sec": startup_probes or None,
+        "probe_bw_startup_sec": startup_bw_probes or None,
         "probe_pass_sec": pass_probes or None,
+        # bw stamps GATE quiet_passes since r10 (r9: recorded only).
+        # NOTE: r10 re-scaled the bw kernel (preallocated buffers) --
+        # probe_bw_sec values are not comparable to r9 artifacts.
         "probe_bw_sec": bw_probes or None,
         "probe_quiet_passes": quiet_passes if probing else None,
         # Blind-spot cells (see module docstring): queries whose quiet-

@@ -129,17 +129,19 @@ def main() -> None:
     qs[names[0]](spark, tiers[0][1]).write.format("noop").mode(
         "overwrite").save()
 
-    # Steal gate (tools/hostprobe.py): wait for a quiet window, then
-    # stamp a boundary probe before every query row and one at the end
-    # -- a row is only trusted if the probes on both sides of it are
-    # quiet.  The r7 discipline, now in the harness instead of by hand.
+    # Steal gate (tools/hostprobe.py): wait for a window where BOTH
+    # probe classes are quiet (r10 -- the bandwidth probe separated r9
+    # same-commit windows the arithmetic probe called quiet), then
+    # stamp boundary probes of both classes before every query row and
+    # at the end -- a row is only trusted if the stamps on both sides
+    # of it are quiet.  Per-row bandwidth stamps became affordable with
+    # the r10 preallocated kernel (~0.5 s incl. warm round vs ~1.5 s
+    # for the old allocating one).
     from tools import hostprobe
-    startup_probes = hostprobe.wait_quiet(attempts=20, sleep_sec=110)
+    startup_probes, startup_bw = hostprobe.wait_quiet_all(
+        attempts=20, sleep_sec=110)
     probes: dict[str, float] = {}
-    # Aggregate-bandwidth stamps (r9, recorded not gating): start/final
-    # only -- the window characterization, without paying ~1.5 s per
-    # query row the way the arithmetic boundary probes justify.
-    bw_probes: dict[str, float] = {"_startup": hostprobe.probe_mt()}
+    bw_probes: dict[str, float] = {"_startup": startup_bw[-1]}
 
     floor = float("inf")
     for _ in range(3):
@@ -156,6 +158,7 @@ def main() -> None:
     results: dict[str, dict] = {}
     for name in names:
         probes[name] = hostprobe.probe()
+        bw_probes[name] = hostprobe.probe_mt()
         row: dict[str, dict] = {}
         for sf, d in tiers:  # sf-inner: codegen/JIT stays hot per query
             s = _time_spark(spark, qs[name], d)
@@ -177,9 +180,13 @@ def main() -> None:
         results[name] = row
     probes["_final"] = hostprobe.probe()
     bw_probes["_final"] = hostprobe.probe_mt()
-    noisy = sorted(n for n, p in probes.items() if p > hostprobe.QUIET_SEC)
+    noisy = sorted(
+        set(n for n, p in probes.items() if p > hostprobe.QUIET_SEC)
+        | set(n for n, p in bw_probes.items()
+              if p > hostprobe.MT_QUIET_SEC))
     if noisy:
-        print(f"NOISY boundary probes (> {hostprobe.QUIET_SEC}s): {noisy}",
+        print(f"NOISY boundary probes (arith > {hostprobe.QUIET_SEC}s "
+              f"or bw > {hostprobe.MT_QUIET_SEC}s): {noisy}",
               flush=True)
 
     if deep:
@@ -196,17 +203,28 @@ def main() -> None:
             "spark_job_floor_sec": round(floor, 3),
             "host_cpu_cal_sec": round(cal, 3),
             "probe_threshold_sec": hostprobe.QUIET_SEC,
+            "probe_bw_threshold_sec": hostprobe.MT_QUIET_SEC,
             "probe_startup_sec": startup_probes,
+            "probe_bw_startup_sec": startup_bw,
             "probe_sec": {**payload.get("deep", {}).get("probe_sec", {}),
                           **{k: round(v, 3) for k, v in probes.items()}},
+            # r10: per-row bandwidth stamps, GATING (r9 stamps were
+            # start/final only and a different kernel scale -- see
+            # hostprobe.probe_mt; old probe_bw_runs entries retained
+            # as historical evidence, not comparable)
+            "probe_bw_sec": {
+                **payload.get("deep", {}).get("probe_bw_sec", {}),
+                **{k: round(v, 3) for k, v in bw_probes.items()}},
             # bw stamps ACCUMULATE per refresh (the deep table mixes
             # invocations, so a singleton would erase the window
             # evidence behind every retained row -- r9 finding)
             "probe_bw_runs": (
                 payload.get("deep", {}).get("probe_bw_runs", [])
                 + [{"queries": names,
+                    "kernel": "r10-prealloc",
                     **{k.lstrip("_"): round(v, 3)
-                       for k, v in bw_probes.items()}}]),
+                       for k, v in bw_probes.items()
+                       if k in ("_startup", "_final")}}]),
             "queries": deep_prev,
         }
         results = deep_prev
@@ -244,9 +262,12 @@ def main() -> None:
         "spark_job_floor_sec": round(floor, 3),
         "host_cpu_cal_sec": round(cal, 3),
         "probe_threshold_sec": hostprobe.QUIET_SEC,
+        "probe_bw_threshold_sec": hostprobe.MT_QUIET_SEC,
         "probe_startup_sec": startup_probes,
-        "probe_sec": {k: round(v, 3) for k, v in probes.items()},
+        "probe_bw_startup_sec": startup_bw,
+        # per-row bandwidth stamps, gating since r10 (new kernel scale)
         "probe_bw_sec": {k: round(v, 3) for k, v in bw_probes.items()},
+        "probe_sec": {k: round(v, 3) for k, v in probes.items()},
         "queries": results,
     }
     # A full rerun refreshes the MAIN table only -- an existing deep

@@ -29,15 +29,18 @@ the authoritative comparison remains the interleaved same-session A/B
 against within-run flips.
 
 Second probe class (r9, addressing that LIMIT): :func:`probe_mt` runs
-the same kernel on MT_THREADS threads at once (numpy releases the GIL
-inside ufunc loops, so this is real parallel streaming) -- a
+the streaming kernel on MT_THREADS threads at once (numpy releases the
+GIL inside ufunc loops, so this is real parallel streaming) -- a
 single-core kernel can pass while the co-tenant saturates the
 machine's AGGREGATE memory bandwidth, which is what a 32-thread
-parquet scan actually competes for.  Quiet value measured 0.3-0.65 s
-on this host (2026-08-15, repeated runs after the warm round).  RECORDED, not
-gating: bench.py stamps it alongside the arithmetic probes so future
-rounds can correlate scan-heavy swings with the MT value before any
-threshold is trusted to gate.
+parquet scan actually competes for.  GATING since r10: three r9
+same-commit bench windows separated cleanly on this probe (totals
+8.5/9.3/10.6 s against bw 0.31/1.18/1.32 old-scale) while the
+arithmetic probe read all three quiet, so bench.py and
+tools/bench_crossover.py now require BOTH probes under their
+thresholds -- :func:`wait_quiet_all` at startup, and a pass/row only
+counts as quiet when the bandwidth stamps on both sides of it also
+cleared MT_QUIET_SEC.
 """
 
 from __future__ import annotations
@@ -46,7 +49,13 @@ import time
 
 QUIET_SEC = 1.4   # quiet ~1.05 s; >1.4 s = co-tenant steal regime
 MT_THREADS = 8
-MT_QUIET_SEC = 1.0  # quiet 0.3-0.65 s measured; >1.0 = contended band
+# Quiet band of the r10 preallocated kernel: 0.13-0.15 s measured
+# (2026-08-15, 8 spaced samples).  The old allocating kernel's band was
+# 0.3-0.65 with contention reading 1.18-1.32 (~4x quiet), so the gate
+# sits at ~3x the new quiet value: below it is wobble, above it is the
+# bandwidth-contended regime.  (Old-scale artifacts r9 and earlier are
+# not comparable to these stamps -- different kernel.)
+MT_QUIET_SEC = 0.45
 
 
 def probe(runs: int = 4) -> float:
@@ -67,8 +76,8 @@ def probe(runs: int = 4) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
-def probe_mt(threads: int = MT_THREADS, runs: int = 2,
-             n: int = 25_000_000) -> float:
+def probe_mt(threads: int = MT_THREADS, runs: int = 4,
+             n: int = 12_500_000) -> float:
     """Wall time of ``threads`` concurrent executions of the streaming
     kernel (``runs`` each) -- the aggregate-memory-bandwidth probe the
     single-core kernel cannot be (see module docstring).  One untimed
@@ -76,17 +85,34 @@ def probe_mt(threads: int = MT_THREADS, runs: int = 2,
     allocator state, not host contention), then MIN of two timed
     rounds: measured, a fresh interpreter's first timed round can
     still read 2-6x steady (THP/allocator settling) while contention
-    only ever INFLATES, so the min is the honest contention reading."""
+    only ever INFLATES, so the min is the honest contention reading.
+
+    Footprint is BOUNDED (ADVICE r9): each thread streams over two
+    preallocated 100 MB buffers with out=/in-place ufuncs -- 1.6 GB
+    held for the probe's duration, zero per-run allocation -- where
+    the old ``(np.arange(25M) * 3 + 1)`` form allocated ~600 MB of
+    transients per thread per run (multi-GB spikes that could swap a
+    memory-pressured host and perturb the very window being
+    measured).  Bytes moved per timed round are the same class as
+    before (~1 GB/thread/run), so the quiet band is unchanged in
+    spirit and re-measured in the constants above."""
     import threading
 
     import numpy as np
 
-    def work():
+    bufs = [(np.arange(n), np.empty(n, dtype=np.int64))
+            for _ in range(threads)]
+
+    def work(i):
+        buf, tmp = bufs[i]
         for _ in range(runs):
-            (np.arange(n) * 3 + 1).sum()
+            np.multiply(buf, 3, out=tmp)
+            np.add(tmp, 1, out=tmp)
+            tmp.sum()
 
     def round_of():
-        ts = [threading.Thread(target=work) for _ in range(threads)]
+        ts = [threading.Thread(target=work, args=(i,))
+              for i in range(threads)]
         t0 = time.perf_counter()
         for t in ts:
             t.start()
@@ -117,3 +143,29 @@ def wait_quiet(
         if i + 1 < attempts:
             time.sleep(sleep_sec)
     return vals
+
+
+def wait_quiet_all(
+    threshold: float = QUIET_SEC,
+    bw_threshold: float = MT_QUIET_SEC,
+    attempts: int = 10,
+    sleep_sec: float = 60.0,
+) -> tuple[list[float], list[float]]:
+    """The r10 startup gate: poll until ONE window clears BOTH probe
+    classes -- arithmetic (CPU steal) and multi-threaded streaming
+    (aggregate memory bandwidth, the contention class the arithmetic
+    probe is blind to).  Returns both observation lists; same
+    proceed-tagged-noisy contract as :func:`wait_quiet` when attempts
+    run out."""
+    vals: list[float] = []
+    bw_vals: list[float] = []
+    for i in range(attempts):
+        p = probe()
+        vals.append(p)
+        b = probe_mt()
+        bw_vals.append(b)
+        if p <= threshold and b <= bw_threshold:
+            return vals, bw_vals
+        if i + 1 < attempts:
+            time.sleep(sleep_sec)
+    return vals, bw_vals
