@@ -126,9 +126,13 @@ def _dist_info_files(proj, *, editable: bool) -> tuple[str, dict[str, bytes]]:
     if eps:
         files[f"{dist_info}/entry_points.txt"] = eps
     if editable:
-        files[f"{dist_info}/direct_url.json"] = (
-            '{"url": "file://%s", "dir_info": {"editable": true}}' % _ROOT
-        ).encode("utf-8")
+        import json
+        import pathlib
+
+        files[f"{dist_info}/direct_url.json"] = json.dumps({
+            "url": pathlib.Path(_ROOT).as_uri(),
+            "dir_info": {"editable": True},
+        }).encode("utf-8")
     return dist_info, files
 
 
@@ -147,7 +151,9 @@ def _package_payload() -> dict[str, bytes]:
     return payload
 
 
-def _wheel_name(proj, editable: bool) -> str:
+def _wheel_name(proj) -> str:
+    # editable and non-editable wheels share the spec filename; they
+    # differ only in payload (.pth + direct_url.json vs package files)
     return f"{_dist_name(proj)}-{proj['version']}-py3-none-any.whl"
 
 
@@ -173,7 +179,7 @@ def build_wheel(wheel_directory, config_settings=None, metadata_directory=None):
     proj = _project()
     dist_info, files = _dist_info_files(proj, editable=False)
     files = {**_package_payload(), **files}
-    name = _wheel_name(proj, editable=False)
+    name = _wheel_name(proj)
     _write_wheel(os.path.join(wheel_directory, name), files, dist_info)
     return name
 
@@ -187,7 +193,7 @@ def build_editable(wheel_directory, config_settings=None,
     dist_info, files = _dist_info_files(proj, editable=True)
     pth = f"__editable__.{_dist_name(proj)}.pth"
     files[pth] = (_ROOT + "\n").encode("utf-8")
-    name = _wheel_name(proj, editable=True)
+    name = _wheel_name(proj)
     _write_wheel(os.path.join(wheel_directory, name), files, dist_info)
     return name
 

@@ -170,13 +170,21 @@ def _index_main(args, spark) -> int:
         verify = (VersionedTable(args.verify_base).read(spark)
                   if args.verify_base else None)
         if args.quantized:
-            # id-keyed quantized serving: look the query vectors up in
-            # the PINNED float cells table (the same one-scan lookup
-            # the float id-keyed path pays; IN pushdown over the
-            # id-sorted layout prunes the scan), then serve from the
-            # int8 inverted file -- staleness gating delegates to
-            # ivf_query_index_quantized(verify_against=...).
-            meta = ann_index.index_meta(args.root, args.version)
+            # id-keyed quantized serving.  The staleness gate (the
+            # library's verify_index, same contract the serving call's
+            # verify_against wraps) runs FIRST: a stale pin must raise
+            # StaleIndexError before the query-vector lookup can turn
+            # it into a misleading "ids not in the indexed corpus"
+            # error -- and before any scan is paid.  Then the query
+            # vectors are looked up in the verified generation's float
+            # cells table (IN pushdown over the id-sorted layout
+            # prunes the scan), and the int8 inverted file serves.
+            if verify is not None:
+                meta = ann_index.verify_index(args.root, verify,
+                                              version=args.version)
+            else:
+                meta = ann_index.index_meta(args.root, args.version)
+            ids = sorted(set(ids))  # --ids 7,7 is one query, not two
             cells = VersionedTable(
                 os.path.join(args.root, "cells")).read(
                     spark, meta["cells_version"])
@@ -192,9 +200,8 @@ def _index_main(args, spark) -> int:
                        for r in rows]
             ann_index.ivf_query_index_quantized(
                 spark, args.root, queries, k=args.k,
-                n_probe=args.n_probe, version=args.version,
-                refine=args.refine if args.refine > 0 else None,
-                verify_against=verify).show(
+                n_probe=args.n_probe, version=meta["version"],
+                refine=args.refine if args.refine > 0 else None).show(
                     len(ids) * args.k, truncate=False)
             return 0
         ann_index.ivf_query_index(

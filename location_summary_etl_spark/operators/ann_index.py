@@ -595,9 +595,14 @@ def ivf_query_index_quantized(spark: SparkSession, root: str,
     (unit-pinned); at finite R, agreement is monotone in R and the
     right R tracks how tightly the corpus packs top cosines relative
     to the ~1e-3 quantization error -- measured at the sf10 tier
-    (tools/ab_ann_refine.py, 2026-08-15): R=4k stayed at the bare
-    path's 0.80, R=10k measured 1.00 at +0.13 s over bare int8
-    (0.57 vs 0.44 s) while the float path costs 1.43 s.
+    (tools/ab_ann_refine.py, 2026-08-15, end-to-end per call): R=4k
+    stayed at the bare path's 0.80 agreement, R=10k measured 1.00
+    with row-for-row float-identical output at 2.60 s vs float's
+    2.74 s and bare int8's 1.45 s -- at bench scale the refine
+    stage's extra driver jobs cost ~1.1 s, so the latency win over
+    float is small; the claim that SCALES is bytes (int8 candidate
+    scan 8.2 vs 56.9 MB, float fetch ~R x |Q| of 200k rows), which
+    is what dominates on a warehouse-sized inverted file.
 
     ``verify_against``: same staleness contract as
     :func:`ivf_query_index` -- pass the current base relation and a
@@ -913,6 +918,13 @@ def refresh_ivf_index(spark: SparkSession, base, root: str, *,
     unchanged) re-pins cheaply without touching the inverted file.
     """
     meta = index_meta(root)
+    # Guard resolution (r10 self-review): dict.get with a DEFAULT --
+    # a legacy pre-guard manifest (key absent) adopts the default-on
+    # bound at its next refresh/rebuild, while an explicit opt-out
+    # (key present, null) stays off; bare .get(key) would have
+    # conflated the two and left every pre-r10 index unguarded
+    # forever, including across full refits.
+    max_cf = meta.get("max_cell_fraction", IVF_MAX_CELL_FRACTION)
     old_v = meta.get("base_version")
     if old_v is None:
         raise ValueError(
@@ -949,7 +961,7 @@ def refresh_ivf_index(spark: SparkSession, base, root: str, *,
                 "train_iters": meta.get("train_iters", 2),
                 "n_since_fit": meta.get("n_since_fit", 0),
                 "cell_counts": meta.get("cell_counts"),
-                "max_cell_fraction": meta.get("max_cell_fraction"),
+                "max_cell_fraction": max_cf,
                 "fingerprint": meta["fingerprint"],
             }))
     quantizer = meta.get("quantizer", "label")
@@ -970,7 +982,7 @@ def refresh_ivf_index(spark: SparkSession, base, root: str, *,
             k_cells=int(meta.get("k_cells", 8)),
             train_iters=int(meta.get("train_iters", 2)),
             store_quantized=meta.get("q8_version") is not None,
-            max_cell_fraction=meta.get("max_cell_fraction"))
+            max_cell_fraction=max_cf)
 
     old_cent = VersionedTable(os.path.join(root, _CENTROIDS)).read(
         spark, meta["version"])
@@ -1073,7 +1085,6 @@ def refresh_ivf_index(spark: SparkSession, base, root: str, *,
             for c in touched:
                 counts.pop(c, None)  # emptied cells drop out
             counts.update(recount)
-    max_cf = meta.get("max_cell_fraction")
     if quantizer == "kmeans":
         # frozen quantizer: centroids never move on a delta -- the
         # refreshed generation republishes them verbatim (refit is the

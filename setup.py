@@ -1,10 +1,14 @@
-"""Shim for wheel-less environments.
+"""Legacy-tooling shim.
 
-All metadata lives in pyproject.toml (PEP 621).  This file exists only so
-`pip install -e . --no-build-isolation --no-use-pep517` (the legacy
-``setup.py develop`` path) works on hosts that have setuptools but not the
-``wheel`` package — e.g. an air-gapped sandbox where build isolation
-cannot download a backend.
+All metadata lives in pyproject.toml (PEP 621), and all builds --
+including on hosts WITHOUT the ``wheel`` package -- go through the
+in-tree PEP 517 backend (_build_backend.py), which pip uses
+automatically; ``pip install -e .`` needs nothing from this file.
+(pip refuses ``--no-use-pep517`` for any project that declares a
+build-backend, so that flag is not an escape hatch here.)
+
+This file exists only for tooling that still invokes setup.py
+directly (``python setup.py develop`` / ``sdist`` in old CI recipes).
 """
 
 from setuptools import setup

@@ -12,15 +12,24 @@ numbers printed here are the pre-page-pruning upper bound).
 
 Usage: python tools/ab_ann_refine.py [tier] [R]   (default sf10, 100)
 
-MEASURED 2026-08-15 (sf10 tier = 200k vectors, k=10, bw-quiet windows
-0.30-0.55, min-of-5 interleaved): agreement vs float is 0.80 bare
-int8; refined R=40 (4x k) stays 0.80 on this corpus (random dense
-embeddings pack the top cosines within the ~1e-3 quantization error,
-scattering true top-10 past rank 40), R=100 (10x k) measures 1.00
-AND row-for-row float-identical output.  Latency float 1.329 s /
-int8 0.433 s / refined(R=100) 0.601 s; candidate scan int8 8.21 MB
-vs float 56.87 MB (6.9x), the refine fetch decodes ~R x |Q| = 500 of
-200k rows via IN-pushdown.
+MEASURED 2026-08-15 (sf10 tier = 200k vectors, k=10, both probe
+classes quiet, min-of-5 interleaved, END-TO-END per call --
+construction inside the timer, because the refine path runs its int8
+scan + top-R collect eagerly at construction; an earlier measurement
+that timed only the prebuilt plan's action understated refined
+latency by the whole candidate-scan term): agreement vs float is
+0.80 bare int8; refined R=40 (4x k) stays 0.80 on this corpus
+(random dense embeddings pack the top cosines within the ~1e-3
+quantization error, scattering true top-10 past rank 40), R=100
+(10x k) measures 1.00 AND row-for-row float-identical output.
+End-to-end latency float 2.737 s / int8 1.454 s / refined(R=100)
+2.598 s -- at this tiny tier the refine stage's extra driver jobs
+eat most of the byte win, so refined wins on LATENCY only slightly
+(~5% under float, exact results); the scale story is BYTES: the
+bulk candidate scan stays int8 8.21 MB vs float 56.87 MB (6.9x) and
+the float fetch decodes ~R x |Q| = 500 of 200k rows via IN-pushdown,
+so at warehouse scale the refined path approaches bare-int8 I/O with
+float-exact answers.
 """
 
 from __future__ import annotations
@@ -36,10 +45,15 @@ sys.path.insert(0, HERE)
 from tools import hostprobe  # noqa: E402
 
 
-def timed(spark, df) -> float:
+def timed(spark, make_df) -> float:
+    """End-to-end: construction INSIDE the timer.  The refine path runs
+    its int8 scan + top-R collect eagerly while the DataFrame is being
+    BUILT, so timing only a prebuilt df's action would silently drop
+    the candidate-scan term from the refined column (r10 self-review
+    finding -- the first published numbers did exactly that)."""
     spark.catalog.clearCache()
     t0 = time.perf_counter()
-    df.write.format("noop").mode("overwrite").save()
+    make_df().write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
 
@@ -88,13 +102,13 @@ def main() -> None:
     print(f"refined == float row-for-row: {exact_rows == ref_rows}",
           flush=True)
 
-    probe = hostprobe.wait_quiet()[-1]
-    bw = hostprobe.probe_mt()
+    probes, bw_probes = hostprobe.wait_quiet_all()
+    probe, bw = probes[-1], bw_probes[-1]
     times = {"float": [], "int8": [], "refined": []}
     for _ in range(5):
-        times["float"].append(timed(spark, fl()))
-        times["int8"].append(timed(spark, q8()))
-        times["refined"].append(timed(spark, rf()))
+        times["float"].append(timed(spark, fl))
+        times["int8"].append(timed(spark, q8))
+        times["refined"].append(timed(spark, rf))
     for name, ts in times.items():
         print(f"{name}: min {min(ts):.3f} s  all "
               f"{[round(t, 3) for t in ts]}", flush=True)
@@ -108,7 +122,9 @@ def main() -> None:
           f"(float fetch decodes ~{R * nq} of "
           f"{emb.count()} rows via IN-pushdown page pruning)",
           flush=True)
-    print(f"probe {probe:.3f} s, probe_bw {bw:.3f} s", flush=True)
+    print(f"probe start {probe:.3f}/end {hostprobe.probe():.3f} s, "
+          f"probe_bw start {bw:.3f}/end {hostprobe.probe_mt():.3f} s "
+          f"(r10 kernel, quiet<= {hostprobe.MT_QUIET_SEC})", flush=True)
 
 
 if __name__ == "__main__":
