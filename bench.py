@@ -305,6 +305,7 @@ def main() -> None:
         import duckdb
 
         _pre = hostprobe.probe() if probing else None
+        _pre_bw = hostprobe.probe_mt() if probing else None
 
         from location_summary_etl_spark.sources.registry import TABLES, table_path
 
@@ -347,6 +348,7 @@ def main() -> None:
         detail["duckdb_extras"] = dextras
         if probing:
             detail["probe_duckdb_sec"] = [_pre, hostprobe.probe()]
+            detail["probe_duckdb_bw_sec"] = [_pre_bw, hostprobe.probe_mt()]
 
     # Extras: round-4+ families timed with the same discipline but
     # kept OUT of the headline total so cross-round totals stay
