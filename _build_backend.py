@@ -138,8 +138,11 @@ def _dist_info_files(proj, *, editable: bool) -> tuple[str, dict[str, bytes]]:
 
 def _package_payload() -> dict[str, bytes]:
     """Every .py file under the package dir, for the non-editable wheel."""
+    return _tree_payload("location_summary_etl_spark")
+
+
+def _tree_payload(pkg: str) -> dict[str, bytes]:
     payload: dict[str, bytes] = {}
-    pkg = "location_summary_etl_spark"
     for dirpath, dirnames, filenames in os.walk(os.path.join(_ROOT, pkg)):
         dirnames[:] = [d for d in dirnames if d != "__pycache__"]
         for fn in sorted(filenames):
@@ -199,19 +202,31 @@ def build_editable(wheel_directory, config_settings=None,
 
 
 def build_sdist(sdist_directory, config_settings=None):
-    if _HAVE_WHEEL:
-        return _st.build_sdist(sdist_directory, config_settings)
     proj = _project()
     base = f"{_dist_name(proj)}-{proj['version']}"
     name = base + ".tar.gz"
+    if _HAVE_WHEEL:
+        return _st.build_sdist(sdist_directory, config_settings)
     with tarfile.open(os.path.join(sdist_directory, name), "w:gz") as tf:
-        for arc in ["pyproject.toml", "setup.py", "README.md",
+        def addbytes(arc: str, data: bytes) -> None:
+            info = tarfile.TarInfo(f"{base}/{arc}")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+
+        # PKG-INFO at the sdist root is REQUIRED by the sdist spec
+        # (twine/PyPI reject a tarball without it); same core-metadata
+        # bytes as the wheel's METADATA (r10 ADVICE).
+        addbytes("PKG-INFO", _metadata_bytes(proj))
+        for arc in ["pyproject.toml", "setup.py", "README.md", "LICENSE",
                     "_build_backend.py"]:
             full = os.path.join(_ROOT, arc)
             if os.path.exists(full):
                 tf.add(full, arcname=f"{base}/{arc}")
         for arc, data in _package_payload().items():
-            info = tarfile.TarInfo(f"{base}/{arc}")
-            info.size = len(data)
-            tf.addfile(info, io.BytesIO(data))
+            addbytes(arc, data)
+        # tests/ ship in the sdist (not the wheel) for source-
+        # distribution completeness -- same .py-only walk as the
+        # package payload.
+        for arc, data in _tree_payload("tests").items():
+            addbytes(arc, data)
     return name

@@ -15,6 +15,6 @@ Layout:
 
 from location_summary_etl_spark.session import get_session
 
-__version__ = "0.10.0"
+__version__ = "0.11.0"
 
 __all__ = ["get_session", "__version__"]

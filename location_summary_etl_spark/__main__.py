@@ -232,6 +232,16 @@ def main(argv: list[str] | None = None) -> int:
             print(name)
         return 0
 
+    if (args.cmd == "index" and args.index_cmd == "query"
+            and args.quantized and 0 < args.refine < args.k):
+        # Argument errors follow the missing-ids convention: stderr
+        # message + exit 2, not a raw ValueError traceback -- and they
+        # fail HERE, before the multi-second JVM startup (the library
+        # validates too, at function entry, for non-CLI callers).
+        print(f"error: --refine {args.refine} must be >= --k {args.k} "
+              "(or 0 to disable)", file=sys.stderr)
+        return 2
+
     if args.cmd == "index" and args.index_cmd in ("info", "vacuum"):
         # metadata/filesystem only -- neither touches Spark, so neither
         # pays the multi-second local JVM startup

@@ -613,6 +613,12 @@ def ivf_query_index_quantized(spark: SparkSession, root: str,
     from location_summary_etl_spark.functions.scalars import round_portable
     from location_summary_etl_spark.operators.quantize import int8_quantize
 
+    # Validate the argument contract BEFORE any Spark job runs: the
+    # refine<k check used to sit after index_meta/verify_index, the
+    # centroid read, and the _probe_pairs collect, so an invalid call
+    # paid several driver jobs before failing (r10 ADVICE).
+    if refine is not None and (refine <= 0 or refine < k):
+        raise ValueError(f"refine={refine} must be >= k={k} and > 0")
     if verify_against is not None:
         meta = verify_index(root, verify_against, id_col=id_col,
                             version=version)
@@ -676,8 +682,6 @@ def ivf_query_index_quantized(spark: SparkSession, root: str,
         return (ranked.filter(F.col("rank") <= k)
                 .select("query_id", "rank", "vec_id", "qcosine"))
 
-    if refine < k:
-        raise ValueError(f"refine={refine} must be >= k={k}")
     from location_summary_etl_spark.functions.vectors import cosine
 
     # Quantized top-R per query, collected driver-side: R x |Q| pairs,
@@ -1078,9 +1082,13 @@ def refresh_ivf_index(spark: SparkSession, base, root: str, *,
     else:
         counts = {int(c): int(n) for c, n in counts_raw.items()}
         if touched:
+            # point-set file pruning: a sparse touched set (cells 0 and
+            # 500, say) must not scan every file in between, which the
+            # old [min,max] range read did (r10 ADVICE) -- where_any
+            # keeps the recount O(touched cells' files), as claimed
             recount = _cell_counts(
                 cells_tbl.read(spark, new_cells_v,
-                               where=("cl", touched[0], touched[-1]))
+                               where_any=("cl", touched))
                 .filter(F.col("cl").isin(touched)))
             for c in touched:
                 counts.pop(c, None)  # emptied cells drop out
@@ -1097,7 +1105,7 @@ def refresh_ivf_index(spark: SparkSession, base, root: str, *,
         kept = old_cent.filter(~F.col("cl").isin(touched))
         members = cells_tbl.read(
             spark, new_cells_v,
-            where=("cl", touched[0], touched[-1]),  # file-skip the range
+            where_any=("cl", touched),  # point-set file pruning
         ).filter(F.col("cl").isin(touched))
         refit = ivf_centroids(
             members.select(F.col("cl").alias(label_col),

@@ -147,3 +147,9 @@ def test_cli_index_lifecycle(spark, sf_dir, tmp_path, capsys):
     import pytest as _pytest
     with _pytest.raises(SystemExit):
         main(["index", "vacuum", "--root", root2, "--retain", "0"])
+
+    # --refine < --k is a stderr+exit-2 argument error (the missing-ids
+    # convention), caught before any Spark work (r10 ADVICE)
+    assert main(["index", "query", "--root", root2, "--ids", "3",
+                 "--quantized", "--k", "5", "--refine", "3"]) == 2
+    assert "--refine 3 must be >= --k 5" in capsys.readouterr().err

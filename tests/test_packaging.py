@@ -94,6 +94,16 @@ def test_fallback_sdist_builds(tmp_path):
     assert any(
         m.endswith("location_summary_etl_spark/session.py") for m in members
     )
+    # sdist-spec completeness (r10 ADVICE): PKG-INFO at the sdist root
+    # (twine/PyPI reject tarballs without it), LICENSE, and tests/.
+    base = name[: -len(".tar.gz")]
+    assert f"{base}/PKG-INFO" in members
+    assert f"{base}/LICENSE" in members
+    assert f"{base}/tests/conftest.py" in members
+    with tarfile.open(tmp_path / name) as tf:
+        pkg_info = tf.extractfile(f"{base}/PKG-INFO").read().decode()
+    assert pkg_info.startswith("Metadata-Version:")
+    assert "Name: location-summary-etl-spark" in pkg_info
 
 
 @pytest.mark.skipif(

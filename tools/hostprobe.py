@@ -57,6 +57,10 @@ MT_THREADS = 8
 # not comparable to these stamps -- different kernel.)
 MT_QUIET_SEC = 0.45
 
+# probe_mt's preallocated buffer sets, keyed by (threads, n) -- see its
+# docstring; at most one set is held at a time.
+_MT_BUFS: dict = {}
+
 
 def probe(runs: int = 4) -> float:
     """Total time of ``runs`` back-to-back executions of the fixed
@@ -95,13 +99,26 @@ def probe_mt(threads: int = MT_THREADS, runs: int = 4,
     memory-pressured host and perturb the very window being
     measured).  Bytes moved per timed round are the same class as
     before (~1 GB/thread/run), so the quiet band is unchanged in
-    spirit and re-measured in the constants above."""
+    spirit and re-measured in the constants above.
+
+    The buffer set is CACHED across calls (r10 ADVICE): crossover's
+    per-row stamping calls probe_mt before every query row, and
+    re-allocating 1.6 GB per stamp reintroduced an allocation/free
+    spike on the host being certified quiet.  First call per
+    (threads, n) allocates and first-touches; later calls reuse the
+    same pages, so a stamp perturbs nothing but the bandwidth it
+    measures."""
     import threading
 
     import numpy as np
 
-    bufs = [(np.arange(n), np.empty(n, dtype=np.int64))
-            for _ in range(threads)]
+    key = (threads, n)
+    bufs = _MT_BUFS.get(key)
+    if bufs is None:
+        bufs = [(np.arange(n), np.empty(n, dtype=np.int64))
+                for _ in range(threads)]
+        _MT_BUFS.clear()  # never hold two 1.6 GB sets at once
+        _MT_BUFS[key] = bufs
 
     def work(i):
         buf, tmp = bufs[i]
