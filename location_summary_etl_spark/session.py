@@ -189,12 +189,15 @@ def broadcast_if_small(df, cap_bytes: int | None = None):
     """
     from pyspark.sql import functions as _F
 
+    # lazy import: gates imports this module's source_bytes/cap helpers
+    # at module level, so the dependency must stay one-way at load time
+    from location_summary_etl_spark.operators.gates import source_fits
+
     if cap_bytes is None:
         cap_bytes = broadcast_cap_bytes(df.sparkSession)
     if cap_bytes <= 0:
         return df
-    total = source_bytes(df)
-    if total is None or total > cap_bytes:
+    if not source_fits(df, cap_bytes=cap_bytes):
         return df
     return _F.broadcast(df)
 

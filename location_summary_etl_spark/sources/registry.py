@@ -173,6 +173,13 @@ def load_table_any_format(spark: SparkSession, path: str, name: str,
     return df
 
 
+# Bytes bound on the driver-side tiny-dim read: Spark's default
+# autoBroadcastJoinThreshold.  A dimension over this is not "tiny"
+# under any policy, and compile_tiny_dim has no session to read the
+# live conf from (it is lru_cached on plain values by design).
+_TINY_DIM_CAP_BYTES = 10 * 1024 * 1024
+
+
 @_functools.lru_cache(maxsize=64)
 def compile_tiny_dim(sf_dir: str, name: str, columns: tuple[str, ...],
                      max_rows: int = 200) -> tuple[tuple, ...] | None:
@@ -191,11 +198,23 @@ def compile_tiny_dim(sf_dir: str, name: str, columns: tuple[str, ...],
     past it (someone pointed the loader at customer) returns None and
     the caller MUST fall back to the broadcast join -- compiling an
     unbounded relation into a SQL literal is how plans stop being
-    plans.  Cached per (sf_dir, table, columns): the dims are static
-    within a run."""
+    plans.  A BYTES pre-gate (``gates.path_fits`` -- the shared size-
+    gate implementation, r10 VERDICT #4) runs before the driver read:
+    the old guard checked ``num_rows`` only AFTER pyarrow had
+    materialized the whole table on the driver, so a mispointed
+    multi-GB path paid (or OOM'd on) the read the guard existed to
+    prevent.  The cap is the broadcast-policy default (10 MiB --
+    anything bigger is not a "tiny dim" under any policy), so the
+    read this function can ever issue is bounded.  Cached per
+    (sf_dir, table, columns): the dims are static within a run."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(table_path(sf_dir, name), columns=list(columns))
+    from location_summary_etl_spark.operators.gates import path_fits
+
+    path = table_path(sf_dir, name)
+    if not path_fits(path, cap_bytes=_TINY_DIM_CAP_BYTES):
+        return None
+    t = pq.read_table(path, columns=list(columns))
     if t.num_rows > max_rows:
         return None
     d = t.to_pydict()

@@ -58,6 +58,52 @@ def test_source_fits_unknown_stats_is_false(spark):
     assert not source_fits(lit, cap_bytes=1 << 40)
 
 
+def test_fits_and_path_fits(tmp_path):
+    from location_summary_etl_spark.operators.gates import fits, path_fits
+
+    assert fits(100, cap_bytes=100)
+    assert not fits(101, cap_bytes=100)
+    assert not fits(None, cap_bytes=1 << 40)  # unknown -> conservative
+    assert not fits(60, expansion=2, cap_bytes=100)
+    assert not fits(60, fraction=2, cap_bytes=100)
+
+    f = tmp_path / "dim.bin"
+    f.write_bytes(b"x" * 1000)
+    assert path_fits(str(f), cap_bytes=1000)
+    assert not path_fits(str(f), cap_bytes=999)
+    # directories sum recursively
+    sub = tmp_path / "d" / "s"
+    sub.mkdir(parents=True)
+    (sub / "a.bin").write_bytes(b"x" * 600)
+    (tmp_path / "d" / "b.bin").write_bytes(b"x" * 600)
+    assert path_fits(str(tmp_path / "d"), cap_bytes=1200)
+    assert not path_fits(str(tmp_path / "d"), cap_bytes=1199)
+    # unlistable path -> conservative False, not an exception
+    assert not path_fits(str(tmp_path / "nope"), cap_bytes=1 << 40)
+
+
+def test_tiny_dim_bytes_pregate_refuses_before_reading(sf_dir, monkeypatch):
+    """compile_tiny_dim must refuse an over-cap path WITHOUT issuing
+    the pyarrow read (the r11 migration's point: the old num_rows
+    guard fired only after materializing the table on the driver)."""
+    import pyarrow.parquet as pq
+
+    from location_summary_etl_spark.sources import registry
+
+    registry.compile_tiny_dim.cache_clear()
+
+    def boom(*a, **k):
+        raise AssertionError("pyarrow read must not run over the cap")
+
+    monkeypatch.setattr(pq, "read_table", boom)
+    monkeypatch.setattr(registry, "_TINY_DIM_CAP_BYTES", 1)
+    try:
+        assert registry.compile_tiny_dim(
+            sf_dir, "region", ("r_regionkey", "r_name")) is None
+    finally:
+        registry.compile_tiny_dim.cache_clear()
+
+
 @pytest.mark.parametrize("mod,names", [
     ("location_summary_etl_spark.plans.flagship",
      ["gate", "source_fits"]),
@@ -65,11 +111,15 @@ def test_source_fits_unknown_stats_is_false(spark):
      ["minmax_score_auto"]),
     ("location_summary_etl_spark.operators.dedup",
      ["ngram_jaccard_pairs_auto"]),
+    ("location_summary_etl_spark.session",
+     ["broadcast_if_small"]),
+    ("location_summary_etl_spark.sources.registry",
+     ["compile_tiny_dim"]),
 ])
-def test_three_callers_share_one_implementation(mod, names):
+def test_all_callers_share_one_implementation(mod, names):
     """No caller carries a private copy of the byte compare: each
-    imports from operators.gates (flagship at module level; the two
-    operators lazily inside the function body)."""
+    imports from operators.gates (flagship at module level; the
+    others lazily inside the function body)."""
     import importlib
     import inspect
 
@@ -81,4 +131,6 @@ def test_three_callers_share_one_implementation(mod, names):
         assert m.source_fits is gates.source_fits
     else:
         src = inspect.getsource(getattr(m, names[0]))
-        assert "operators.gates import gate" in src
+        assert ("operators.gates import gate" in src
+                or "operators.gates import source_fits" in src
+                or "operators.gates import path_fits" in src)
