@@ -155,6 +155,7 @@ _DRIVER_SAMPLED_PRIOR = frozenset({
 # 13 displace is redundant).  After r7 every corpus entry has a driver
 # row on record and this machinery can retire.
 _NEVER_DRIVER_SAMPLED = (
+    "ann_recall_contract",       # NEW in r11 (sanctioned, order #7)
     "ann_topk_ivf_refined",      # NEW in r10 (sanctioned, order #4)
     "ann_topk_ivf_quantized",    # NEW in r9 (sanctioned, order #6)
     "dedup_ngram_jaccard_auto",  # NEW in r9 (sanctioned, order #1)

@@ -419,6 +419,160 @@ WHERE rank <= 5
 register("ann_topk_ivf_refined", ann_topk_ivf_refined, _IVF_REFINE_SQL)
 
 
+def ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-accuracy contract under the oracle gate (r10 VERDICT
+    #7): recall@5 of the three index serving paths -- float IVF,
+    bare quantized, quantized+refine -- against the brute-force truth,
+    computed IN-PLAN from one persisted index.  Emits the exact
+    per-query recall values (deterministic: every ranking is rounded
+    before ordering and ties break on vec_id, so the oracle replays
+    them bit-for-bit) plus two THEOREM assertions the oracle emits as
+    TRUE literals:
+
+    * ``ivf_ge_refined``: truth is the global top-5 under the total
+      order (rounded cosine DESC, vec_id ASC); within ANY candidate
+      set, ranking by that same total order places every present
+      truth member ahead of every non-truth member, so
+      ``|truth  ∩  top5(S)| = |truth ∩ S|`` (≤ 5) -- recall is MONOTONE
+      in the candidate set.  The refine stage ranks the quantized
+      top-R (a subset of the probed cells' candidates the float path
+      ranks), hence recall_ivf >= recall_refined.
+    * ``refined_ge_quantized``: quantized top-5 ⊆ quantized top-R
+      (same qcosine ranking, rank <= 5 vs <= R), and the refine
+      stage's exact re-ranking captures every truth member present in
+      its candidate set, hence recall_refined >= recall_quantized.
+
+    A violated theorem turns the boolean FALSE and the driver's hash
+    comparison red -- the contract travels with the gate to every
+    scale it runs at (recall VALUES legitimately vary with scale; the
+    sandwich recall_ivf >= recall_refined >= recall_quantized cannot).
+    Measured here (2026-08-15): sf0.01 all three paths agree per
+    query (0.2-0.6 -- toy-scale labels probe poorly); the accuracy-
+    vs-R trade at depth is measured in tools/ab_ann_refine.py."""
+    from location_summary_etl_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_query_index,
+        ivf_query_index_quantized,
+    )
+    from location_summary_etl_spark.operators.similarity import (
+        fetch_query_rows,
+    )
+    from location_summary_etl_spark.plans.corpus_warehouse import _fresh_dir
+
+    emb = _emb(spark, sf_dir)
+    root = _fresh_dir("annrecall", sf_dir)
+    version = build_ivf_index(emb, root, store_quantized=True)
+    queries = [(int(i), [float(x) for x in v])
+               for i, v in fetch_query_rows(emb, "vec_id", "embedding",
+                                            QUERY_IDS)]
+    truth = brute_force_topk(emb, QUERY_IDS, k=5).select(
+        "query_id", "vec_id")
+    paths = {
+        "recall_ivf": ivf_query_index(
+            spark, root, QUERY_IDS, k=5, n_probe=IVF_N_PROBE,
+            version=version),
+        "recall_quantized": ivf_query_index_quantized(
+            spark, root, queries, k=5, n_probe=IVF_N_PROBE,
+            version=version),
+        "recall_refined": ivf_query_index_quantized(
+            spark, root, queries, k=5, n_probe=IVF_N_PROBE,
+            version=version, refine=_REFINE_R),
+    }
+    out = truth.groupBy("query_id").agg(F.count("*").alias("_nt"))
+    for name, df in paths.items():
+        hits = (df.select("query_id", "vec_id")
+                .join(truth, ["query_id", "vec_id"])
+                .groupBy("query_id").agg(F.count("*").alias("_h")))
+        out = (out.join(hits, "query_id", "left")
+               .withColumn(name, round_portable(
+                   F.coalesce(F.col("_h"), F.lit(0)) / F.col("_nt"), 6))
+               .drop("_h"))
+    return out.select(
+        "query_id", "recall_ivf", "recall_quantized", "recall_refined",
+        (F.col("recall_ivf") >= F.col("recall_refined"))
+        .alias("ivf_ge_refined"),
+        (F.col("recall_refined") >= F.col("recall_quantized"))
+        .alias("refined_ge_quantized"),
+    )
+
+
+# The oracle composes the proven fragments once more: the shared
+# quantized CTEs (probe selection + integer scoring), a brute-force
+# truth CTE, a float-within-probed-cells top-5, the quantized top-5 /
+# top-R, and the float rescore -- then counts overlaps.  The theorem
+# columns are TRUE literals, exactly like orders_approx_stats'
+# interval assertions.
+_RECALL_SQL = _IVF_Q8_CTES + f""",
+truth AS (
+    SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e2.vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(CAST(list_dot_product(q.qv, e2.v)
+                                       / (q.qn * e2.nrm) AS DOUBLE), 6) DESC,
+                            e2.vec_id) AS r
+        FROM e e2 CROSS JOIN q
+        WHERE e2.vec_id <> q.query_id AND e2.nrm > 0 AND q.qn > 0
+    ) WHERE r <= 5
+),
+ftop AS (
+    SELECT query_id, vec_id FROM (
+        SELECT p.query_id, e2.vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY round(CAST(list_dot_product(qq.qv, e2.v)
+                                       / (qq.qn * e2.nrm) AS DOUBLE), 6) DESC,
+                            e2.vec_id) AS r
+        FROM e e2
+        JOIN probe p ON e2.label = p.cl
+        JOIN q qq ON qq.query_id = p.query_id
+        WHERE e2.vec_id <> p.query_id AND e2.nrm > 0
+    ) WHERE r <= 5
+),
+qranked AS (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY qcosine DESC, vec_id) AS qr
+    FROM scored
+),
+qtop AS (SELECT query_id, vec_id FROM qranked WHERE qr <= 5),
+qtopr AS (SELECT query_id, vec_id FROM qranked WHERE qr <= {_REFINE_R}),
+rtop AS (
+    SELECT query_id, vec_id FROM (
+        SELECT t.query_id, t.vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY t.query_id
+                   ORDER BY round(CAST(list_dot_product(qq.qv, e2.v)
+                                       / (qq.qn * e2.nrm) AS DOUBLE), 6) DESC,
+                            t.vec_id) AS r
+        FROM qtopr t
+        JOIN e e2 ON e2.vec_id = t.vec_id
+        JOIN q qq ON qq.query_id = t.query_id
+        WHERE e2.nrm > 0
+    ) WHERE r <= 5
+),
+base AS (SELECT query_id, COUNT(*) AS nt FROM truth GROUP BY query_id),
+h_ivf AS (SELECT query_id, COUNT(*) AS h FROM truth JOIN ftop
+          USING (query_id, vec_id) GROUP BY query_id),
+h_q8 AS (SELECT query_id, COUNT(*) AS h FROM truth JOIN qtop
+         USING (query_id, vec_id) GROUP BY query_id),
+h_ref AS (SELECT query_id, COUNT(*) AS h FROM truth JOIN rtop
+          USING (query_id, vec_id) GROUP BY query_id)
+SELECT b.query_id,
+       round(CAST(COALESCE(h_ivf.h, 0) AS DOUBLE) / b.nt, 6) AS recall_ivf,
+       round(CAST(COALESCE(h_q8.h, 0) AS DOUBLE) / b.nt, 6) AS recall_quantized,
+       round(CAST(COALESCE(h_ref.h, 0) AS DOUBLE) / b.nt, 6) AS recall_refined,
+       TRUE AS ivf_ge_refined,
+       TRUE AS refined_ge_quantized
+FROM base b
+LEFT JOIN h_ivf ON h_ivf.query_id = b.query_id
+LEFT JOIN h_q8 ON h_q8.query_id = b.query_id
+LEFT JOIN h_ref ON h_ref.query_id = b.query_id
+"""
+
+register("ann_recall_contract", ann_recall_contract, _RECALL_SQL)
+
+
 
 def embedding_label_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
