@@ -141,6 +141,11 @@ def main() -> None:
         )
 
     spark = get_session(app_name="bench")
+    # The guarded empty-spec windows (operators/windows.py tripwire)
+    # make WindowExec's no-partition WARN noise here; demote it so
+    # real warnings stay visible in the driver's captured log tail.
+    from location_summary_etl_spark.session import demote_guarded_window_warnings
+    demote_guarded_window_warnings(spark)
     qs = contract.queries()
     names = [n for n in HEADLINE if n in qs]
 

@@ -257,6 +257,39 @@ def filter_behind_barrier(df, cond):
     )
 
 
+def demote_guarded_window_warnings(spark: SparkSession) -> bool:
+    """Demote ``WindowExec``'s "No Partition Defined" WARN to ERROR.
+
+    Every empty-spec window this engine plans goes through
+    ``operators.windows.guarded_unpartitioned`` -- a count(*) tripwire
+    raises past 100k input rows, so the single-partition collapse the
+    upstream WARN exists to flag is impossible by construction here.
+    The warning is therefore pure noise in OUR logs, and in a bench /
+    soak run (100+ queries, several guarded windows each) it repeats
+    often enough to bury real WARN-level signals in the driver log
+    (r10 verdict, "what's wrong" #3).
+
+    Scoped to exactly the one logger that carries the known-tripwired
+    message -- ``org.apache.spark.sql.execution.window.WindowExec`` --
+    not the root logger, so every other Spark warning still surfaces.
+    Called by bench.py / tools/soak_oracle.py, NOT by get_session():
+    a library user's own unguarded windows keep the upstream warning.
+
+    Returns True when the level was applied (best-effort: log4j2
+    internals are not a stable API, so failure is swallowed -- losing
+    the demotion only restores the old noise, never hides data).
+    """
+    name = "org.apache.spark.sql.execution.window.WindowExec"
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            name, jvm.org.apache.logging.log4j.Level.ERROR)
+        return (jvm.org.apache.logging.log4j.LogManager.getLogger(name)
+                .getLevel().toString() == "ERROR")
+    except Exception:
+        return False
+
+
 def get_session(app_name: str = "location-summary-etl-spark",
                 master: str | None = None,
                 shuffle_partitions: int | None = None,

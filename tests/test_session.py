@@ -75,3 +75,19 @@ def test_partition_for_python_scan_caps_at_cores(spark, sf_dir):
 def test_partition_for_python_scan_leaves_non_file_alone(spark):
     df = spark.range(10).select(F.col("id"))
     assert partition_for_python_scan(df) is df
+
+
+def test_demote_guarded_window_warnings_scopes_to_windowexec(spark):
+    # The demotion silences exactly the logger whose WARN the
+    # operators/windows.py tripwire makes redundant -- and nothing
+    # else (the parent execution package keeps its effective level).
+    from location_summary_etl_spark.session import demote_guarded_window_warnings
+
+    assert demote_guarded_window_warnings(spark) is True
+    jvm = spark.sparkContext._jvm
+    lm = jvm.org.apache.logging.log4j.LogManager
+    exec_window = "org.apache.spark.sql.execution.window.WindowExec"
+    assert lm.getLogger(exec_window).getLevel().toString() == "ERROR"
+    # Sibling execution loggers are untouched: WARN stays enabled.
+    sibling = lm.getLogger("org.apache.spark.sql.execution.SparkPlan")
+    assert sibling.isWarnEnabled()

@@ -49,6 +49,8 @@ def main() -> int:
     # soak is a correctness run, not a timing run -- no probe gating,
     # but wall times are recorded so a pathological entry is visible.
     spark = get_session()
+    from location_summary_etl_spark.session import demote_guarded_window_warnings
+    demote_guarded_window_warnings(spark)
     qs, oracles = corpus.queries(), corpus.oracle_sql()
     results: dict[str, dict] = {}
     n_pass = 0
