@@ -41,6 +41,27 @@ def customer_order_chain_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from their start orders, and the result is the chain-length
     histogram."""
     orders = load_table(spark, sf_dir, "orders")
+
+    # Size the recursion's row cap to the input, don't trust the
+    # default.  Spark guards every recursive CTE with
+    # ``spark.sql.cteRecursionRowLimit`` (default 1M rows summed
+    # across all iterations) -- at sf1 the walk legitimately exceeds
+    # it (found by the r11 full-corpus soak: 1.5M orders, and the
+    # acyclic walk emits each order exactly once, anchor + hops), and
+    # at 100 TB any fixed constant is wrong for a walk whose legal
+    # output is O(|orders|).  Each order appears in at most one chain
+    # at exactly one depth, so 2x|orders| strictly bounds anchor+hop
+    # rows; keeping the cap at that bound (instead of -1) preserves
+    # the runaway-recursion safety net -- a cycle bug would still trip
+    # it.  The count is a parquet metadata-only aggregate (no data
+    # scan).  Session conf, set where the plan is declared: the limit
+    # is enforced at execution time, which happens after this
+    # function returns the lazy frame.
+    cap = 2 * orders.count() + 16
+    cur = int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000"))
+    if 0 <= cur < cap:  # -1 means unlimited: never narrow it
+        spark.conf.set("spark.sql.cteRecursionRowLimit", str(cap))
+
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     succ = (
         orders.select("o_custkey", "o_orderkey", "o_orderdate")

@@ -636,3 +636,41 @@ def test_nation_balance_score_gate_routes_to_window_form(spark, sf_dir):
     phys = df._jdf.queryExecution().executedPlan().toString()
     # single lineage: exactly one customer scan feeds the whole plan
     assert phys.count("customer.parquet") == 1, phys
+
+
+def test_recursive_chain_cap_sized_to_input(spark, sf_dir):
+    # The r11 sf1 soak found the default 1M cteRecursionRowLimit too
+    # small for the chain walk (each order appears exactly once, so
+    # legal output is O(|orders|)).  The plan function must raise the
+    # session cap to the acyclic bound 2x|orders|+16 when the current
+    # cap is smaller, and never narrow an unlimited (-1) cap.
+    from location_summary_etl_spark.plans.corpus_recursive import (
+        customer_order_chain_lengths,
+    )
+    from location_summary_etl_spark.sources.registry import load_table
+
+    key = "spark.sql.cteRecursionRowLimit"
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    bound = 2 * n_orders + 16
+    old = spark.conf.get(key, "1000000")
+    try:
+        # cap below the bound -> raised exactly to the bound, and the
+        # walk completes (total chain rows == |orders| > the tiny cap)
+        spark.conf.set(key, "10")
+        df = customer_order_chain_lengths(spark, sf_dir)
+        assert int(spark.conf.get(key)) == bound
+        hist = {r["chain_len"]: r["n_chains"] for r in df.collect()}
+        assert sum(k * v for k, v in hist.items()) == n_orders
+
+        # unlimited is never narrowed
+        spark.conf.set(key, "-1")
+        customer_order_chain_lengths(spark, sf_dir)
+        assert spark.conf.get(key) == "-1"
+
+        # an already-large cap is left alone
+        big = str(bound * 100)
+        spark.conf.set(key, big)
+        customer_order_chain_lengths(spark, sf_dir)
+        assert spark.conf.get(key) == big
+    finally:
+        spark.conf.set(key, old)
