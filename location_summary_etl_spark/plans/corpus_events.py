@@ -126,13 +126,28 @@ GROUP BY 1, 2
 # Sliding 10-minute windows, 5-minute slide: each event lands in 2
 # windows (explode of the covering-window array).
 def events_sliding_10min_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The average is computed over EXACT integer cents, not a float
+    sum.  ``value`` is a fixed-scale measure (2 decimals), and a
+    double SUM of it is partition-order-dependent -- at sf1 the r11
+    soak caught 59/8641 groups where Spark's and DuckDB's float sums
+    straddled an avg .00005 rounding boundary (true averages land on
+    exact half-ties because 2-decimal values averaged over counts
+    like 240 do).  Summing ``round(value*100)::long`` is exact and
+    order-independent at ANY scale -- the same plan shape (one
+    partial+final hash agg), one extra codegen'd multiply per row --
+    so the engine's own answer is deterministic across partitionings,
+    which the float sum is not.  The division and final rounding run
+    on identical integers in both engines, so parity is structural."""
     ev = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
     return (
         ev.withColumn("window_start", F.explode(sliding_buckets("ts", 600, 300)))
         .groupBy("window_start")
         .agg(
             F.count("*").alias("n_events"),
-            round_portable(F.avg("value"), 4).alias("avg_value"),
+            round_portable(
+                F.sum(cents) / (F.lit(100.0) * F.count("*")), 4
+            ).alias("avg_value"),
         )
     )
 
@@ -140,7 +155,8 @@ def events_sliding_10min_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("events_sliding_10min_5min", events_sliding_10min_5min, """
 SELECT CAST((floor(epoch(ts) / 300) - j) * 300 AS BIGINT) AS window_start,
        COUNT(*) AS n_events,
-       round(CAST(AVG(value) AS DOUBLE), 4) AS avg_value
+       round(CAST(SUM(CAST(round(value * 100, 0) AS BIGINT))
+                  / (100.0 * COUNT(*)) AS DOUBLE), 4) AS avg_value
 FROM events, (SELECT unnest([0, 1]) AS j)
 GROUP BY 1
 """)
