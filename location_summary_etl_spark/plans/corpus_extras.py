@@ -414,9 +414,17 @@ def nation_order_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional count (``count_if``).  All three are ordinary
     partial+final aggregates: the shuffle carries one (value, payload)
     pair per group per partition, never a window's full row stream.
-    Total prices are tie-free per nation in this data, so the argmax
-    payload is deterministic (ties would need a struct tiebreak --
-    see nation_top_balance_customer)."""
+
+    The argmax RANKS BY A STRUCT -- (o_totalprice, o_orderkey) -- not
+    the bare price: equal prices are then broken by key, so the
+    payload is deterministic under ties at any scale.  The bare-price
+    form relied on prices being tie-free, which held in the base
+    testdata but not generally (the r11 sf1 soak's replicated tier
+    carries every price 10x and the entry's answer became
+    partition-order-dependent -- on a real cluster the same query
+    would return different keys run to run).  The oracle expresses
+    the identical semantics as a struct max/min (DuckDB's arg_max
+    cannot rank by a composite)."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     nation = load_table(spark, sf_dir, "nation")
@@ -425,8 +433,12 @@ def nation_order_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
-            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+            F.max_by(
+                "o_orderkey", F.struct("o_totalprice", "o_orderkey")
+            ).alias("priciest_order"),
+            F.min_by(
+                "o_orderkey", F.struct("o_totalprice", "o_orderkey")
+            ).alias("cheapest_order"),
             F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
             F.count("*").alias("n_orders"),
         )
@@ -435,8 +447,10 @@ def nation_order_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register("nation_order_extremes", nation_order_extremes, """
 SELECT n_name,
-       max_by(o_orderkey, o_totalprice) AS priciest_order,
-       min_by(o_orderkey, o_totalprice) AS cheapest_order,
+       struct_extract(max({'p': o_totalprice, 'k': o_orderkey}), 'k')
+           AS priciest_order,
+       struct_extract(min({'p': o_totalprice, 'k': o_orderkey}), 'k')
+           AS cheapest_order,
        CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished,
        COUNT(*) AS n_orders
 FROM orders

@@ -83,6 +83,19 @@ def make_tier(n: int, base: str, out: str) -> None:
             if c in keycols:
                 stride = _stride(con, base, keycols[c])
                 exprs.append(f"({c} + i * {stride}) AS {c}")
+            elif c in ("s_name", "c_name"):
+                # these are UNIQUE PER KEY in the base data, and
+                # corpus entries legitimately group/join on them
+                # (waiting_supplier_orders, top_revenue_supplier,
+                # returned_item_top_customers, cte_latest_order_sql)
+                # -- replicating them verbatim would merge 10 keys
+                # under one name and change those queries' semantics
+                # (found by the r11 sf1 soak: Q21 returned 10000 rows
+                # by key vs 1000 by name).  Suffix on i>0, replica 0
+                # stays byte-identical.
+                exprs.append(
+                    f"CASE WHEN i = 0 THEN {c}"
+                    f" ELSE {c} || '-r' || i END AS {c}")
             elif t == "documents" and c == "text":
                 # suffix only on i>0 so replica 0 stays byte-identical
                 exprs.append(
