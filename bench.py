@@ -33,6 +33,29 @@ quiet-pass minima disagree by more than ``UNSTABLE_SPREAD`` is listed
 in ``unstable_queries`` -- a reader of BENCH_r{N}.json alone can tell
 wobble from regression for that query family without the crossover
 prose.
+
+THE RESIDUAL SPREAD SOURCE, identified r11 (tools/ab_variance.py;
+fully-gated window, every timed rep stamped with per-collector GC
+deltas, janino compile counts, JIT total-compile-time deltas, and the
+JVM's /proc io read_bytes): **asynchronous tiered-JIT
+re-optimization**, not GC, not codegen-cache eviction, not page-cache
+eviction.  Across 108 instrumented reps of the two r10 spread-tagged
+queries plus a control at sf0.1: janino compiles 0 (the 2000-entry
+generated-class cache never evicted), disk reads 0 bytes (the tier
+lives in page cache), GC <= 18 ms/rep (young only) -- but every slow
+tight-loop rep carried 1.0-1.7 s of background C2 compile time
+(region_nation_rollup: 0.644/0.615/0.645 s reps with jit 1651/1484/
+1008 ms, decaying monotonically to 0.31-0.35 s reps at jit 300-700 ms
+over ~4 reps; text_fingerprints the same shape).  C2 runs on
+background threads, so one untimed warm run starts -- but does not
+finish -- tier-up, and min-of-3 immediately after still lands mid-
+climb; by the time it settles, cross-pass minima sit inside the
+jitter band (phase B: 6 gated passes, spreads 1.23/1.15/1.40 with the
+only >1.25 cell on the CONTROL under a probe-visible blip).  The fix
+below (`_warm_until_jit_settles`) retires the mechanism instead of
+tagging it: each query warms until a warm rep overlaps < JIT_SETTLE_MS
+of background compilation (bounded extra reps), so timed reps measure
+steady-state throughput.
 """
 
 from __future__ import annotations
@@ -65,6 +88,42 @@ EXTRAS = [
 # same-window jitter band (<=1.15 measured across r6-r8 quiet passes)
 # and below the 1.3-1.9x swings the blind spot produces.
 UNSTABLE_SPREAD = 1.25
+
+# A warm rep overlapping at least this much background C2 compilation
+# is still climbing the JIT tiers -- warm again (module docstring,
+# r11 attribution).  Quiet steady-state reps measure 26-155 ms of
+# incidental background compile; mid-climb reps measure 1000+.
+JIT_SETTLE_MS = 300
+JIT_SETTLE_MAX_EXTRA = 4
+
+
+def _jit_bean(spark):
+    """CompilationMXBean of the driver JVM (None if unavailable --
+    the warm loop then degrades to the single warm rep)."""
+    try:
+        return (spark.sparkContext._jvm.java.lang.management
+                .ManagementFactory.getCompilationMXBean())
+    except Exception:
+        return None
+
+
+def _warm_until_jit_settles(run, bean) -> None:
+    """One warm rep, repeated (bounded) until the rep overlapped less
+    than JIT_SETTLE_MS of background JIT compilation.  C2 compiles on
+    background threads: the first warm run STARTS tier-up for the
+    plan's generated code but rarely finishes it, and timed reps taken
+    mid-climb produced the r10 ``unstable_queries`` tags (module
+    docstring).  The loop is driver-side bean reads around the reps it
+    would run anyway -- no Spark jobs added when the first warm rep is
+    already settled."""
+    if bean is None:
+        run()
+        return
+    for _ in range(1 + JIT_SETTLE_MAX_EXTRA):
+        t0 = bean.getTotalCompilationTime()
+        run()
+        if bean.getTotalCompilationTime() - t0 < JIT_SETTLE_MS:
+            return
 
 HEADLINE = [
     "flagship_nation_summary",
@@ -181,11 +240,14 @@ def main() -> None:
     # bandwidth stamps on both sides of it also cleared bw_threshold.
     bw_probes: list[float] = [hostprobe.probe_mt()] if probing else []
     times_by_pass: list[dict[str, float]] = []
+    jit = _jit_bean(spark)
     for _ in range(passes):
         pass_times: dict[str, float] = {}
         for name in names:
             spark.catalog.clearCache()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            _warm_until_jit_settles(
+                lambda: qs[name](spark, sf_dir).write.format("noop")
+                .mode("overwrite").save(), jit)
             best = float("inf")
             for _ in range(repeats):
                 spark.catalog.clearCache()
@@ -364,7 +426,9 @@ def main() -> None:
     _pre_x = hostprobe.probe() if probing else None
     for name in [n for n in EXTRAS if n in qs]:
         spark.catalog.clearCache()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        _warm_until_jit_settles(
+            lambda: qs[name](spark, sf_dir).write.format("noop")
+            .mode("overwrite").save(), jit)
         best = float("inf")
         for _ in range(repeats):
             spark.catalog.clearCache()
