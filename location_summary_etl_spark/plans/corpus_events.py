@@ -6,7 +6,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from location_summary_etl_spark.functions.scalars import round_portable
+from location_summary_etl_spark.functions.scalars import (
+    avg_fixed_point,
+    round_portable,
+    sum_fixed_point,
+)
 from location_summary_etl_spark.operators.asof import asof_join_backward
 from location_summary_etl_spark.operators.windows import (
     epoch_seconds,
@@ -33,8 +37,11 @@ def events_json_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            round_portable(F.avg("value"), 4).alias("avg_value"),
-            round_portable(F.avg("k"), 4).alias("avg_k"),
+            # fixed-point policy (functions/scalars.py): value is a
+            # 2-decimal measure, k an integer -- exact unit sums make
+            # the averages deterministic and oracle parity structural
+            avg_fixed_point("value", 2, 4).alias("avg_value"),
+            avg_fixed_point("k", 0, 4).alias("avg_k"),
         )
     )
 
@@ -42,8 +49,11 @@ def events_json_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("events_json_kpis", events_json_kpis, """
 SELECT event_type,
        COUNT(*) AS n_events,
-       round(CAST(AVG(value) AS DOUBLE), 4) AS avg_value,
-       round(CAST(AVG(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE), 4) AS avg_k
+       round(CAST(SUM(CAST(round((value) * 100, 0) AS BIGINT))
+                  / (100.0 * COUNT(value)) AS DOUBLE), 4) AS avg_value,
+       round(CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT))
+                  / (1.0 * COUNT(json_extract_string(props, '$.k')))
+             AS DOUBLE), 4) AS avg_k
 FROM events
 GROUP BY event_type
 """)
@@ -107,7 +117,11 @@ def events_tumbling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_start", "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            round_portable(F.sum("value"), 4).alias("sum_value"),
+            # exact cents sum (fixed-point policy): a float sum of the
+            # 2-decimal measure is partition-order-dependent and its
+            # %.9g hash straddles once group sums reach 9 significant
+            # digits at larger tiers
+            sum_fixed_point("value", 2, 4).alias("sum_value"),
         )
     )
 
@@ -116,7 +130,8 @@ register("events_tumbling_10min", events_tumbling_10min, """
 SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
        event_type,
        COUNT(*) AS n_events,
-       round(CAST(SUM(value) AS DOUBLE), 4) AS sum_value
+       round(CAST(SUM(CAST(round((value) * 100, 0) AS BIGINT))
+                  / 100.0 AS DOUBLE), 4) AS sum_value
 FROM events
 GROUP BY 1, 2
 """)
@@ -236,7 +251,9 @@ def events_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.sum("k").alias("sum_k"),
-            round_portable(F.avg("k"), 4).alias("avg_k"),
+            # k is integral: the long sum is already exact, so the
+            # average derives from it (fixed-point policy)
+            avg_fixed_point("k", 0, 4).alias("avg_k"),
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
         )
@@ -247,7 +264,8 @@ register("events_json_variant", events_json_variant, """
 SELECT event_type,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
-       round(CAST(AVG(CAST(json_extract(props, '$.k') AS INT)) AS DOUBLE), 4)
+       round(CAST(SUM(CAST(json_extract(props, '$.k') AS INT))
+                  / (1.0 * COUNT(json_extract(props, '$.k'))) AS DOUBLE), 4)
            AS avg_k,
        MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
        MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k

@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from location_summary_etl_spark.functions.scalars import round_portable
+from location_summary_etl_spark.functions.scalars import (
+    avg_fixed_point,
+    fixed_units,
+    round_portable,
+)
 from location_summary_etl_spark.plans.corpus import register
 from location_summary_etl_spark.sources.registry import load_table
 
@@ -164,7 +168,8 @@ def part_brand_size_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("p_brand", "size_class")
         .agg(
             F.count("*").alias("n_parts"),
-            round_portable(F.avg("p_retailprice"), 2).alias("avg_price"),
+            # exact-cents average (fixed-point policy, scalars.py)
+            avg_fixed_point("p_retailprice", 2, 2).alias("avg_price"),
         )
     )
 
@@ -173,7 +178,8 @@ register("part_brand_size_cube", part_brand_size_cube, """
 SELECT p_brand,
        CASE WHEN p_size < 25 THEN 'small' ELSE 'large' END AS size_class,
        COUNT(*) AS n_parts,
-       round(CAST(AVG(p_retailprice) AS DOUBLE), 2) AS avg_price
+       round(CAST(SUM(CAST(round((p_retailprice) * 100, 0) AS BIGINT))
+                  / (100.0 * COUNT(p_retailprice)) AS DOUBLE), 2) AS avg_price
 FROM part
 GROUP BY CUBE (p_brand, size_class)
 """)
@@ -200,7 +206,7 @@ def orders_price_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("band").agg(
         F.count("*").alias("n_orders"),
-        round_portable(F.avg("o_totalprice"), 2).alias("avg_price"),
+        avg_fixed_point("o_totalprice", 2, 2).alias("avg_price"),
     )
 
 
@@ -209,7 +215,8 @@ _BAND_VALUES = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in PRICE_BANDS)
 register("orders_price_banded", orders_price_banded, f"""
 WITH bands(band, lo, hi) AS (VALUES {_BAND_VALUES})
 SELECT band, COUNT(*) AS n_orders,
-       round(CAST(AVG(o_totalprice) AS DOUBLE), 2) AS avg_price
+       round(CAST(SUM(CAST(round((o_totalprice) * 100, 0) AS BIGINT))
+                  / (100.0 * COUNT(o_totalprice)) AS DOUBLE), 2) AS avg_price
 FROM orders JOIN bands
   ON o_totalprice >= lo AND o_totalprice < hi
 GROUP BY band
@@ -291,8 +298,13 @@ def customer_order_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame
         orders.filter(F.col("o_custkey") % 100 == 0)  # thin, deterministic slice
         .select(
             "o_custkey", "o_orderkey",
-            round_portable(F.sum("o_totalprice").over(running), 2)
-            .alias("running_total"),
+            # running frame over exact cents (fixed-point policy):
+            # identical integers accumulate on both engines at every
+            # frame position, whatever their frame evaluation strategy
+            round_portable(
+                F.sum(fixed_units("o_totalprice", 2)).over(running)
+                / F.lit(100.0), 2
+            ).alias("running_total"),
             F.row_number().over(w).alias("order_seq"),
             round_portable(
                 F.col("o_totalprice")
@@ -304,7 +316,8 @@ def customer_order_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame
 
 register("customer_order_running_totals", customer_order_running_totals, """
 SELECT o_custkey, o_orderkey,
-       round(CAST(SUM(o_totalprice) OVER w_run AS DOUBLE), 2) AS running_total,
+       round(CAST(SUM(CAST(round((o_totalprice) * 100, 0) AS BIGINT))
+                      OVER w_run / 100.0 AS DOUBLE), 2) AS running_total,
        CAST(ROW_NUMBER() OVER w AS INT) AS order_seq,
        round(CAST(o_totalprice - LAG(o_totalprice, 1) OVER w AS DOUBLE), 2) AS delta_vs_prev
 FROM orders
@@ -492,7 +505,7 @@ def orders_price_banded_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count("*").alias("n_orders"),
-            round_portable(F.avg("o_totalprice"), 2).alias("avg_price"),
+            avg_fixed_point("o_totalprice", 2, 2).alias("avg_price"),
         )
     )
 
@@ -500,7 +513,8 @@ def orders_price_banded_compiled(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("orders_price_banded_compiled", orders_price_banded_compiled, f"""
 WITH bands(band, lo, hi) AS (VALUES {_BAND_VALUES})
 SELECT band, COUNT(*) AS n_orders,
-       round(CAST(AVG(o_totalprice) AS DOUBLE), 2) AS avg_price
+       round(CAST(SUM(CAST(round((o_totalprice) * 100, 0) AS BIGINT))
+                  / (100.0 * COUNT(o_totalprice)) AS DOUBLE), 2) AS avg_price
 FROM orders JOIN bands
   ON o_totalprice >= lo AND o_totalprice < hi
 GROUP BY band
@@ -560,7 +574,7 @@ def customer_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("int").alias("gid"),
             F.count("*").alias("n_customers"),
-            round_portable(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+            avg_fixed_point("c_acctbal", 2, 2).alias("avg_acctbal"),
         )
     )
 
@@ -569,7 +583,8 @@ register("customer_grouping_sets", customer_grouping_sets, """
 SELECT n_name, c_mktsegment,
        CAST(GROUPING(n_name, c_mktsegment) AS INT) AS gid,
        COUNT(*) AS n_customers,
-       round(CAST(AVG(c_acctbal) AS DOUBLE), 2) AS avg_acctbal
+       round(CAST(SUM(CAST(round((c_acctbal) * 100, 0) AS BIGINT))
+                  / (100.0 * COUNT(c_acctbal)) AS DOUBLE), 2) AS avg_acctbal
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
 """)

@@ -13,7 +13,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from location_summary_etl_spark.functions.scalars import round_portable
+from location_summary_etl_spark.functions.scalars import (
+    avg_fixed_point,
+    duckdb_avg_fixed,
+    duckdb_sum_fixed,
+    fixed_units,
+    round_portable,
+    sum_fixed_point,
+)
 from location_summary_etl_spark.operators.aggregates import multi_avg
 from location_summary_etl_spark.operators.normalize import minmax_score_auto
 from location_summary_etl_spark.operators.snapshot import (
@@ -68,33 +75,40 @@ WHERE o_orderdate = (SELECT MAX(o_orderdate) FROM orders)
 # group-by, 8 aggregates, rounding. Partial aggregation map-side means
 # the shuffle carries ~|groups| rows per partition at any scale.
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregates run over EXACT integer units (functions/scalars.py
+    fixed-point policy): quantity is integral, prices/discount/tax are
+    2-decimal, so the discounted price is a scale-4 and the charge a
+    scale-6 decimal -- every sum is an exact long sum (deterministic
+    under any partitioning; a float sum is not), and the per-group
+    division + rounding runs on identical integers in both engines."""
     li = _t(spark, sf_dir, "lineitem")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            round_portable(F.sum("l_quantity"), 2).alias("sum_qty"),
-            round_portable(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            round_portable(F.sum(disc), 2).alias("sum_disc_price"),
-            round_portable(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            round_portable(F.avg("l_quantity"), 4).alias("avg_qty"),
-            round_portable(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            round_portable(F.avg("l_discount"), 4).alias("avg_disc"),
+            sum_fixed_point("l_quantity", 0, 2).alias("sum_qty"),
+            sum_fixed_point("l_extendedprice", 2, 2).alias("sum_base_price"),
+            sum_fixed_point(disc, 4, 2).alias("sum_disc_price"),
+            sum_fixed_point(charge, 6, 2).alias("sum_charge"),
+            avg_fixed_point("l_quantity", 0, 4).alias("avg_qty"),
+            avg_fixed_point("l_extendedprice", 2, 4).alias("avg_price"),
+            avg_fixed_point("l_discount", 2, 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
 
 
-register("pricing_summary", pricing_summary, """
+register("pricing_summary", pricing_summary, f"""
 SELECT l_returnflag, l_linestatus,
-       round(CAST(SUM(l_quantity) AS DOUBLE), 2) AS sum_qty,
-       round(CAST(SUM(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
-       round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
-       round(CAST(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE), 2) AS sum_charge,
-       round(CAST(AVG(l_quantity) AS DOUBLE), 4) AS avg_qty,
-       round(CAST(AVG(l_extendedprice) AS DOUBLE), 4) AS avg_price,
-       round(CAST(AVG(l_discount) AS DOUBLE), 4) AS avg_disc,
+       {duckdb_sum_fixed('l_quantity', 0, 2)} AS sum_qty,
+       {duckdb_sum_fixed('l_extendedprice', 2, 2)} AS sum_base_price,
+       {duckdb_sum_fixed('l_extendedprice * (1 - l_discount)', 4, 2)} AS sum_disc_price,
+       {duckdb_sum_fixed('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6, 2)} AS sum_charge,
+       {duckdb_avg_fixed('l_quantity', 0, 4)} AS avg_qty,
+       {duckdb_avg_fixed('l_extendedprice', 2, 4)} AS avg_price,
+       {duckdb_avg_fixed('l_discount', 2, 4)} AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -428,17 +442,25 @@ def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
     )
+    # exact integer cents through BOTH aggregate levels (fixed-point
+    # policy, functions/scalars.py): the partial per-(region, nation)
+    # sums and the rollup's merge are long additions, so avg_bal is
+    # deterministic and the final division runs on identical integers
+    # in both engines.
     base = full.groupBy("r_name", "n_name").agg(
-        F.count("*").alias("_n"), F.sum("c_acctbal").alias("_s"))
+        F.count("*").alias("_n"),
+        F.sum(fixed_units("c_acctbal", 2)).alias("_s"))
     return base.rollup("r_name", "n_name").agg(
         F.sum("_n").alias("n_customers"),
-        round_portable(F.sum("_s") / F.sum("_n"), 2).alias("avg_bal"),
+        round_portable(
+            F.sum("_s") / (F.lit(100.0) * F.sum("_n")), 2
+        ).alias("avg_bal"),
     )
 
 
-register("region_nation_rollup", region_nation_rollup, """
+register("region_nation_rollup", region_nation_rollup, f"""
 SELECT r.r_name, n.n_name, COUNT(*) AS n_customers,
-       round(CAST(AVG(c.c_acctbal) AS DOUBLE), 2) AS avg_bal
+       {duckdb_avg_fixed('c.c_acctbal', 2, 2)} AS avg_bal
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
