@@ -34,8 +34,10 @@ from pyspark.sql import functions as F
 
 from location_summary_etl_spark.functions.scalars import (
     DUCKDB_HASH60,
+    avg_fixed_point,
     portable_hash60,
     round_portable,
+    sum_fixed_point,
 )
 from location_summary_etl_spark.plans.corpus import register
 from location_summary_etl_spark.sources.registry import load_table
@@ -229,7 +231,9 @@ def lineitem_melt_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return long.groupBy("l_linestatus", "measure").agg(
         F.count("*").alias("n"),
-        round_portable(F.avg("value"), 6).alias("avg_value"),
+        # every melted measure is at most 2-decimal, so a shared
+        # cents scale keeps the average exact (fixed-point policy)
+        avg_fixed_point("value", 2, 6).alias("avg_value"),
         round_portable(F.max("value"), 2).alias("max_value"),
     )
 
@@ -243,7 +247,8 @@ LINEITEM_MELT_SQL = f"""
 WITH long AS ({_MELT_ARMS})
 SELECT l_linestatus, measure,
        COUNT(*) AS n,
-       round(CAST(AVG(value) AS DOUBLE), 6) AS avg_value,
+       round(CAST(SUM(CAST(round((value) * 100, 0) AS BIGINT))
+                  / (100.0 * COUNT(value)) AS DOUBLE), 6) AS avg_value,
        round(CAST(MAX(value) AS DOUBLE), 2) AS max_value
 FROM long
 GROUP BY l_linestatus, measure
@@ -273,7 +278,7 @@ def skew_salted_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy(F.year("o_orderdate").alias("order_year"))
         .agg(F.count("*").alias("n_lines"),
-             round_portable(F.sum("l_extendedprice"), 2)
+             sum_fixed_point("l_extendedprice", 2, 2)
              .alias("urgent_revenue"))
     )
 
@@ -281,7 +286,8 @@ def skew_salted_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("skew_salted_fact_join", skew_salted_fact_join, """
 SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
        COUNT(*) AS n_lines,
-       round(CAST(SUM(l_extendedprice) AS DOUBLE), 2) AS urgent_revenue
+       round(CAST(SUM(CAST(round((l_extendedprice) * 100, 0) AS BIGINT))
+                  / 100.0 AS DOUBLE), 2) AS urgent_revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderpriority = '1-URGENT'
 GROUP BY 1

@@ -11,7 +11,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from location_summary_etl_spark.functions.scalars import round_portable
+from location_summary_etl_spark.functions.scalars import (
+    fixed_units,
+    round_portable,
+)
 from location_summary_etl_spark.operators.windows import epoch_seconds
 from location_summary_etl_spark.plans.corpus import register
 from location_summary_etl_spark.sources.registry import load_table
@@ -152,14 +155,20 @@ def events_rolling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.count(F.lit(1)).over(w).alias("n_trailing"),
-        round_portable(F.sum("value").over(w), 3).alias("sum_trailing"),
+        # trailing frame over exact cents (fixed-point policy,
+        # scalars.py): identical integers at every frame position in
+        # both engines, whatever their frame evaluation strategy
+        round_portable(
+            F.sum(fixed_units("value", 2)).over(w) / F.lit(100.0), 3
+        ).alias("sum_trailing"),
     )
 
 
 register("events_rolling_10min", events_rolling_10min, """
 SELECT event_id, user_id, ts,
        COUNT(*) OVER w AS n_trailing,
-       round(CAST(SUM(value) OVER w AS DOUBLE), 3) AS sum_trailing
+       round(CAST(SUM(CAST(round((value) * 100, 0) AS BIGINT))
+                  OVER w / 100.0 AS DOUBLE), 3) AS sum_trailing
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
              RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)

@@ -15,7 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from location_summary_etl_spark.functions.scalars import round_portable
+from location_summary_etl_spark.functions.scalars import (
+    avg_fixed_point,
+    fixed_units,
+    round_portable,
+)
 from location_summary_etl_spark.operators.textstats import doc_quality_rules
 from location_summary_etl_spark.plans.corpus import register
 from location_summary_etl_spark.sources.registry import load_table
@@ -98,7 +102,9 @@ def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n_docs"),
-            round_portable(F.avg("_n"), 4).alias("avg_words"),
+            # integral counts: exact long sum / count (fixed-point
+            # policy, scalars.py)
+            avg_fixed_point("_n", 0, 4).alias("avg_words"),
         )
     )
 
@@ -107,7 +113,8 @@ register("corpus_length_histogram", corpus_length_histogram, f"""
 SELECT CAST(LEAST(FLOOR(len(string_split(text, ' ')) / {HIST_BUCKET_WORDS}),
                   {HIST_MAX_BUCKET}) AS INT) AS bucket,
        COUNT(*) AS n_docs,
-       round(CAST(AVG(len(string_split(text, ' '))) AS DOUBLE), 4) AS avg_words
+       round(CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                  / (1.0 * COUNT(*)) AS DOUBLE), 4) AS avg_words
 FROM documents
 GROUP BY 1
 """)
@@ -136,7 +143,10 @@ def events_value_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.select(
         "event_id", "user_id", "ts", "value",
         F.count("value").over(w).alias("_n"),
-        round_portable(F.avg("value").over(w), 4).alias("_m"),
+        round_portable(
+            F.sum(fixed_units("value", 2)).over(w)
+            / (F.lit(100.0) * F.count("value").over(w)), 4
+        ).alias("_m"),
         round_portable(F.stddev_samp("value").over(w), 4).alias("_s"),
     )
     z = round_portable((F.col("value") - F.col("_m")) / F.col("_s"), 3)
@@ -153,7 +163,8 @@ register("events_value_anomaly", events_value_anomaly, f"""
 WITH b AS (
     SELECT event_id, user_id, value,
            COUNT(value) OVER w AS n,
-           round(CAST(AVG(value) OVER w AS DOUBLE), 4) AS m,
+           round(CAST(SUM(CAST(round((value) * 100, 0) AS BIGINT)) OVER w
+                      / (100.0 * COUNT(value) OVER w) AS DOUBLE), 4) AS m,
            round(CAST(STDDEV_SAMP(value) OVER w AS DOUBLE), 4) AS s
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -230,8 +241,8 @@ def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = docs.select("doc_id", "lang", "source").join(rules, "doc_id")
     per_source = joined.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        round_portable(F.avg(F.col("keep").cast("int")), 4).alias("keep_rate"),
-        round_portable(F.avg("n_words"), 4).alias("avg_words"),
+        avg_fixed_point(F.col("keep").cast("int"), 0, 4).alias("keep_rate"),
+        avg_fixed_point("n_words", 0, 4).alias("avg_words"),
     )
     lang_counts = (
         joined.groupBy("source", "lang").agg(F.count("*").alias("_c"))
@@ -268,8 +279,10 @@ j AS (SELECT t.doc_id, t.lang, t.source, q.n_words, q.keep
       FROM tok t JOIN q USING (doc_id)),
 per_source AS (
     SELECT source, COUNT(*) AS n_docs,
-           round(CAST(AVG(CAST(keep AS INT)) AS DOUBLE), 4) AS keep_rate,
-           round(CAST(AVG(n_words) AS DOUBLE), 4) AS avg_words
+           round(CAST(SUM(CAST(keep AS INT)) / (1.0 * COUNT(keep))
+                 AS DOUBLE), 4) AS keep_rate,
+           round(CAST(SUM(CAST(n_words AS BIGINT)) / (1.0 * COUNT(n_words))
+                 AS DOUBLE), 4) AS avg_words
     FROM j GROUP BY 1
 ),
 lc AS (SELECT source, lang, COUNT(*) AS c FROM j GROUP BY 1, 2),

@@ -31,7 +31,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from location_summary_etl_spark.functions.scalars import round_portable
+from location_summary_etl_spark.functions.scalars import (
+    round_portable,
+)
 from location_summary_etl_spark.plans.corpus import register
 from location_summary_etl_spark.sources.registry import load_table
 
@@ -143,16 +145,19 @@ def orders_price_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_orderpriority",
         F.count("*").over(w).alias("n_neighbors"),
-        round_portable(F.avg(floored).over(w), 2)
-        .alias("avg_neighbor_price"),
+        # floored prices are integral: exact long window sum / count
+        # (fixed-point policy, scalars.py)
+        round_portable(
+            F.sum(floored).over(w) / (1.0 * F.count("*").over(w)), 2
+        ).alias("avg_neighbor_price"),
     )
 
 
 register("orders_price_range_window", orders_price_range_window, f"""
 SELECT o_orderkey, o_orderpriority,
        COUNT(*) OVER w AS n_neighbors,
-       round(CAST(AVG(CAST(floor(o_totalprice) AS BIGINT)) OVER w
-                  AS DOUBLE), 2) AS avg_neighbor_price
+       round(CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) OVER w
+                  / (1.0 * COUNT(*) OVER w) AS DOUBLE), 2) AS avg_neighbor_price
 FROM orders
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
              RANGE BETWEEN {PRICE_BAND_RADIUS} PRECEDING

@@ -38,7 +38,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from location_summary_etl_spark.functions.scalars import round_portable
+from location_summary_etl_spark.functions.scalars import (
+    fixed_units,
+    round_portable,
+)
 from location_summary_etl_spark.plans.corpus import register
 from location_summary_etl_spark.sources.registry import load_table
 
@@ -46,6 +49,15 @@ from location_summary_etl_spark.sources.registry import load_table
 def _revenue() -> F.Column:
     # built lazily: Column construction needs an active SparkContext
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def _revenue_units() -> F.Column:
+    # exact scale-4 integer units of the discounted price (price is
+    # 2-decimal, discount 2-decimal -> the product is a scale-4
+    # decimal): revenue sums become exact long sums, deterministic
+    # under any partitioning, and the ORDER BY revenue ... LIMIT cuts
+    # are tie-stable (fixed-point policy, functions/scalars.py)
+    return fixed_units(_revenue(), 4)
 
 
 # ------------------------------------------------------ Q3: shipping priority
@@ -141,7 +153,7 @@ def order_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.filter(F.col("l_shipdate") > cutoff)
         .select("l_orderkey", "l_extendedprice", "l_discount")
         .groupBy("l_orderkey")
-        .agg(F.sum(_revenue()).alias("_rev"))
+        .agg(F.sum(_revenue_units()).alias("_rev"))
     )
     return (
         lin_rev.join(
@@ -150,7 +162,8 @@ def order_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "l_orderkey", "o_orderdate",
-            round_portable(F.col("_rev"), 2).alias("revenue"),
+            round_portable(F.col("_rev") / F.lit(10000.0), 2)
+            .alias("revenue"),
         )
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
@@ -159,7 +172,7 @@ def order_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_SQL = f"""
 SELECT l_orderkey, o_orderdate,
-       round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+       round(CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0 AS DOUBLE), 2) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -295,13 +308,14 @@ def region_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return (
         joined.groupBy("n_name")
-        .agg(round_portable(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(round_portable(
+            F.sum(_revenue_units()) / F.lit(10000.0), 2).alias("revenue"))
     )
 
 
 Q5_SQL = f"""
 SELECT n_name,
-       round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+       round(CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0 AS DOUBLE), 2) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -349,7 +363,8 @@ def returned_item_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey") == F.col("n_nationkey"),
         )
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(round_portable(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(round_portable(
+            F.sum(_revenue_units()) / F.lit(10000.0), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
@@ -357,7 +372,7 @@ def returned_item_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q10_SQL = f"""
 SELECT c_custkey, c_name, c_acctbal, n_name,
-       round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+       round(CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0 AS DOUBLE), 2) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -491,7 +506,9 @@ def part_promo_disjunction_revenue(spark: SparkSession, sf_dir: str) -> DataFram
                       F.col("l_partkey") == F.col("p_partkey"))
         .filter(arm)
         .agg(
-            round_portable(F.sum(_revenue()), 2).alias("revenue"),
+            round_portable(
+                F.sum(_revenue_units()) / F.lit(10000.0), 2
+            ).alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
     )
@@ -504,7 +521,7 @@ _Q19_SQL_ARMS = " OR ".join(
 )
 
 register("part_promo_disjunction_revenue", part_promo_disjunction_revenue, f"""
-SELECT round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+SELECT round(CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0 AS DOUBLE), 2)
            AS revenue,
        COUNT(*) AS n_lineitems
 FROM lineitem JOIN part ON l_partkey = p_partkey

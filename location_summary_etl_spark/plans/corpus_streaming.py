@@ -30,7 +30,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from location_summary_etl_spark.functions.scalars import round_portable
+from location_summary_etl_spark.functions.scalars import (
+    round_portable,
+    sum_fixed_point,
+)
 from location_summary_etl_spark.plans.corpus import register
 from location_summary_etl_spark.sources.registry import load_table
 from location_summary_etl_spark.streaming.jobs import (
@@ -74,7 +77,8 @@ register("streaming_tumbling_counts", streaming_tumbling_counts, """
 SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
        event_type,
        COUNT(*) AS n_events,
-       round(CAST(SUM(value) AS DOUBLE), 4) AS sum_value
+       round(CAST(SUM(CAST(round((value) * 100, 0) AS BIGINT))
+                  / 100.0 AS DOUBLE), 4) AS sum_value
 FROM events
 GROUP BY 1, 2
 """)
@@ -146,7 +150,8 @@ register("streaming_enrich_broadcast", streaming_enrich_broadcast, """
 SELECT CAST(floor(epoch(e.ts) / 600) * 600 AS BIGINT) AS window_start,
        c.c_mktsegment,
        COUNT(*) AS n_events,
-       round(CAST(SUM(e.value) AS DOUBLE), 4) AS sum_value
+       round(CAST(SUM(CAST(round((e.value) * 100, 0) AS BIGINT))
+                  / 100.0 AS DOUBLE), 4) AS sum_value
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1, 2
 """)
@@ -205,7 +210,7 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.countDistinct("event_id").alias("n_distinct_ids"),
-        round_portable(F.sum("value"), 4).alias("sum_value"),
+        sum_fixed_point("value", 2, 4).alias("sum_value"),
     )
 
 
@@ -213,7 +218,8 @@ register("streaming_dedup_replay", streaming_dedup_replay, """
 SELECT event_type,
        COUNT(*) AS n_events,
        COUNT(DISTINCT event_id) AS n_distinct_ids,
-       round(CAST(SUM(value) AS DOUBLE), 4) AS sum_value
+       round(CAST(SUM(CAST(round((value) * 100, 0) AS BIGINT))
+                  / 100.0 AS DOUBLE), 4) AS sum_value
 FROM events
 GROUP BY event_type
 """)
@@ -265,7 +271,7 @@ def streaming_lakehouse_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.read(spark).groupBy("event_type")
         .agg(F.count("*").alias("n_events"),
-             round_portable(F.sum("value"), 4).alias("sum_value"))
+             sum_fixed_point("value", 2, 4).alias("sum_value"))
         .withColumn("n_commits", F.lit(t.latest_version() + 1))
     )
 
@@ -273,7 +279,8 @@ def streaming_lakehouse_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("streaming_lakehouse_ingest", streaming_lakehouse_ingest, """
 SELECT event_type,
        COUNT(*) AS n_events,
-       round(CAST(SUM(value) AS DOUBLE), 4) AS sum_value,
+       round(CAST(SUM(CAST(round((value) * 100, 0) AS BIGINT))
+                  / 100.0 AS DOUBLE), 4) AS sum_value,
        3 AS n_commits
 FROM events
 GROUP BY event_type

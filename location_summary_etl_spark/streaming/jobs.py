@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from location_summary_etl_spark.functions.scalars import fixed_units
 from pyspark.sql import types as T
 
 from location_summary_etl_spark.sources.registry import table_path
@@ -59,12 +61,17 @@ def tumbling_counts_stream(events: DataFrame,
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), "event_type")
+        # exact cents into the streaming state (fixed-point policy,
+        # functions/scalars.py): incremental micro-batch merges add
+        # longs, so the drained state is byte-stable across replays
+        # and batch/stream parity is structural, not float luck
         .agg(F.count("*").alias("n_events"),
-             F.sum("value").alias("sum_value"))
+             F.sum(fixed_units("value", 2)).alias("_sv"))
         .select(
             F.col("window.start").alias("window_start"),
             F.col("window.end").alias("window_end"),
-            "event_type", "n_events", "sum_value",
+            "event_type", "n_events",
+            (F.col("_sv") / F.lit(100.0)).alias("sum_value"),
         )
     )
 
@@ -233,10 +240,11 @@ def enrich_events_stream(events: DataFrame, customer: DataFrame,
         .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), "c_mktsegment")
         .agg(F.count("*").alias("n_events"),
-             F.sum("value").alias("sum_value"))
+             F.sum(fixed_units("value", 2)).alias("_sv"))
         .select(
             F.col("window.start").alias("window_start"),
-            "c_mktsegment", "n_events", "sum_value",
+            "c_mktsegment", "n_events",
+            (F.col("_sv") / F.lit(100.0)).alias("sum_value"),
         )
     )
 
