@@ -18,12 +18,25 @@ def avg_by(df: DataFrame, keys: list[str], col: str, alias: str) -> DataFrame:
     return df.groupBy(*keys).agg(F.avg(col).alias(alias))
 
 
-def multi_avg(df: DataFrame, keys: list[str], cols: list[str]) -> DataFrame:
+def multi_avg(df: DataFrame, keys: list[str], cols: list[str],
+              fixed_scale: int | None = None) -> DataFrame:
     """Programmatic multi-aggregate: ``avg(c) as avg_c`` for each c --
     the reference's List[Column] splat
-    (/root/reference/src/main/scala/App.scala:212-214)."""
+    (/root/reference/src/main/scala/App.scala:212-214).
+
+    ``fixed_scale=s`` computes each average over exact 10^s integer
+    units (fixed-point policy, functions/scalars.py) -- right when
+    every column is a fixed-scale decimal of at most that scale;
+    ``None`` keeps the plain float avg for real-valued columns."""
+    if fixed_scale is None:
+        return df.groupBy(*keys).agg(
+            *[F.avg(c).alias(f"avg_{c}") for c in cols]
+        )
+    from location_summary_etl_spark.functions.scalars import fixed_units
+    p = float(10 ** fixed_scale)
     return df.groupBy(*keys).agg(
-        *[F.avg(c).alias(f"avg_{c}") for c in cols]
+        *[(F.sum(fixed_units(c, fixed_scale)) / (F.lit(p) * F.count(c)))
+          .alias(f"avg_{c}") for c in cols]
     )
 
 

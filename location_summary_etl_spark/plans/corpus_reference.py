@@ -195,7 +195,9 @@ def nation_balance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed broadcast form on unbounded inputs.  Gate behavior is
     plan-asserted in tests/test_plans.py."""
     customer = _t(spark, sf_dir, "customer")
-    bal = customer.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("avg_bal"))
+    bal = customer.groupBy("c_nationkey").agg(
+        (F.sum(fixed_units("c_acctbal", 2))
+         / (F.lit(100.0) * F.count(F.lit(1)))).alias("avg_bal"))
     return minmax_score_auto(bal, "avg_bal", "bal_score").select(
         "c_nationkey",
         round_portable("avg_bal", 2).alias("avg_bal"),
@@ -205,7 +207,10 @@ def nation_balance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register("nation_balance_score", nation_balance_score, """
 WITH bal AS (
-    SELECT c_nationkey, AVG(c_acctbal) AS avg_bal FROM customer GROUP BY c_nationkey
+    SELECT c_nationkey,
+           SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT))
+               / (100.0 * COUNT(*)) AS avg_bal
+    FROM customer GROUP BY c_nationkey
 ),
 b AS (SELECT MIN(avg_bal) AS mn, MAX(avg_bal) AS mx FROM bal)
 SELECT c_nationkey,
@@ -221,17 +226,22 @@ FROM bal CROSS JOIN b
 def returnflag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     out = multi_avg(li, ["l_returnflag"],
-                    ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+                    ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+                    fixed_scale=2)
     cols = [round_portable(c, 4).alias(c) for c in out.columns if c != "l_returnflag"]
     return out.select("l_returnflag", *cols)
 
 
 register("returnflag_profile", returnflag_profile, """
 SELECT l_returnflag,
-       round(CAST(AVG(l_quantity) AS DOUBLE), 4) AS avg_l_quantity,
-       round(CAST(AVG(l_extendedprice) AS DOUBLE), 4) AS avg_l_extendedprice,
-       round(CAST(AVG(l_discount) AS DOUBLE), 4) AS avg_l_discount,
-       round(CAST(AVG(l_tax) AS DOUBLE), 4) AS avg_l_tax
+       round(CAST(SUM(CAST(round((l_quantity) * 100, 0) AS BIGINT))
+                  / (100.0 * COUNT(l_quantity)) AS DOUBLE), 4) AS avg_l_quantity,
+       round(CAST(SUM(CAST(round((l_extendedprice) * 100, 0) AS BIGINT))
+                  / (100.0 * COUNT(l_extendedprice)) AS DOUBLE), 4) AS avg_l_extendedprice,
+       round(CAST(SUM(CAST(round((l_discount) * 100, 0) AS BIGINT))
+                  / (100.0 * COUNT(l_discount)) AS DOUBLE), 4) AS avg_l_discount,
+       round(CAST(SUM(CAST(round((l_tax) * 100, 0) AS BIGINT))
+                  / (100.0 * COUNT(l_tax)) AS DOUBLE), 4) AS avg_l_tax
 FROM lineitem
 GROUP BY l_returnflag
 """)

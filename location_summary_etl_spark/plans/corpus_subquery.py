@@ -263,7 +263,9 @@ def inactive_high_balance_segments(spark: SparkSession, sf_dir: str
                SUM(c_acctbal) AS bal_raw
         FROM customer c
         WHERE c_acctbal > (
-            SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+            SELECT SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT))
+                   / (100.0 * COUNT(*))
+            FROM customer WHERE c_acctbal > 0.0)
           AND NOT EXISTS (
             SELECT 1 FROM orders o
             WHERE o.o_custkey = c.c_custkey
@@ -281,7 +283,9 @@ SELECT c_mktsegment,
        round(CAST(SUM(c_acctbal) AS DOUBLE), 2) AS total_acctbal
 FROM customer c
 WHERE c_acctbal > (
-    SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+    SELECT SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT))
+                   / (100.0 * COUNT(*))
+            FROM customer WHERE c_acctbal > 0.0)
   AND NOT EXISTS (
     SELECT 1 FROM orders o
     WHERE o.o_custkey = c.c_custkey

@@ -88,7 +88,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from location_summary_etl_spark.functions.scalars import round_portable
+from location_summary_etl_spark.functions.scalars import (
+    fixed_units,
+    round_portable,
+)
 from location_summary_etl_spark.operators.normalize import minmax_score_window
 from location_summary_etl_spark.operators.snapshot import (
     latest_snapshot_join,
@@ -163,13 +166,19 @@ def flagship_nation_summary(spark: SparkSession, sf_dir: str,
         latest.join(customer, latest["o_custkey"] == customer["c_custkey"], "inner")
         .groupBy("c_nationkey")
         .agg(
-            F.avg("o_totalprice").alias("avg_order_total"),
+            # exact cents (fixed-point policy, functions/scalars.py):
+            # the unrounded average feeds the min-max score, so score
+            # inputs are identical doubles in both engines too
+            (F.sum(fixed_units("o_totalprice", 2))
+             / (F.lit(100.0) * F.count(F.lit(1))))
+            .alias("avg_order_total"),
             F.count("*").alias("order_count"),
             F.max(F.col("o_orderdate").cast("date")).alias("_max_odate"),
         )
     )
     bal = customer.groupBy("c_nationkey").agg(
-        F.avg("c_acctbal").alias("avg_acctbal")
+        (F.sum(fixed_units("c_acctbal", 2))
+         / (F.lit(100.0) * F.count(F.lit(1)))).alias("avg_acctbal")
     )
 
     # B8 + B13: min-max score and the audit date over the nation-grain
@@ -214,7 +223,8 @@ WITH latest AS (
 ),
 per_nation AS (
     SELECT c.c_nationkey,
-           AVG(l.o_totalprice) AS avg_order_total,
+           SUM(CAST(round(l.o_totalprice * 100, 0) AS BIGINT))
+               / (100.0 * COUNT(*)) AS avg_order_total,
            COUNT(*) AS order_count,
            CAST(MAX(l.o_orderdate) AS DATE) AS max_odate
     FROM latest l
@@ -222,7 +232,9 @@ per_nation AS (
     GROUP BY c.c_nationkey
 ),
 bal AS (
-    SELECT c_nationkey, AVG(c_acctbal) AS avg_acctbal
+    SELECT c_nationkey,
+           SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT))
+               / (100.0 * COUNT(*)) AS avg_acctbal
     FROM customer GROUP BY c_nationkey
 ),
 b AS (SELECT MIN(avg_order_total) AS mn, MAX(avg_order_total) AS mx,
