@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from location_summary_etl_spark.functions.scalars import (
     avg_fixed_point,
+    fixed_units,
     round_portable,
     sum_fixed_point,
 )
@@ -414,7 +415,12 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     minute = (
         ev.withColumn("bucket", tumbling_bucket("ts", 60))
         .groupBy("bucket")
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        # exact cents through the whole cascade (fixed-point
+        # policy): every coarser grain merges LONGS, so the rollup
+        # tree is exact at any depth -- float partial-sum merge is
+        # the thing that drifts in a real materialization hierarchy
+        .agg(F.count("*").alias("n_events"),
+             F.sum(fixed_units("value", 2)).alias("sum_value"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
     hour = (
         minute.withColumn("bucket",
@@ -436,13 +442,12 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(grain).alias("grain"),
             F.col("bucket").cast("bigint").alias("bucket"),
             "n_events",
-            round_portable(F.col("sum_value"), 4).alias("sum_value"),
-            # avg derives from the ROUNDED sum: both engines then
-            # divide the same double, so a sum landing near a 4dp
-            # boundary cannot split the derived average across
-            # engines (observed: 217.41/8 at hour grain).
+            round_portable(F.col("sum_value") / F.lit(100.0), 4)
+            .alias("sum_value"),
+            # avg derives from the same exact cents the sum does
             round_portable(
-                round_portable(F.col("sum_value"), 4) / F.col("n_events"), 4)
+                round_portable(F.col("sum_value") / F.lit(100.0), 4)
+                / F.col("n_events"), 4)
             .alias("avg_value"),
         )
         out = shaped if out is None else out.unionAll(shaped)
@@ -458,8 +463,10 @@ WITH g AS (
 SELECT g.grain,
        CAST(floor(epoch(ts) / g.w) * g.w AS BIGINT) AS bucket,
        COUNT(*) AS n_events,
-       round(CAST(SUM(value) AS DOUBLE), 4) AS sum_value,
-       round(round(CAST(SUM(value) AS DOUBLE), 4) / COUNT(*), 4) AS avg_value
+       round(CAST(SUM(CAST(round((value) * 100, 0) AS BIGINT))
+                  / 100.0 AS DOUBLE), 4) AS sum_value,
+       round(round(CAST(SUM(CAST(round((value) * 100, 0) AS BIGINT))
+                        / 100.0 AS DOUBLE), 4) / COUNT(*), 4) AS avg_value
 FROM events CROSS JOIN g
 GROUP BY 1, 2
 """)

@@ -76,9 +76,16 @@ def user_activity_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "user_id": [key[0]],
                 "n_orders": [len(o)],
-                "order_total": [_round_half_away(float(o["o_totalprice"].sum()), 2)],
+                # exact cents inside the Arrow batch too (fixed-point
+                # policy): int64 sums, then one division -- parity
+                # with the oracle's unit sums is structural
+                "order_total": [_round_half_away(
+                    int(o["o_totalprice"].mul(100).round().astype("int64")
+                        .sum()) / 100.0, 2)],
                 "n_events": [len(e)],
-                "event_value_total": [_round_half_away(float(e["value"].sum()), 2)],
+                "event_value_total": [_round_half_away(
+                    int(e["value"].mul(100).round().astype("int64")
+                        .sum()) / 100.0, 2)],
             }
         )
 
@@ -92,12 +99,14 @@ def user_activity_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
 COGROUP_SQL = """
 WITH o AS (
     SELECT o_custkey AS k, COUNT(*) AS n_orders,
-           round(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS order_total
+           round(CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                      / 100.0 AS DOUBLE), 2) AS order_total
     FROM orders GROUP BY 1
 ),
 e AS (
     SELECT user_id AS k, COUNT(*) AS n_events,
-           round(CAST(SUM(value) AS DOUBLE), 2) AS event_value_total
+           round(CAST(SUM(CAST(round(value * 100, 0) AS BIGINT))
+                      / 100.0 AS DOUBLE), 2) AS event_value_total
     FROM events GROUP BY 1
 )
 SELECT COALESCE(o.k, e.k) AS user_id,
@@ -204,7 +213,13 @@ def segment_weighted_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("double")
     def wavg(price: pd.Series, w: pd.Series) -> float:
-        return float((price * w).sum() / w.sum())
+        # exact integer arithmetic inside the Arrow batch (fixed-point
+        # policy, functions/scalars.py): cents x integer weight sums
+        # in int64, one division at the end -- the weighted mean is
+        # identical to the oracle's unit-sum form by construction
+        cents = price.mul(100).round().astype("int64")
+        wi = w.astype("int64")
+        return float((cents * wi).sum() / (100.0 * wi.sum()))
 
     # Catalyst refuses to mix grouped-agg pandas UDFs with built-in
     # aggregates in one Aggregate (INVALID_PANDAS_UDF_PLACEMENT), so
@@ -231,7 +246,9 @@ def segment_weighted_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register("segment_weighted_price", segment_weighted_price, """
 SELECT c_mktsegment,
-       round(CAST(SUM(o_totalprice * m) / SUM(m) AS DOUBLE), 4)
+       round(CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                          * CAST(m AS BIGINT))
+                  / (100.0 * SUM(CAST(m AS BIGINT))) AS DOUBLE), 4)
            AS weighted_avg_price,
        COUNT(*) AS n_orders
 FROM (SELECT o_custkey, o_totalprice,

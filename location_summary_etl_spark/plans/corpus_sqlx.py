@@ -14,7 +14,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from location_summary_etl_spark.functions.scalars import round_portable
+from location_summary_etl_spark.functions.scalars import (
+    fixed_units,
+    round_portable,
+)
 from location_summary_etl_spark.plans.corpus import register
 from location_summary_etl_spark.sources.registry import load_table, register_views
 
@@ -194,7 +197,10 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_nation", "cust_nation",
                  F.year("l_shipdate").cast("int").alias("l_year"))
         .agg(round_portable(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # exact scale-4 units (fixed-point policy, scalars.py)
+            F.sum(fixed_units(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+            / F.lit(10000.0), 2
         ).alias("revenue"))
     )
 
@@ -203,7 +209,9 @@ register("nation_pair_volume", nation_pair_volume, f"""
 SELECT n1.n_name AS supp_nation,
        n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS INT) AS l_year,
-       round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+       round(CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+                                 * 10000, 0) AS BIGINT))
+                  / 10000.0 AS DOUBLE), 2) AS revenue
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN orders   ON l_orderkey = o_orderkey
@@ -233,7 +241,9 @@ def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     big = (
         lineitem.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("qty_sum"))
+        # quantities are integral: the exact long sum makes the HAVING
+        # cut deterministic (fixed-point policy, scalars.py)
+        .agg(F.sum(fixed_units("l_quantity", 0)).alias("qty_sum"))
         .filter(F.col("qty_sum") > Q18_QTY)
     )
     return (
@@ -252,8 +262,10 @@ SELECT c_name, c_custkey, o_orderkey,
        CAST(o_orderdate AS DATE) AS o_orderdate,
        o_totalprice, qty_sum
 FROM (
-    SELECT l_orderkey, SUM(l_quantity) AS qty_sum
-    FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > {Q18_QTY}
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+    FROM lineitem GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS BIGINT)) > {Q18_QTY}
 ) big
 JOIN orders   ON o_orderkey = l_orderkey
 JOIN customer ON c_custkey = o_custkey
@@ -275,12 +287,13 @@ def orders_pipe_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         |> WHERE o_orderdate >= TIMESTAMP '1997-01-01'
         |> EXTEND CAST(year(o_orderdate) AS INT) AS o_year
-        |> AGGREGATE COUNT(*) AS n_orders, SUM(o_totalprice) AS sum_price
+        |> AGGREGATE COUNT(*) AS n_orders,
+                    SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS sum_cents
            GROUP BY o_orderpriority, o_year
     """)
     return df.select(
         "o_orderpriority", "o_year", "n_orders",
-        round_portable(F.col("sum_price"), 2).alias("sum_price"),
+        round_portable(F.col("sum_cents") / F.lit(100.0), 2).alias("sum_price"),
     )
 
 
@@ -288,7 +301,8 @@ register("orders_pipe_rollup", orders_pipe_rollup, """
 SELECT o_orderpriority,
        CAST(year(o_orderdate) AS INT) AS o_year,
        COUNT(*) AS n_orders,
-       round(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS sum_price
+       round(CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  / 100.0 AS DOUBLE), 2) AS sum_price
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1997-01-01'
 GROUP BY 1, 2
@@ -311,7 +325,7 @@ def orders_param_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.sql(
         """
         SELECT o_orderstatus, COUNT(*) AS n_orders,
-               SUM(o_totalprice) AS sum_price
+               SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS sum_cents
         FROM orders
         WHERE o_orderpriority = :prio AND o_totalprice >= :floor
         GROUP BY o_orderstatus
@@ -320,13 +334,14 @@ def orders_param_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return df.select(
         "o_orderstatus", "n_orders",
-        round_portable(F.col("sum_price"), 2).alias("sum_price"),
+        round_portable(F.col("sum_cents") / F.lit(100.0), 2).alias("sum_price"),
     )
 
 
 register("orders_param_sql", orders_param_sql, f"""
 SELECT o_orderstatus, COUNT(*) AS n_orders,
-       round(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS sum_price
+       round(CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  / 100.0 AS DOUBLE), 2) AS sum_price
 FROM orders
 WHERE o_orderpriority = '{PARAM_PRIO}' AND o_totalprice >= {PARAM_FLOOR}
 GROUP BY o_orderstatus

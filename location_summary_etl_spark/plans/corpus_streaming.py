@@ -186,7 +186,8 @@ def streaming_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("streaming_user_running_stats", streaming_user_running_stats, """
 SELECT user_id,
        COUNT(*) AS n_events,
-       round(CAST(SUM(value) AS DOUBLE), 4) AS total_value,
+       round(CAST(SUM(CAST(round((value) * 100, 0) AS BIGINT))
+                  / 100.0 AS DOUBLE), 4) AS total_value,
        round(CAST(MAX(value) AS DOUBLE), 4) AS max_value
 FROM events
 GROUP BY user_id

@@ -42,7 +42,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from location_summary_etl_spark.functions.scalars import round_portable
+from location_summary_etl_spark.functions.scalars import (
+    fixed_units,
+    round_portable,
+)
 from location_summary_etl_spark.plans.corpus import register
 from location_summary_etl_spark.sources.registry import load_table, register_views
 
@@ -74,7 +77,8 @@ def part_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     sliver."""
     register_views(spark, sf_dir, ["lineitem", "part"])
     raw = spark.sql(f"""
-        SELECT SUM(l_extendedprice) / 7.0 AS avg_yearly_raw
+        SELECT SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+               / 100.0 / 7.0 AS avg_yearly_raw
         FROM lineitem JOIN part p ON p.p_partkey = l_partkey
         WHERE p.p_brand = '{Q17_BRAND}'
           AND l_quantity < (
@@ -87,7 +91,8 @@ def part_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("part_small_quantity_revenue", part_small_quantity_revenue, f"""
-SELECT round(CAST(SUM(l_extendedprice) / 7.0 AS DOUBLE), 2) AS avg_yearly
+SELECT round(CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                  / 100.0 / 7.0 AS DOUBLE), 2) AS avg_yearly
 FROM lineitem JOIN part p ON p.p_partkey = l_partkey
 WHERE p.p_brand = '{Q17_BRAND}'
   AND l_quantity < (
@@ -175,7 +180,9 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
         .groupBy("l_suppkey")
         .agg(round_portable(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            F.sum(fixed_units(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+            / F.lit(10000.0), 2)
             .alias("total_revenue"))
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
@@ -190,7 +197,9 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("top_revenue_supplier", top_revenue_supplier, f"""
 WITH revenue AS (
     SELECT l_suppkey,
-           round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+           round(CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+                                     * 10000, 0) AS BIGINT))
+                      / 10000.0 AS DOUBLE), 2)
                AS total_revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '{Q15_FROM}'
@@ -218,28 +227,30 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation/partition and one row per partition respectively."""
     register_views(spark, sf_dir, ["lineitem", "supplier", "nation"])
     raw = spark.sql(f"""
-        SELECT n_name, SUM(l_extendedprice * (1 - l_discount)) AS rev_raw
+        SELECT n_name, SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS rev_raw
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation   ON s_nationkey = n_nationkey
         GROUP BY n_name
-        HAVING SUM(l_extendedprice * (1 - l_discount)) > {Q11_FRACTION} * (
-            SELECT SUM(l_extendedprice * (1 - l_discount)) FROM lineitem)
+        HAVING SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) > {Q11_FRACTION} * (
+            SELECT SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) FROM lineitem)
     """)
     return raw.select(
-        "n_name", round_portable(F.col("rev_raw"), 2).alias("nation_revenue"))
+        "n_name",
+        round_portable(F.col("rev_raw") / F.lit(10000.0), 2)
+        .alias("nation_revenue"))
 
 
 register("nation_revenue_share", nation_revenue_share, f"""
 SELECT n_name,
-       round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+       round(CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0 AS DOUBLE), 2)
            AS nation_revenue
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation   ON s_nationkey = n_nationkey
 GROUP BY n_name
-HAVING SUM(l_extendedprice * (1 - l_discount)) > {Q11_FRACTION} * (
-    SELECT SUM(l_extendedprice * (1 - l_discount)) FROM lineitem)
+HAVING SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) > {Q11_FRACTION} * (
+    SELECT SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) FROM lineitem)
 """)
 
 
@@ -260,7 +271,7 @@ def inactive_high_balance_segments(spark: SparkSession, sf_dir: str
     raw = spark.sql(f"""
         SELECT c_mktsegment,
                COUNT(*) AS num_customers,
-               SUM(c_acctbal) AS bal_raw
+               SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS bal_raw
         FROM customer c
         WHERE c_acctbal > (
             SELECT SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT))
@@ -274,13 +285,15 @@ def inactive_high_balance_segments(spark: SparkSession, sf_dir: str
     """)
     return raw.select(
         "c_mktsegment", "num_customers",
-        round_portable(F.col("bal_raw"), 2).alias("total_acctbal"))
+        round_portable(F.col("bal_raw") / F.lit(100.0), 2)
+        .alias("total_acctbal"))
 
 
 register("inactive_high_balance_segments", inactive_high_balance_segments, f"""
 SELECT c_mktsegment,
        COUNT(*) AS num_customers,
-       round(CAST(SUM(c_acctbal) AS DOUBLE), 2) AS total_acctbal
+       round(CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT))
+                  / 100.0 AS DOUBLE), 2) AS total_acctbal
 FROM customer c
 WHERE c_acctbal > (
     SELECT SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT))

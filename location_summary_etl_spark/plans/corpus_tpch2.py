@@ -25,13 +25,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from location_summary_etl_spark.functions.scalars import round_portable
+from location_summary_etl_spark.functions.scalars import (
+    fixed_units,
+    round_portable,
+)
 from location_summary_etl_spark.plans.corpus import register
 from location_summary_etl_spark.sources.registry import load_table
 
 
 def _rev() -> F.Column:
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def _rev_units() -> F.Column:
+    # exact scale-4 units of the discounted price (fixed-point policy,
+    # functions/scalars.py): ratio numerators and denominators become
+    # exact long sums, so shares are identical doubles in both engines
+    return fixed_units(_rev(), 4)
 
 
 # ------------------------------------------------ Q8: national market share
@@ -79,9 +89,9 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
             round_portable(
-                F.sum(F.when(F.col("supp_nation") == Q8_NATION, _rev())
-                      .otherwise(F.lit(0.0)))
-                / F.sum(_rev()),
+                F.sum(F.when(F.col("supp_nation") == Q8_NATION,
+                              _rev_units()).otherwise(F.lit(0)))
+                / F.sum(_rev_units()),
                 6,
             ).alias("mkt_share")
         )
@@ -91,9 +101,11 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("nation_market_share", nation_market_share, f"""
 SELECT CAST(year(o_orderdate) AS INT) AS o_year,
        round(CAST(SUM(CASE WHEN n.n_name = '{Q8_NATION}'
-                           THEN l_extendedprice * (1 - l_discount)
-                           ELSE 0.0 END)
-                  / SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 6)
+                           THEN CAST(round(l_extendedprice * (1 - l_discount)
+                                           * 10000, 0) AS BIGINT)
+                           ELSE 0 END)
+                  / SUM(CAST(round(l_extendedprice * (1 - l_discount)
+                                   * 10000, 0) AS BIGINT)) AS DOUBLE), 6)
            AS mkt_share
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -205,9 +217,9 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             round_portable(
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", _rev())
-                        .otherwise(F.lit(0.0)))
-                / F.sum(_rev()),
+                * F.sum(F.when(F.col("p_type") == "PROMO",
+                                _rev_units()).otherwise(F.lit(0)))
+                / F.sum(_rev_units()),
                 6,
             ).alias("promo_share_pct")
         )
@@ -217,9 +229,12 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("promo_revenue_share", promo_revenue_share, f"""
 SELECT CAST(month(l_shipdate) AS INT) AS ship_month,
        round(CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                                   THEN l_extendedprice * (1 - l_discount)
-                                   ELSE 0.0 END)
-                  / SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 6)
+                                   THEN CAST(round(l_extendedprice
+                                             * (1 - l_discount) * 10000, 0)
+                                             AS BIGINT)
+                                   ELSE 0 END)
+                  / SUM(CAST(round(l_extendedprice * (1 - l_discount)
+                                   * 10000, 0) AS BIGINT)) AS DOUBLE), 6)
            AS promo_share_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '{Q14_FROM}'

@@ -31,7 +31,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from location_summary_etl_spark.functions.scalars import round_portable
+from location_summary_etl_spark.functions.scalars import (
+    fixed_units,
+    round_portable,
+)
 from location_summary_etl_spark.plans.corpus import register
 from location_summary_etl_spark.sources.registry import load_table
 
@@ -104,13 +107,17 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < Q6_QTY)
         )
         .agg(round_portable(
-            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            # exact scale-4 units (fixed-point policy, scalars.py)
+            F.sum(fixed_units(
+                F.col("l_extendedprice") * F.col("l_discount"), 4))
+            / F.lit(10000.0), 2
         ).alias("revenue"))
     )
 
 
 register("forecast_revenue_change", forecast_revenue_change, f"""
-SELECT round(CAST(SUM(l_extendedprice * l_discount) AS DOUBLE), 2) AS revenue
+SELECT round(CAST(SUM(CAST(round(l_extendedprice * l_discount * 10000, 0)
+                           AS BIGINT)) / 10000.0 AS DOUBLE), 2) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '{Q6_FROM}'
   AND l_shipdate <  TIMESTAMP '{Q6_TO}'

@@ -115,17 +115,23 @@ def user_running_stats_stream(events: DataFrame,
         import pandas as pd
 
         (user_id,) = key
-        n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+        # the running total is EXACT INTEGER CENTS (fixed-point
+        # policy, functions/scalars.py): a float state fold accretes
+        # error in micro-batch arrival order, so two replays of the
+        # same stream could emit different last digits -- integer
+        # state makes the fold order-free and replay-stable
+        n, cents, mx = state.get if state.exists else (0, 0, float("-inf"))
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
             n += len(pdf)
-            total += float(pdf["value"].sum())
+            cents += int(pdf["value"].mul(100).round()
+                         .astype("int64").sum())
             mx = max(mx, float(pdf["value"].max()))
-        state.update((n, total, mx))
+        state.update((n, cents, mx))
         yield pd.DataFrame({
             "user_id": [user_id], "n_events": [n],
-            "total_value": [total], "max_value": [mx],
+            "total_value": [cents / 100.0], "max_value": [mx],
         })
 
     return (
@@ -134,7 +140,7 @@ def user_running_stats_stream(events: DataFrame,
         .applyInPandasWithState(
             update,
             outputStructType=USER_STATS_SCHEMA,
-            stateStructType="n bigint, total double, mx double",
+            stateStructType="n bigint, cents bigint, mx double",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -2150,3 +2150,34 @@ def test_ngram_auto_requested_cap_is_never_gated_away(spark):
         sparse, threshold=0.8, max_df=None, cap_mode="census")) == "prefix"
     ngram_jaccard_pairs_auto(sparse, threshold=0.8, prefer="prefix",
                              max_df=None, cap_mode="census")
+
+
+def test_fixed_point_aggregates_exact_and_order_free(spark):
+    # The fixed-point policy's core claim: unit sums equal the exact
+    # decimal result bit-for-bit and do not move under repartitioning,
+    # where the float sum is partition-order-dependent in principle.
+    from decimal import Decimal
+
+    from location_summary_etl_spark.functions.scalars import (
+        avg_fixed_point,
+        sum_fixed_point,
+    )
+
+    vals = [round(((i * 2654435761) % 100000) / 100.0, 2)
+            for i in range(1, 4001)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    exact_sum = sum(Decimal(f"{v:.2f}") for v in vals)
+    exact_avg = exact_sum / len(vals)
+
+    for parts in (1, 7, 32):
+        row = (df.repartition(parts)
+               .agg(sum_fixed_point("v", 2, 2).alias("s"),
+                    avg_fixed_point("v", 2, 4).alias("a"))
+               .collect()[0])
+        assert Decimal(f"{row['s']:.2f}") == exact_sum
+        assert abs(row["a"] - float(exact_avg)) < 5e-5
+        # determinism: byte-identical across partitionings
+        if parts == 1:
+            base = (row["s"], row["a"])
+        else:
+            assert (row["s"], row["a"]) == base
