@@ -155,7 +155,7 @@ def events_sliding_10min_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     which the float sum is not.  The division and final rounding run
     on identical integers in both engines, so parity is structural."""
     ev = _events(spark, sf_dir)
-    cents = F.round(F.col("value") * 100).cast("long")
+    cents = fixed_units("value", 2)
     return (
         ev.withColumn("window_start", F.explode(sliding_buckets("ts", 600, 300)))
         .groupBy("window_start")
