@@ -27,12 +27,17 @@ rows ever land in Python.
 
 Usage:
     python tools/soak_oracle.py [SF_DIR] [OUT_JSON] [--resume]
+                                [--only n1,n2,...]
         SF_DIR   default bench_tiers/sf1
         OUT_JSON default CORRECTNESS_SF1.json
         --resume skip entries already green in OUT_JSON (re-runs
                  divergent/errored ones); artifact is rewritten
                  after EVERY entry either way, so a killed soak
                  loses at most the entry in flight.
+        --only   run only the named entries (comma-separated) --
+                 for targeted soaks at tiers where the full corpus
+                 is impractical (e.g. sf10: the artifact then
+                 records n_entries = the subset size).
 
 Writes one JSON artifact in the driver's CORRECTNESS format (plus
 per-entry wall times for both engines) and prints a one-line summary.
@@ -112,8 +117,14 @@ def compare_large(df, con, sql: str, n_spark: int) -> None:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--resume"]
-    resume = "--resume" in sys.argv[1:]
+    argv = sys.argv[1:]
+    only: list[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = [n for n in argv[i + 1].split(",") if n]
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if a != "--resume"]
+    resume = "--resume" in argv
     sf_dir = args[0] if len(args) > 0 else os.path.join(
         _ROOT, "bench_tiers", "sf1")
     out_path = args[1] if len(args) > 1 else os.path.join(
@@ -132,6 +143,11 @@ def main() -> int:
     spark = get_session()
     demote_guarded_window_warnings(spark)
     qs, oracles = corpus.queries(), corpus.oracle_sql()
+    if only is not None:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            raise SystemExit(f"--only names not in the corpus: {unknown}")
+        qs = {n: qs[n] for n in qs if n in only}
 
     results: dict[str, dict] = {}
     if resume and os.path.exists(out_path):
