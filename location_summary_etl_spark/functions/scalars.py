@@ -79,18 +79,33 @@ DUCKDB_ROUND = "round(CAST({x} AS DOUBLE), {n})"
 # boundary with probability zero, and no integer representation
 # exists.
 #
-# Range: a BIGINT unit sum overflows past ~9.2e18 -- at scale 2 that
-# is 9.2e16 in measure units, comfortably past any 100 TB fact sum of
-# prices; DuckDB widens SUM(BIGINT) to HUGEINT and Spark raises on
-# long overflow rather than wrapping (ansi sum), so the bound is loud.
+# Range: the accumulator is scale-aware (``sum_units``).  A BIGINT
+# unit sum overflows past ~9.2e18 units: at scale 2 that is 9.2e16 in
+# measure units -- ~16x a 100 TB price sum (sf1's largest Q1 charge
+# group is ~5.5e10; x1e5 for 100 TB is ~5.5e15) -- so scale <= 2 sums
+# stay on the fast long accumulator.  At scale >= 3 the long bound
+# (9.2e{18-s} measure units) binds BELOW the 100 TB envelope (scale 6
+# fails near sf~100 = 100 GB), and Spark's ANSI sum raises where
+# DuckDB widens to HUGEINT -- so high scales accumulate in
+# DECIMAL(38,0), which never practically overflows.  Measured on the
+# Q1 charge sum at sf1 (7 reps): decimal accumulation is
+# scan-dominated-free, 0.229 s median vs 0.228 s for long,
+# byte-identical group sums.  The remaining limit is the DOUBLE
+# output type itself: a 2-decimal value is representable only while
+# |sum| < 2^53/100 ~ 9e13 measure units, which is inherent to any
+# engine emitting doubles, not to the accumulator.
+
+
+# in_scale >= this widens the sum accumulator to DECIMAL(38,0); the
+# long-path headroom analysis above justifies the cutoff.
+WIDE_SUM_SCALE = 3
 
 
 def fixed_units(col: Column | str, in_scale: int) -> Column:
     """Integer-units column for a fixed-scale measure: value * 10^s
-    rounded to long (the product is within 1e-7 of the true integer
-    for any double that *is* a scale-s decimal, so ANY
-    round-to-nearest is exact).  ``in_scale=0`` is a bare integer
-    cast.
+    rounded half-away-from-zero to long (the product is within 1e-7
+    of the true integer for any double that *is* a scale-s decimal,
+    so ANY round-to-nearest is exact).
 
     The nearest-rounding is ``(x*p + signum(x)*0.5)::long`` rather
     than ``F.round``: Spark's double round routes through
@@ -98,13 +113,31 @@ def fixed_units(col: Column | str, in_scale: int) -> Column:
     sf0.1 lineitem the BigDecimal path measured 0.311 s vs 0.182 s
     for this all-double codegen form (byte-identical sums; the long
     cast truncates toward zero, which lands on the integer from
-    either side given the <=1e-7 error bound, positive or
-    negative)."""
+    either side given the <=1e-7 error bound, positive or negative).
+    ``in_scale=0`` uses the same form with p=1, matching the DuckDB
+    twin ``CAST(round(x, 0) AS BIGINT)`` (both half-away-from-zero)
+    even for non-integral inputs.
+
+    Exactness caveat: the arithmetic runs in DOUBLE, so inputs are
+    exact only up to |x * 10^s| <= 2^53.  Genuinely integral BIGINT
+    columns beyond 2^53 must not be routed through this helper (sum
+    them directly); every corpus scale-0 use is a small count/flag."""
     c = F.col(col) if isinstance(col, str) else col
-    if in_scale == 0:
-        return c.cast("long")
     p = F.lit(float(10 ** in_scale))
     return (c * p + F.signum(c) * F.lit(0.5)).cast("long")
+
+
+def sum_units(col: Column | str, in_scale: int) -> Column:
+    """SUM of exact integer units with the overflow-safe accumulator
+    for the scale (long for scale <= 2, DECIMAL(38,0) for scale >= 3
+    -- see the range analysis above).  The DuckDB twin needs no
+    widening: ``SUM(BIGINT)`` is already HUGEINT there.  Dividing the
+    result by a double literal casts either accumulator type to
+    double first, so downstream parity is unchanged."""
+    u = fixed_units(col, in_scale)
+    if in_scale >= WIDE_SUM_SCALE:
+        u = u.cast("decimal(38,0)")
+    return F.sum(u)
 
 
 def sum_fixed_point(col: Column | str, in_scale: int,
@@ -113,23 +146,26 @@ def sum_fixed_point(col: Column | str, in_scale: int,
     units.  DuckDB side: DUCKDB_SUM_FIXED."""
     p = float(10 ** in_scale)
     return round_portable(
-        F.sum(fixed_units(col, in_scale)) / F.lit(p), round_to)
+        sum_units(col, in_scale) / F.lit(p), round_to)
 
 
 def avg_fixed_point(col: Column | str, in_scale: int,
                     round_to: int) -> Column:
     """round(AVG(measure), round_to) computed as exact-unit sum over
-    the non-null count.  DuckDB side: DUCKDB_AVG_FIXED."""
+    the non-null count (F.count(col) skips nulls, preserving AVG's
+    null semantics; the DuckDB twin uses COUNT(col) likewise).
+    DuckDB side: DUCKDB_AVG_FIXED."""
     c = F.col(col) if isinstance(col, str) else col
     p = float(10 ** in_scale)
     return round_portable(
-        F.sum(fixed_units(c, in_scale)) / (F.lit(p) * F.count(c)),
+        sum_units(c, in_scale) / (F.lit(p) * F.count(c)),
         round_to)
 
 
 def duckdb_units(x: str, in_scale: int) -> str:
-    if in_scale == 0:
-        return f"CAST({x} AS BIGINT)"
+    # round(x, 0) first so scale 0 is half-away-from-zero like the
+    # Spark twin (a bare CAST AS BIGINT would round half-to-even in
+    # DuckDB); scales >= 1 were already symmetric.
     return f"CAST(round(({x}) * {10 ** in_scale}, 0) AS BIGINT)"
 
 

@@ -161,8 +161,9 @@ def events_sliding_10min_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_start")
         .agg(
             F.count("*").alias("n_events"),
+            # F.count(col) in the divisor skips nulls -- AVG semantics
             round_portable(
-                F.sum(cents) / (F.lit(100.0) * F.count("*")), 4
+                F.sum(cents) / (F.lit(100.0) * F.count("value")), 4
             ).alias("avg_value"),
         )
     )
@@ -172,7 +173,7 @@ register("events_sliding_10min_5min", events_sliding_10min_5min, """
 SELECT CAST((floor(epoch(ts) / 300) - j) * 300 AS BIGINT) AS window_start,
        COUNT(*) AS n_events,
        round(CAST(SUM(CAST(round(value * 100, 0) AS BIGINT))
-                  / (100.0 * COUNT(*)) AS DOUBLE), 4) AS avg_value
+                  / (100.0 * COUNT(value)) AS DOUBLE), 4) AS avg_value
 FROM events, (SELECT unnest([0, 1]) AS j)
 GROUP BY 1
 """)

@@ -196,8 +196,9 @@ def nation_balance_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan-asserted in tests/test_plans.py."""
     customer = _t(spark, sf_dir, "customer")
     bal = customer.groupBy("c_nationkey").agg(
+        # F.count(col) skips nulls -- preserves AVG's null semantics
         (F.sum(fixed_units("c_acctbal", 2))
-         / (F.lit(100.0) * F.count(F.lit(1)))).alias("avg_bal"))
+         / (F.lit(100.0) * F.count("c_acctbal"))).alias("avg_bal"))
     return minmax_score_auto(bal, "avg_bal", "bal_score").select(
         "c_nationkey",
         round_portable("avg_bal", 2).alias("avg_bal"),
@@ -209,7 +210,7 @@ register("nation_balance_score", nation_balance_score, """
 WITH bal AS (
     SELECT c_nationkey,
            SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT))
-               / (100.0 * COUNT(*)) AS avg_bal
+               / (100.0 * COUNT(c_acctbal)) AS avg_bal
     FROM customer GROUP BY c_nationkey
 ),
 b AS (SELECT MIN(avg_bal) AS mn, MAX(avg_bal) AS mx FROM bal)
@@ -457,13 +458,17 @@ def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sums and the rollup's merge are long additions, so avg_bal is
     # deterministic and the final division runs on identical integers
     # in both engines.
+    # _nn carries the NON-NULL count through the rollup so avg_bal
+    # divides by COUNT(c_acctbal) like the oracle's duckdb_avg_fixed
+    # (AVG null semantics); n_customers stays COUNT(*).
     base = full.groupBy("r_name", "n_name").agg(
         F.count("*").alias("_n"),
+        F.count("c_acctbal").alias("_nn"),
         F.sum(fixed_units("c_acctbal", 2)).alias("_s"))
     return base.rollup("r_name", "n_name").agg(
         F.sum("_n").alias("n_customers"),
         round_portable(
-            F.sum("_s") / (F.lit(100.0) * F.sum("_n")), 2
+            F.sum("_s") / (F.lit(100.0) * F.sum("_nn")), 2
         ).alias("avg_bal"),
     )
 

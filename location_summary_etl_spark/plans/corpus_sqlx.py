@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from location_summary_etl_spark.functions.scalars import (
     fixed_units,
     round_portable,
+    sum_units,
 )
 from location_summary_etl_spark.plans.corpus import register
 from location_summary_etl_spark.sources.registry import load_table, register_views
@@ -197,9 +198,10 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_nation", "cust_nation",
                  F.year("l_shipdate").cast("int").alias("l_year"))
         .agg(round_portable(
-            # exact scale-4 units (fixed-point policy, scalars.py)
-            F.sum(fixed_units(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+            # exact scale-4 units (fixed-point policy, scalars.py;
+            # DECIMAL(38,0)-widened accumulator via sum_units)
+            sum_units(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
             / F.lit(10000.0), 2
         ).alias("revenue"))
     )

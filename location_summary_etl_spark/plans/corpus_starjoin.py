@@ -54,10 +54,14 @@ def _revenue() -> F.Column:
 def _revenue_units() -> F.Column:
     # exact scale-4 integer units of the discounted price (price is
     # 2-decimal, discount 2-decimal -> the product is a scale-4
-    # decimal): revenue sums become exact long sums, deterministic
+    # decimal): revenue sums become exact integer sums, deterministic
     # under any partitioning, and the ORDER BY revenue ... LIMIT cuts
-    # are tie-stable (fixed-point policy, functions/scalars.py)
-    return fixed_units(_revenue(), 4)
+    # are tie-stable (fixed-point policy, functions/scalars.py).
+    # Widened to DECIMAL(38,0) pre-sum: a long accumulator at scale 4
+    # binds near 9.2e14 measure units, below the 100 TB envelope, and
+    # ANSI Spark raises where DuckDB widens (scalars.py range
+    # analysis; widening measured-free on Q1 at sf1).
+    return fixed_units(_revenue(), 4).cast("decimal(38,0)")
 
 
 # ------------------------------------------------------ Q3: shipping priority

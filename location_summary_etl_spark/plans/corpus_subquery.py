@@ -43,8 +43,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from location_summary_etl_spark.functions.scalars import (
-    fixed_units,
     round_portable,
+    sum_units,
 )
 from location_summary_etl_spark.plans.corpus import register
 from location_summary_etl_spark.sources.registry import load_table, register_views
@@ -180,8 +180,8 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
         .groupBy("l_suppkey")
         .agg(round_portable(
-            F.sum(fixed_units(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4))
+            sum_units(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
             / F.lit(10000.0), 2)
             .alias("total_revenue"))
     )

@@ -40,8 +40,13 @@ def _rev() -> F.Column:
 def _rev_units() -> F.Column:
     # exact scale-4 units of the discounted price (fixed-point policy,
     # functions/scalars.py): ratio numerators and denominators become
-    # exact long sums, so shares are identical doubles in both engines
-    return fixed_units(_rev(), 4)
+    # exact integer sums, so shares are identical doubles in both
+    # engines.  Widened to DECIMAL(38,0) pre-sum: a long accumulator
+    # at scale 4 overflows near 9.2e14 measure units (~sf 10^4, below
+    # the 100 TB envelope) and ANSI Spark would raise where DuckDB
+    # widens to HUGEINT (scalars.py range analysis; the widening is
+    # measured-free on Q1 at sf1).
+    return fixed_units(_rev(), 4).cast("decimal(38,0)")
 
 
 # ------------------------------------------------ Q8: national market share
@@ -89,9 +94,13 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
             round_portable(
+                # cast both exact sums to double before dividing --
+                # decimal/decimal would be decimal division, while the
+                # DuckDB twin (HUGEINT / HUGEINT) is double division
                 F.sum(F.when(F.col("supp_nation") == Q8_NATION,
                               _rev_units()).otherwise(F.lit(0)))
-                / F.sum(_rev_units()),
+                .cast("double")
+                / F.sum(_rev_units()).cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -219,7 +228,8 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(100.0)
                 * F.sum(F.when(F.col("p_type") == "PROMO",
                                 _rev_units()).otherwise(F.lit(0)))
-                / F.sum(_rev_units()),
+                .cast("double")
+                / F.sum(_rev_units()).cast("double"),
                 6,
             ).alias("promo_share_pct")
         )

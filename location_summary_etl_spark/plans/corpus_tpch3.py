@@ -32,8 +32,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from location_summary_etl_spark.functions.scalars import (
-    fixed_units,
     round_portable,
+    sum_units,
 )
 from location_summary_etl_spark.plans.corpus import register
 from location_summary_etl_spark.sources.registry import load_table
@@ -107,9 +107,10 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < Q6_QTY)
         )
         .agg(round_portable(
-            # exact scale-4 units (fixed-point policy, scalars.py)
-            F.sum(fixed_units(
-                F.col("l_extendedprice") * F.col("l_discount"), 4))
+            # exact scale-4 units (fixed-point policy, scalars.py;
+            # DECIMAL(38,0)-widened accumulator via sum_units)
+            sum_units(
+                F.col("l_extendedprice") * F.col("l_discount"), 4)
             / F.lit(10000.0), 2
         ).alias("revenue"))
     )

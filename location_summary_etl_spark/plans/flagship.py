@@ -169,8 +169,10 @@ def flagship_nation_summary(spark: SparkSession, sf_dir: str,
             # exact cents (fixed-point policy, functions/scalars.py):
             # the unrounded average feeds the min-max score, so score
             # inputs are identical doubles in both engines too
+            # F.count(col) skips nulls -- preserves AVG's null
+            # semantics (order_count below keeps COUNT(*))
             (F.sum(fixed_units("o_totalprice", 2))
-             / (F.lit(100.0) * F.count(F.lit(1))))
+             / (F.lit(100.0) * F.count("o_totalprice")))
             .alias("avg_order_total"),
             F.count("*").alias("order_count"),
             F.max(F.col("o_orderdate").cast("date")).alias("_max_odate"),
@@ -178,7 +180,7 @@ def flagship_nation_summary(spark: SparkSession, sf_dir: str,
     )
     bal = customer.groupBy("c_nationkey").agg(
         (F.sum(fixed_units("c_acctbal", 2))
-         / (F.lit(100.0) * F.count(F.lit(1)))).alias("avg_acctbal")
+         / (F.lit(100.0) * F.count("c_acctbal"))).alias("avg_acctbal")
     )
 
     # B8 + B13: min-max score and the audit date over the nation-grain
@@ -224,7 +226,7 @@ WITH latest AS (
 per_nation AS (
     SELECT c.c_nationkey,
            SUM(CAST(round(l.o_totalprice * 100, 0) AS BIGINT))
-               / (100.0 * COUNT(*)) AS avg_order_total,
+               / (100.0 * COUNT(o_totalprice)) AS avg_order_total,
            COUNT(*) AS order_count,
            CAST(MAX(l.o_orderdate) AS DATE) AS max_odate
     FROM latest l
@@ -234,7 +236,7 @@ per_nation AS (
 bal AS (
     SELECT c_nationkey,
            SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT))
-               / (100.0 * COUNT(*)) AS avg_acctbal
+               / (100.0 * COUNT(c_acctbal)) AS avg_acctbal
     FROM customer GROUP BY c_nationkey
 ),
 b AS (SELECT MIN(avg_order_total) AS mn, MAX(avg_order_total) AS mx,

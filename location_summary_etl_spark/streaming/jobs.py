@@ -108,6 +108,17 @@ def user_running_stats_stream(events: DataFrame,
     the state store shuffles by user_id once and each micro-batch folds
     its rows into the existing state -- O(|keys|) state, O(batch) work,
     the shape that survives an unbounded stream.
+
+    STATE-SCHEMA COMPATIBILITY: the state tuple changed in r11 from
+    ``(n bigint, total double, mx double)`` to the integer-cents form
+    ``(n bigint, cents bigint, mx double)``.  A checkpoint written by
+    the old schema CANNOT be restored by this operator (Spark fails
+    the state-schema check, or on stores without schema validation
+    silently misreads the second field) -- deploying this version
+    against a live stream requires a FRESH checkpoint location (or an
+    offline state rewrite multiplying ``total`` by 100).  The repo's
+    own streaming entries build fresh checkpoints per run, so only
+    external deployments are affected.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

@@ -25,9 +25,40 @@ HUGEINT, everything else through VARCHAR).  Both sides normalize in
 the SAME engine, so no cross-engine formatting subtleties enter; no
 rows ever land in Python.
 
+RESOURCE HYGIENE (r12, after the sf10 run died of disk exhaustion):
+the r11 sf10 subset soak lost 4/28 entries to ENOSPC/OOM -- two in
+Spark's own shuffle and two in the ORACLE, because DuckDB ran with
+no memory or temp budget on the same volume Spark was shuffling on.
+This tool now applies its own anti-pattern discipline to the oracle:
+
+* DuckDB gets an explicit ``memory_limit`` (env ``SOAK_DUCKDB_MEM``,
+  default 24GB) and a dedicated ``temp_directory`` under the scratch
+  root, swept after every entry.
+* Spark's shuffle scratch (``spark.local.dir``) is pinned under the
+  same scratch root so leftover files are visible and measurable;
+  between entries the JVM is nudged (ContextCleaner runs off GC) and
+  the temp-parquet compare dirs are swept.
+* Every entry records a RESOURCE PROFILE in the artifact: free disk
+  at entry start, the minimum free disk observed while it ran (a
+  0.25 s sampler thread -- the high-water scratch mark), and the
+  per-entry delta of Spark's own stage metrics (shuffle read/write
+  bytes, disk/memory spill, input/output bytes) read from the
+  monitoring REST API.  An entry that dies of ENOSPC therefore
+  leaves behind its measured footprint, not just a stack trace.
+
+ARTIFACT SELF-DESCRIPTION (r12): the artifact always carries
+``corpus_entries`` (the full registry size) next to ``n_entries``
+(what THIS artifact covers), so a subset run can never read as a
+full pass.  With ``--only``, prior results for entries OUTSIDE the
+selection are merged through from an existing OUT_JSON rather than
+dropped (the r11 behavior silently destroyed the out-of-scope rows),
+and the run's ``selection`` is recorded.  Merging across tiers is
+refused: if OUT_JSON was produced for a different ``sf_dir`` the
+tool exits rather than mixing tiers in one artifact.
+
 Usage:
     python tools/soak_oracle.py [SF_DIR] [OUT_JSON] [--resume]
-                                [--only n1,n2,...]
+                                [--only n1,n2,...] [--sample N]
         SF_DIR   default bench_tiers/sf1
         OUT_JSON default CORRECTNESS_SF1.json
         --resume skip entries already green in OUT_JSON (re-runs
@@ -36,14 +67,19 @@ Usage:
                  loses at most the entry in flight.
         --only   run only the named entries (comma-separated) --
                  for targeted soaks at tiers where the full corpus
-                 is impractical (e.g. sf10: the artifact then
-                 records n_entries = the subset size).
+                 is impractical (e.g. sf10).
+        --sample deterministic rotating subset of N entries: entry
+                 list sorted, rotated by day-of-year, first N taken
+                 -- a CI-sized scale-correctness canary that cycles
+                 through the whole corpus over ~ceil(166/N) days
+                 without ever re-picking the same slice two days
+                 running.  Implies the --only merge semantics.
 
 Writes one JSON artifact in the driver's CORRECTNESS format (plus
-per-entry wall times for both engines) and prints a one-line summary.
-Entries are run in registration order; a failure records the error
-and moves on -- the soak's job is the complete divergence list, not
-an early exit.
+per-entry wall times and resource profiles) and prints a one-line
+summary.  Entries are run in registration order; a failure records
+the error and moves on -- the soak's job is the complete divergence
+list, not an early exit.
 """
 
 from __future__ import annotations
@@ -52,9 +88,10 @@ import json
 import os
 import shutil
 import sys
-import tempfile
+import threading
 import time
 import traceback
+import urllib.request
 import uuid
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -64,6 +101,18 @@ sys.path.insert(0, _ROOT)
 # parquet + EXCEPT ALL path (a 2M-row collect is ~1 GB of Python
 # tuples; DuckDB diffs the same rows in seconds, constant memory).
 BIG_ROWS = 2_000_000
+
+# All soak scratch (Spark shuffle dirs, DuckDB temp, compare parquet)
+# lives under one root so it can be measured and swept as a unit.
+SCRATCH = os.environ.get("SOAK_SCRATCH", "/tmp/soak_scratch")
+DUCKDB_MEM = os.environ.get("SOAK_DUCKDB_MEM", "24GB")
+UI_PORT = int(os.environ.get("SOAK_UI_PORT", "4049"))
+
+_METRIC_FIELDS = (
+    "shuffleWriteBytes", "shuffleReadBytes",
+    "diskBytesSpilled", "memoryBytesSpilled",
+    "inputBytes", "outputBytes",
+)
 
 
 def _norm_sql(view: str, cols: list[str], types: dict[str, str]) -> str:
@@ -87,7 +136,7 @@ def compare_large(df, con, sql: str, n_spark: int) -> None:
     """Engine-side multiset compare: same contract as
     oracle_utils.compare (column names -> row count -> values), with
     assertion messages the artifact classifier understands."""
-    tmp = os.path.join(tempfile.gettempdir(), f"soak_{uuid.uuid4().hex}")
+    tmp = os.path.join(SCRATCH, f"soak_{uuid.uuid4().hex}")
     try:
         df.write.mode("overwrite").parquet(tmp)
         con.execute(
@@ -116,12 +165,93 @@ def compare_large(df, con, sql: str, n_spark: int) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _budgeted_con(sf_dir: str):
+    """tests.oracle_utils.duckdb_con plus the resource budget: the
+    oracle must not be able to starve the engine under test (or vice
+    versa) of disk or memory -- the r11 sf10 failure mode."""
+    from tests.oracle_utils import duckdb_con
+
+    con = duckdb_con(sf_dir)
+    tmp = os.path.join(SCRATCH, "duckdb_tmp")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET memory_limit = '{DUCKDB_MEM}'")
+    con.execute(f"SET temp_directory = '{tmp}'")
+    # insertion-order preservation forces buffering that the compare
+    # never needs (every comparison is multiset-based)
+    con.execute("SET preserve_insertion_order = false")
+    return con
+
+
+class _DiskFloor:
+    """Samples free bytes on SCRATCH's volume every 0.25 s; the min
+    over an entry's lifetime is its scratch high-water mark."""
+
+    def __init__(self) -> None:
+        self._stop = threading.Event()
+        self.min_free = shutil.disk_usage(SCRATCH).free
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def _run(self) -> None:
+        while not self._stop.wait(0.25):
+            free = shutil.disk_usage(SCRATCH).free
+            if free < self.min_free:
+                self.min_free = free
+
+    def stop(self) -> int:
+        self._stop.set()
+        self._t.join(timeout=2)
+        return self.min_free
+
+
+def _stage_totals(app_id: str | None) -> dict[str, int] | None:
+    """Cumulative stage metrics from the monitoring REST API (all
+    stage states, so bytes written by a stage that later FAILED still
+    count -- that is exactly the ENOSPC forensics case)."""
+    if app_id is None:
+        return None
+    try:
+        url = f"http://127.0.0.1:{UI_PORT}/api/v1/applications/{app_id}/stages"
+        with urllib.request.urlopen(url, timeout=5) as r:
+            stages = json.loads(r.read())
+        out = dict.fromkeys(_METRIC_FIELDS, 0)
+        for st in stages:
+            for f in _METRIC_FIELDS:
+                out[f] += int(st.get(f, 0) or 0)
+        return out
+    except Exception:  # noqa: BLE001 -- metrics are best-effort
+        return None
+
+
+def _gb(n: int) -> float:
+    return round(n / 1e9, 3)
+
+
+def sample_selection(names: list[str], n: int,
+                     day: int | None = None) -> list[str]:
+    """Deterministic day-rotated subset: sorted entry list, rotated by
+    ``day * n`` so consecutive days cover disjoint (mod len) slices --
+    the whole corpus cycles in ~ceil(len/n) days.  Shared by
+    ``--sample`` and the suite leg tests/test_scale_sample.py so both
+    cover the same slice on the same day."""
+    names = sorted(names)
+    if day is None:
+        day = int(time.time() // 86400)
+    off = (day * n) % len(names)
+    return [names[(off + j) % len(names)] for j in range(n)]
+
+
 def main() -> int:
     argv = sys.argv[1:]
     only: list[str] | None = None
+    sample_n: int | None = None
     if "--only" in argv:
         i = argv.index("--only")
         only = [n for n in argv[i + 1].split(",") if n]
+        argv = argv[:i] + argv[i + 2:]
+    if "--sample" in argv:
+        i = argv.index("--sample")
+        sample_n = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
     args = [a for a in argv if a != "--resume"]
     resume = "--resume" in argv
@@ -130,35 +260,79 @@ def main() -> int:
     out_path = args[1] if len(args) > 1 else os.path.join(
         _ROOT, "CORRECTNESS_SF1.json")
 
+    os.makedirs(SCRATCH, exist_ok=True)
+
     from location_summary_etl_spark import get_session
     from location_summary_etl_spark.plans import corpus
     from location_summary_etl_spark.session import (
         demote_guarded_window_warnings,
     )
-    from tests.oracle_utils import compare, duckdb_con
+    from tests.oracle_utils import compare
 
     # The bench session shape: full local core width, AQE on.  The
     # soak is a correctness run, not a timing run -- no probe gating,
     # but wall times are recorded so a pathological entry is visible.
-    spark = get_session()
+    # UI enabled (against the library default) purely for the
+    # monitoring REST API that feeds the per-entry resource profile;
+    # shuffle scratch pinned under SCRATCH.
+    spark_local = os.path.join(SCRATCH, "spark_local")
+    os.makedirs(spark_local, exist_ok=True)
+    spark = get_session(extra_conf={
+        "spark.ui.enabled": "true",
+        "spark.ui.port": str(UI_PORT),
+        "spark.local.dir": spark_local,
+    })
     demote_guarded_window_warnings(spark)
-    qs, oracles = corpus.queries(), corpus.oracle_sql()
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:  # noqa: BLE001
+        app_id = None
+
+    qs_all, oracles = corpus.queries(), corpus.oracle_sql()
+
+    if sample_n is not None:
+        only = sample_selection(sorted(qs_all), sample_n)
+        print(f"sample: day-rotated subset of {sample_n}: {only}",
+              flush=True)
+
+    qs = dict(qs_all)
     if only is not None:
-        unknown = [n for n in only if n not in qs]
+        unknown = [n for n in only if n not in qs_all]
         if unknown:
             raise SystemExit(f"--only names not in the corpus: {unknown}")
-        qs = {n: qs[n] for n in qs if n in only}
+        qs = {n: qs_all[n] for n in qs_all if n in only}
+
+    # Prior artifact: resume source AND (for subset runs) the merge
+    # base for out-of-scope entries.  Never merge across tiers.
+    prior: dict[str, dict] = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            prior_doc = json.load(f)
+        prior_sf = prior_doc.get("sf_dir")
+        if prior_sf is not None and os.path.normpath(prior_sf) != \
+                os.path.normpath(sf_dir):
+            raise SystemExit(
+                f"{out_path} holds results for tier '{prior_sf}', not "
+                f"'{sf_dir}' -- refusing to mix tiers in one artifact; "
+                f"pass a different OUT_JSON.")
+        prior = {n: r for n, r in prior_doc.get("results", {}).items()
+                 if n in qs_all}
 
     results: dict[str, dict] = {}
-    if resume and os.path.exists(out_path):
-        with open(out_path) as f:
-            prior = json.load(f).get("results", {})
-        results = {n: r for n, r in prior.items()
-                   if n in qs and r.get("hash_match") is not False
-                   and not r.get("err")}
-        print(f"resume: keeping {len(results)} green entries from "
+    # merge-through: prior results for entries outside this run's
+    # scope are preserved verbatim (r11 dropped them)
+    for n, r in prior.items():
+        if n not in qs:
+            results[n] = r
+    if resume:
+        kept = {n: r for n, r in prior.items()
+                if n in qs and r.get("hash_match") is not False
+                and not r.get("err")}
+        results.update(kept)
+        print(f"resume: keeping {len(kept)} green entries from "
               f"{out_path}", flush=True)
 
+    covered = sorted(set(results) | set(qs))
     t_start = time.time()
 
     def flush(final: bool = False) -> None:
@@ -166,34 +340,53 @@ def main() -> int:
                      if r.get("hash_match") is not False and not r.get("err"))
         artifact = {
             "sf_dir": sf_dir,
-            "n_entries": len(qs),
+            "corpus_entries": len(qs_all),
+            "n_entries": len(covered),
             "n_pass": n_pass,
-            "complete": final and len(results) == len(qs),
+            "complete": final and all(n in results for n in covered),
             "total_sec": round(time.time() - t_start, 1),
-            "results": {n: results[n] for n in qs if n in results},
+            "duckdb_memory_limit": DUCKDB_MEM,
+            "results": {n: results[n] for n in covered if n in results},
         }
+        if only is not None:
+            artifact["selection"] = sorted(qs)
         with open(out_path, "w") as f:
             json.dump(artifact, f, indent=1)
+
+    def sweep() -> None:
+        shutil.rmtree(os.path.join(SCRATCH, "duckdb_tmp"),
+                      ignore_errors=True)
+        for d in os.listdir(SCRATCH):
+            if d.startswith("soak_"):
+                shutil.rmtree(os.path.join(SCRATCH, d), ignore_errors=True)
+        # ContextCleaner removes dead shuffle files off the GC queue
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
 
     for i, name in enumerate(qs, 1):
         if name in results:
             continue
         row: dict = {"rows_match": False, "schema_match": False,
                      "hash_match": False, "err": None}
+        row["disk_free_gb_start"] = _gb(shutil.disk_usage(SCRATCH).free)
+        floor = _DiskFloor()
+        m0 = _stage_totals(app_id)
         t0 = time.time()
+        con = None
         try:
             df = qs[name](spark, sf_dir)
             row["spark_sec"] = round(time.time() - t0, 2)
             t1 = time.time()
             if name in oracles:
-                con = duckdb_con(sf_dir)  # fresh con: no view staleness
+                con = _budgeted_con(sf_dir)  # fresh con: no staleness
                 n_rows = df.count()
                 if n_rows > BIG_ROWS:
                     compare_large(df, con, oracles[name], n_rows)
                     row["compare"] = "parquet_except_all"
                 else:
                     compare(df, con, oracles[name])
-                con.close()
                 row.update(rows_match=True, schema_match=True,
                            hash_match=True)
             else:  # rows-only fallback, mirroring the driver
@@ -216,21 +409,34 @@ def main() -> int:
             row["err"] = f"{type(e).__name__}: {e}"[:500]
             row["trace"] = traceback.format_exc()[-1500:]
             status = "ERROR"
+        finally:
+            if con is not None:
+                try:
+                    con.close()
+                except Exception:  # noqa: BLE001
+                    pass
+        row["min_free_gb"] = _gb(floor.stop())
+        m1 = _stage_totals(app_id)
+        if m0 is not None and m1 is not None:
+            row["spark_metrics_gb"] = {
+                f: _gb(m1[f] - m0[f]) for f in _METRIC_FIELDS}
         results[name] = row
+        sweep()
         flush()
         print(f"[{i}/{len(qs)}] {name}: {status} "
               f"(spark {row.get('spark_sec', '?')}s, "
-              f"oracle {row.get('oracle_sec', '?')}s)", flush=True)
+              f"oracle {row.get('oracle_sec', '?')}s, "
+              f"min free {row['min_free_gb']}G)", flush=True)
 
     flush(final=True)
     n_pass = sum(1 for r in results.values()
                  if r.get("hash_match") is not False and not r.get("err"))
     bad = [n for n, r in results.items()
            if r.get("hash_match") is False or r.get("err")]
-    print(f"SOAK {n_pass}/{len(qs)} green at {sf_dir} "
+    print(f"SOAK {n_pass}/{len(covered)} green at {sf_dir} "
           f"in {round(time.time() - t_start, 1)}s; "
           f"divergent/errored: {bad}")
-    return 0 if n_pass == len(qs) else 1
+    return 0 if n_pass == len(covered) else 1
 
 
 if __name__ == "__main__":
