@@ -25,6 +25,10 @@ oracle can reproduce every signature bit-for-bit.
 
 from __future__ import annotations
 
+import logging
+import math
+import os
+
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -63,6 +67,57 @@ LSH_ROWS = 4  # bands * rows == len(MINHASH_COEFFS)
 # pairs.  Pass ``None`` explicitly to run genuinely uncapped.
 DEFAULT_MAX_BUCKET = 1000
 DEFAULT_MAX_DF = 1000
+
+# Scratch discipline for the n-gram pair shuffle (r12, after the sf10
+# soak died of ENOSPC inside BypassMergeSortShuffleWriter).  The
+# pair-count stage shuffles ONE ROW PER (pair, shared gram): measured
+# 12.0 B/occurrence at the sf1 tier (1.663 GB shuffle write for 138.4M
+# occurrences, monitoring-REST stage metrics), and the occurrence count
+# grows QUADRATICALLY in gram document frequency -- x100 per x10 corpus
+# when df scales linearly with the corpus (sf1: 2.65M postings ->
+# 138.4M occurrences; sf10: 26.5M postings -> 13.95B uncapped / 5.22B
+# under the df<=1000 cap, DuckDB census of the tier).  At sf10 that is
+# ~63 GB (capped) / ~167 GB (uncapped) of shuffle write from 58 MB of
+# compressed parquet -- a three-orders-of-magnitude blowup no fixed
+# scratch volume survives, which is exactly how the r11 sf10 soak
+# filled a 252 GB disk.  ``scratch_passes="auto"`` therefore prices
+# the shuffle EXACTLY (one cheap df-census aggregate, 1-row collect)
+# and stripes the pair stage over disjoint gram ranges: each stripe
+# shuffles est/K bytes, its (pair -> count) partial is localCheckpoint
+# materialized (small: bounded by distinct candidate pairs), and the
+# stripe's shuffle files become GC-reclaimable before the next stripe
+# runs.  K=1 is the byte-identical single-pass plan.
+BYTES_PER_PAIR_OCC = 14          # 12.0 measured at sf1 + slack
+MAX_SCRATCH_PASSES = 64
+# Entry-level gate floor (plans/corpus_dedup.py): sources whose
+# compressed bytes stay under this can't build a threatening pair
+# shuffle (sf1's 5.8 MB -> 1.7 GB measured; the blowup grows with the
+# corpus, so the floor is deliberately small), and skip the census to
+# keep the bench plan untouched at bench scale.
+NGRAM_STAGE_SOURCE_FLOOR = 16 * 1024 * 1024
+
+
+def _scratch_budget_bytes(spark) -> int:
+    """Per-stripe shuffle budget: env ``NGRAM_SCRATCH_BUDGET_GB``, or
+    40% of the free space on the shuffle volume (``spark.local.dir``'s
+    filesystem -- driver-visible, which equals the executor volume in
+    local mode; a real cluster with heterogeneous disks should set the
+    env var from its provisioned scratch)."""
+    import shutil
+    import tempfile
+
+    env = os.environ.get("NGRAM_SCRATCH_BUDGET_GB")
+    if env:
+        return int(float(env) * 1e9)
+    try:
+        local = spark.conf.get("spark.local.dir", tempfile.gettempdir())
+    except Exception:  # noqa: BLE001
+        local = tempfile.gettempdir()
+    local = local.split(",")[0]
+    if not os.path.isdir(local):
+        local = tempfile.gettempdir()
+    return int(shutil.disk_usage(local).free * 0.4)
+
 
 # ngram_jaccard_pairs packs (doc_id, n_grams) into one long so the two
 # heavy aggregates (bucket collect_list, pair count) handle 8-byte
@@ -453,11 +508,54 @@ def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _resolve_scratch_passes(postings: DataFrame,
+                            scratch_passes: int | str | None,
+                            max_df: int | None) -> int:
+    """Stripe count for the pair shuffle (module-level scratch note).
+
+    ``None``/1 -> single pass (the unmeasured default: callers gate
+    on source size before asking for "auto", see
+    ``NGRAM_STAGE_SOURCE_FLOOR``).  An int pins the stripe count
+    (tests, operators with external knowledge).  ``"auto"`` prices
+    the shuffle EXACTLY with one df-census aggregate -- postings ->
+    per-gram df -> sum of d*(d-1)/2 over expanding buckets (under
+    filter-mode capping, over-cap buckets never expand pairs, so
+    they are excluded; census-mode postings are already filtered) --
+    a map-side-combined aggregate ending in a bounded 1-row collect,
+    then stripes to the scratch budget."""
+    if scratch_passes is None:
+        return 1
+    if isinstance(scratch_passes, int):
+        if scratch_passes < 1:
+            raise ValueError(
+                f"scratch_passes must be >= 1, got {scratch_passes}")
+        return min(scratch_passes, MAX_SCRATCH_PASSES)
+    if scratch_passes != "auto":
+        raise ValueError(f"scratch_passes must be an int or 'auto', "
+                         f"got {scratch_passes!r}")
+    d = F.col("_df")
+    per_gram = postings.groupBy("g").agg(F.count("*").alias("_df"))
+    if max_df is not None:
+        per_gram = per_gram.filter(d <= max_df)
+    occ = per_gram.agg(
+        F.sum(d * (d - F.lit(1)) / F.lit(2.0)).alias("occ")
+    ).first()["occ"] or 0.0
+    est_bytes = occ * BYTES_PER_PAIR_OCC
+    budget = _scratch_budget_bytes(postings.sparkSession)
+    k = max(1, min(MAX_SCRATCH_PASSES, math.ceil(est_bytes / max(budget, 1))))
+    logging.getLogger(__name__).info(
+        "ngram_jaccard_pairs scratch census: %.3g pair occurrences "
+        "(~%.1f GB shuffle at %d B/occ) vs budget %.1f GB -> %d pass(es)",
+        occ, est_bytes / 1e9, BYTES_PER_PAIR_OCC, budget / 1e9, k)
+    return k
+
+
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.5,
                         max_df: int | None = DEFAULT_MAX_DF,
-                        cap_mode: str = "filter") -> DataFrame:
+                        cap_mode: str = "filter",
+                        scratch_passes: int | str | None = None) -> DataFrame:
     """Exact Jaccard over distinct word n-grams for pairs sharing at
     least one n-gram (inverted-index self-join -- candidate volume is
     bounded by posting-list sizes, not |docs|^2).
@@ -530,6 +628,17 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
       postings -- never materializes even the heavy gram's linear
       list, at the cost of a second pass over the shingle lineage.
 
+    ``scratch_passes`` bounds the pair shuffle's DISK footprint (the
+    module-level scratch note carries the measured blowup curve:
+    1.663 GB at sf1, ~63 GB capped / ~167 GB uncapped at sf10 -- the
+    r11 sf10 ENOSPC): ``"auto"`` prices the shuffle with one exact
+    df-census job and stripes the pair stage over disjoint gram
+    ranges sized to ``NGRAM_SCRATCH_BUDGET_GB`` (default 40% of the
+    shuffle volume's free space); an int pins the stripe count; the
+    default 1 is the classic single-shuffle plan.  Striping is
+    result-identical by construction -- gram ranges partition the
+    bucket space, shared counts are sums of per-stripe partials.
+
     The in-bucket expansion is a codegen'd DOUBLE EXPLODE, not nested
     ``transform``/``slice`` lambdas: higher-order functions evaluate
     interpreted per element, and at this operator's pair volume (1.3M
@@ -590,30 +699,6 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
             _pack_posting(F.col(id_col), F.size("_gs")).alias("pk"),
             F.explode("_gs").alias("g"),
         )
-    # One bucket per gram; the ordered-pk filter on the double explode
-    # emits each unordered pair exactly once per shared gram.  Bucket
-    # elements are PACKED LONGS, not (id, n_grams) structs: the
-    # bucket collect_list and the pair-count aggregate are the two
-    # heaviest stages here, and 8-byte primitives cut both the
-    # ObjectHashAggregate's per-element allocation and the pair
-    # aggregate's key width (struct form measured 1.01 s -> 0.88 s
-    # end-to-end at sf0.1, same session).
-    groups = postings.groupBy("g").agg(F.collect_list("pk").alias("xs"))
-    buckets = groups.filter(F.size("xs") >= 2)
-    drops = None
-    if filter_cap:
-        # filter-mode cap: over-cap grams leave the pair path here and
-        # fold to per-doc drop counts; AQE reuses the one gram-shuffle
-        # stage for both branches at runtime.  Empty when no gram is
-        # over-cap -- the common case's two joins below are broadcast
-        # no-ops.
-        buckets = buckets.filter(F.size("xs") <= max_df)
-        drops = (
-            groups.filter(F.size("xs") > max_df)
-            .select(F.explode("xs").alias("pk"))
-            .select(F.shiftright("pk", _PACK_SHIFT).alias("_did"))
-            .groupBy("_did").agg(F.count("*").alias("_d"))
-        )
     # Size pre-filter at emission: shared <= min(na, nb), so
     # J <= min/(na+nb-min); a pair whose sets are too lopsided to
     # reach the threshold even under full containment --
@@ -625,28 +710,99 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     t = float(threshold)
     na = F.col("ka").bitwiseAND(_PACK_MASK)
     nb = F.col("kb").bitwiseAND(_PACK_MASK)
-    pairs = (
-        buckets.select(F.explode("xs").alias("ka"), "xs")
-        .select("ka", F.explode("xs").alias("kb"))
-        # pk order == (id, n_grams) order and n_grams is a function of
-        # id, so comparing packed values compares ids.
-        .filter(F.col("ka") < F.col("kb"))
-    )
-    if not filter_cap:
-        # Lopsided-pair length pre-filter (see docstring; unsafe under
-        # filter-mode capping where packed sizes are raw).
-        pairs = pairs.filter(F.least(na, nb) * (1.0 + t) >= t * (na + nb))
-    # Group on the packed keys themselves: na/nb are bit-functions of
-    # the key, so no min() carry-alongs and the aggregate hashes two
-    # longs.
-    shared = (
-        pairs.groupBy("ka", "kb")
-        .agg(F.count("*").alias("shared"))
-        .select(
-            F.shiftright("ka", _PACK_SHIFT).alias("id_a"),
-            F.shiftright("kb", _PACK_SHIFT).alias("id_b"),
-            na.alias("na"), nb.alias("nb"), "shared",
+
+    def _pair_partials(p: DataFrame) -> tuple[DataFrame, DataFrame | None]:
+        """Packed (ka, kb, shared) pair-occurrence counts (plus, under
+        filter-mode capping, per-doc drop counts) over one postings
+        relation -- the single-pass body, reused per gram stripe.
+
+        One bucket per gram; the ordered-pk filter on the double
+        explode emits each unordered pair exactly once per shared
+        gram.  Bucket elements are PACKED LONGS, not (id, n_grams)
+        structs: the bucket collect_list and the pair-count aggregate
+        are the two heaviest stages here, and 8-byte primitives cut
+        both the ObjectHashAggregate's per-element allocation and the
+        pair aggregate's key width (struct form measured 1.01 s ->
+        0.88 s end-to-end at sf0.1, same session)."""
+        groups = p.groupBy("g").agg(F.collect_list("pk").alias("xs"))
+        buckets = groups.filter(F.size("xs") >= 2)
+        drops_p = None
+        if filter_cap:
+            # filter-mode cap: over-cap grams leave the pair path here
+            # and fold to per-doc drop counts; AQE reuses the one
+            # gram-shuffle stage for both branches at runtime.  Empty
+            # when no gram is over-cap -- the common case's two joins
+            # below are broadcast no-ops.
+            buckets = buckets.filter(F.size("xs") <= max_df)
+            drops_p = (
+                groups.filter(F.size("xs") > max_df)
+                .select(F.explode("xs").alias("pk"))
+                .select(F.shiftright("pk", _PACK_SHIFT).alias("_did"))
+                .groupBy("_did").agg(F.count("*").alias("_d"))
+            )
+        prs = (
+            buckets.select(F.explode("xs").alias("ka"), "xs")
+            .select("ka", F.explode("xs").alias("kb"))
+            # pk order == (id, n_grams) order and n_grams is a function
+            # of id, so comparing packed values compares ids.
+            .filter(F.col("ka") < F.col("kb"))
         )
+        if not filter_cap:
+            # Lopsided-pair length pre-filter (see docstring; unsafe
+            # under filter-mode capping where packed sizes are raw).
+            prs = prs.filter(F.least(na, nb) * (1.0 + t) >= t * (na + nb))
+        # Group on the packed keys themselves: na/nb are bit-functions
+        # of the key, so no min() carry-alongs and the aggregate hashes
+        # two longs.
+        return (prs.groupBy("ka", "kb").agg(F.count("*").alias("shared")),
+                drops_p)
+
+    passes = _resolve_scratch_passes(postings, scratch_passes, max_df)
+    if passes <= 1:
+        shared, drops = _pair_partials(postings)
+    else:
+        # SCRATCH-STRIPED pair counting (see the module-level scratch
+        # note): disjoint gram ranges (pmod of the already-hashed gram
+        # long) partition the bucket space exactly, so per-pair shared
+        # counts are the SUM of per-stripe partials -- each stripe
+        # shuffles ~1/passes of the pair occurrences, its partial is
+        # localCheckpoint-materialized (bounded by distinct candidate
+        # pairs, orders of magnitude below occurrence volume), and the
+        # stripe's shuffle files are GC-reclaimed before the next
+        # stripe runs.  Postings persist once so the shingle lineage
+        # is not recomputed per stripe.
+        spark = postings.sparkSession
+        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+        parts: list[DataFrame] = []
+        dparts: list[DataFrame] = []
+        for k in range(passes):
+            p_k = postings.filter(F.pmod(F.col("g"), F.lit(passes)) == k)
+            s_k, d_k = _pair_partials(p_k)
+            parts.append(s_k.localCheckpoint(eager=True))
+            if d_k is not None:
+                dparts.append(d_k.localCheckpoint(eager=True))
+            try:  # nudge ContextCleaner so stripe k's shuffle files
+                # are deleted while stripe k+1 runs, keeping peak
+                # scratch at ~est/passes instead of est
+                spark.sparkContext._jvm.System.gc()
+            except Exception:  # noqa: BLE001
+                pass
+        postings.unpersist()
+        shared = parts[0]
+        for s_k in parts[1:]:
+            shared = shared.unionByName(s_k)
+        shared = shared.groupBy("ka", "kb").agg(
+            F.sum("shared").alias("shared"))
+        drops = None
+        if dparts:
+            drops = dparts[0]
+            for d_k in dparts[1:]:
+                drops = drops.unionByName(d_k)
+            drops = drops.groupBy("_did").agg(F.sum("_d").alias("_d"))
+    shared = shared.select(
+        F.shiftright("ka", _PACK_SHIFT).alias("id_a"),
+        F.shiftright("kb", _PACK_SHIFT).alias("id_b"),
+        na.alias("na"), nb.alias("nb"), "shared",
     )
     if filter_cap:
         # Subtract each doc's dropped-gram count from its raw size:
@@ -842,7 +998,9 @@ def ngram_jaccard_pairs_auto(docs: DataFrame, id_col: str = "doc_id",
                              prefer: str | None = None,
                              sample_docs: int = NGRAM_PROBE_DOCS,
                              max_df=_CAP_UNSET,
-                             cap_mode=_CAP_UNSET) -> DataFrame:
+                             cap_mode=_CAP_UNSET,
+                             scratch_passes: int | str | None = None
+                             ) -> DataFrame:
     """Selectivity-gated form selection between
     :func:`ngram_jaccard_pairs` (capped inverted-index aggregate --
     the skew-safe default and the measured winner over most of the
@@ -911,7 +1069,8 @@ def ngram_jaccard_pairs_auto(docs: DataFrame, id_col: str = "doc_id",
                                           threshold)
     if prefer == "aggregate":
         return ngram_jaccard_pairs(docs, id_col, text_col, n, threshold,
-                                   max_df=max_df, cap_mode=cap_mode)
+                                   max_df=max_df, cap_mode=cap_mode,
+                                   scratch_passes=scratch_passes)
     raise ValueError(f"prefer must be 'prefix'/'aggregate'/None, "
                      f"got {prefer!r}")
 

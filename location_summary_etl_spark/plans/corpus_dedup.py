@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from location_summary_etl_spark.operators.dedup import (
+    NGRAM_STAGE_SOURCE_FLOOR,
     DEFAULT_MAX_BUCKET,
     DEFAULT_MAX_DF,
     LSH_BANDS,
@@ -322,17 +323,38 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(_docs(spark, sf_dir), max_hamming=6)
 
 
+def _ngram_scratch(sf_dir: str) -> int | str:
+    """Scratch-stripe gate for the n-gram pair shuffle: a driver-side
+    FILE STAT (gates.path_fits -- no Spark job) keeps the exact bench
+    plan while the documents source is provably tiny, and switches to
+    the census-priced striped mode (operators/dedup.py scratch note:
+    measured ~290x pair-shuffle blowup at sf1 growing to ~1000x at
+    sf10, where the single-pass plan ENOSPC'd a 252 GB volume) once
+    the source crosses the floor.  False/unlistable stats take the
+    safe-at-any-size branch, per the gate contract."""
+    from location_summary_etl_spark.operators.gates import path_fits
+    from location_summary_etl_spark.sources.registry import table_path
+
+    small = path_fits(table_path(sf_dir, "documents"),
+                      cap_bytes=NGRAM_STAGE_SOURCE_FLOOR)
+    return 1 if small else "auto"
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Default configuration = heavy-gram cap ON (DEFAULT_MAX_DF); the
     # oracle mirrors the cap at the same value (never fires at bench
     # scale, max trigram df is 25 at sf0.1).
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5,
+                               scratch_passes=_ngram_scratch(sf_dir))
 
 
 def dedup_ngram_jaccard_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Explicitly uncapped: two-exchange plan, no df census.
+    # Explicitly uncapped: two-exchange plan, no df census (until the
+    # source crosses the scratch floor -- then the census prices the
+    # FULL quadratic pair volume, ~167 GB at sf10).
     return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5,
-                               max_df=None)
+                               max_df=None,
+                               scratch_passes=_ngram_scratch(sf_dir))
 
 
 def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,7 +382,8 @@ def dedup_ngram_jaccard_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     so r9/r8 stay comparable."""
     return ngram_jaccard_pairs_auto(_docs(spark, sf_dir), n=3,
                                     threshold=NGRAM_AUTO_THRESHOLD,
-                                    max_df=None)
+                                    max_df=None,
+                                    scratch_passes=_ngram_scratch(sf_dir))
 
 
 def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -376,7 +399,7 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Biting heavy-gram cap through the census strategy (see above).
     return ngram_jaccard_pairs(
         _docs(spark, sf_dir), n=3, threshold=0.5, max_df=NGRAM_MAX_DF,
-        cap_mode="census")
+        cap_mode="census", scratch_passes=_ngram_scratch(sf_dir))
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -163,6 +163,44 @@ def test_ngram_max_df_caps_degenerate_corpus(spark):
     assert got == {(2 * i, 2 * i + 1): 1.0 for i in range(n_docs // 2)}
 
 
+def test_ngram_scratch_stripes_are_result_identical(spark):
+    """The scratch-striped pair stage (scratch_passes > 1 /"auto") must
+    emit the EXACT single-pass relation in every cap mode: gram ranges
+    partition the bucket space, so per-pair shared counts are sums of
+    per-stripe partials -- pinned here on a corpus where the cap bites
+    AND drop-count subtraction runs (filter mode), sizes re-derive
+    (census mode), and the lopsided pre-filter applies (uncapped)."""
+    rows = [(i, f"x y z u{i // 2}a u{i // 2}b u{i // 2}c")
+            for i in range(20)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    for kw in (dict(max_df=None), dict(max_df=10, cap_mode="filter"),
+               dict(max_df=10, cap_mode="census")):
+        one = {tuple(r) for r in
+               ngram_jaccard_pairs(docs, threshold=0.01, **kw).collect()}
+        striped = {tuple(r) for r in
+                   ngram_jaccard_pairs(docs, threshold=0.01,
+                                       scratch_passes=3, **kw).collect()}
+        assert striped == one, kw
+
+    # "auto" under a forced-tiny budget resolves to multi-pass and
+    # still matches; the census estimate is exact, not a heuristic.
+    import os
+
+    from location_summary_etl_spark.operators import dedup as _d
+    os.environ["NGRAM_SCRATCH_BUDGET_GB"] = "1e-6"
+    try:
+        auto = {tuple(r) for r in
+                ngram_jaccard_pairs(docs, threshold=0.01,
+                                    scratch_passes="auto").collect()}
+    finally:
+        del os.environ["NGRAM_SCRATCH_BUDGET_GB"]
+    one = {tuple(r) for r in
+           ngram_jaccard_pairs(docs, threshold=0.01).collect()}
+    assert auto == one
+    assert _d.MAX_SCRATCH_PASSES >= 2  # the forced budget multi-passed
+
+
 def test_minhash_max_bucket_caps_degenerate_corpus(spark):
     """All-identical docs collide into one LSH mega-bucket per band;
     max_bucket drops those buckets before the pair expansion, so the

@@ -309,8 +309,8 @@ def main() -> int:
         with open(out_path) as f:
             prior_doc = json.load(f)
         prior_sf = prior_doc.get("sf_dir")
-        if prior_sf is not None and os.path.normpath(prior_sf) != \
-                os.path.normpath(sf_dir):
+        if prior_sf is not None and \
+                os.path.abspath(prior_sf) != os.path.abspath(sf_dir):
             raise SystemExit(
                 f"{out_path} holds results for tier '{prior_sf}', not "
                 f"'{sf_dir}' -- refusing to mix tiers in one artifact; "
