@@ -82,11 +82,29 @@ DEFAULT_MAX_DF = 1000
 # scratch volume survives, which is exactly how the r11 sf10 soak
 # filled a 252 GB disk.  ``scratch_passes="auto"`` therefore prices
 # the shuffle EXACTLY (one cheap df-census aggregate, 1-row collect)
-# and stripes the pair stage over disjoint gram ranges: each stripe
-# shuffles est/K bytes, its (pair -> count) partial is localCheckpoint
-# materialized (small: bounded by distinct candidate pairs), and the
-# stripe's shuffle files become GC-reclaimable before the next stripe
-# runs.  K=1 is the byte-identical single-pass plan.
+# and stripes the pair stage into K passes sized to the budget.
+#
+# The stripe key is the PAIR'S LOWER DOC ID (pmod of id_a), not a gram
+# range.  A first design striped gram ranges and summed per-stripe
+# (pair, count) partials; at the sf10 uncapped tier those partials are
+# themselves pre-threshold pair sets (O(candidate pairs / K) EACH,
+# ~10^9 rows here), and accumulating K of them as localCheckpoint
+# blocks heap-OOM'd a 48 GB JVM before any stripe's scratch could be
+# reclaimed (r12 sf10 soak, stage-106 Java heap OOM).  Keying on id_a
+# fixes the accumulation structurally: every shared gram of a pair
+# sits in that pair's one stripe (stripe membership is a function of
+# the pair, and each stripe sees ALL buckets), so shared counts are
+# COMPLETE within a stripe -- the Jaccard score and threshold apply
+# per stripe, and what accumulates across stripes is the FINAL
+# filtered relation, not candidate counts.  Each stripe still
+# shuffles ~est/K bytes (hash-balanced over ids vs gram ranges'
+# size-balanced, same estimate), and its shuffle files become
+# GC-reclaimable once its slice is checkpoint-materialized.  Per-pass
+# overhead is one linear re-scan of the persisted gram buckets (the
+# first explode emits |postings| rows per pass; the stripe filter
+# prunes BEFORE the second explode, so pair enumeration still happens
+# exactly once across all passes).  K=1 is the byte-identical
+# single-pass plan.
 BYTES_PER_PAIR_OCC = 14          # 12.0 measured at sf1 + slack
 MAX_SCRATCH_PASSES = 64
 # Entry-level gate floor (plans/corpus_dedup.py): sources whose
@@ -632,12 +650,16 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     module-level scratch note carries the measured blowup curve:
     1.663 GB at sf1, ~63 GB capped / ~167 GB uncapped at sf10 -- the
     r11 sf10 ENOSPC): ``"auto"`` prices the shuffle with one exact
-    df-census job and stripes the pair stage over disjoint gram
-    ranges sized to ``NGRAM_SCRATCH_BUDGET_GB`` (default 40% of the
-    shuffle volume's free space); an int pins the stripe count; the
-    default 1 is the classic single-shuffle plan.  Striping is
-    result-identical by construction -- gram ranges partition the
-    bucket space, shared counts are sums of per-stripe partials.
+    df-census job and stripes the pair stage over disjoint LOWER-ID
+    ranges (``pmod(id_a, K)``) sized to ``NGRAM_SCRATCH_BUDGET_GB``
+    (default 40% of the shuffle volume's free space); an int pins the
+    stripe count; the default 1 is the classic single-shuffle plan.
+    Striping is result-identical by construction: stripe membership
+    is a function of the pair, each stripe scans every bucket, so a
+    pair's shared count is complete within its one stripe and each
+    stripe emits its slice of the FINAL thresholded relation (the
+    module note records why accumulating anything pre-threshold
+    across stripes cannot survive the uncapped tier).
 
     The in-bucket expansion is a codegen'd DOUBLE EXPLODE, not nested
     ``transform``/``slice`` lambdas: higher-order functions evaluate
@@ -711,38 +733,47 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     na = F.col("ka").bitwiseAND(_PACK_MASK)
     nb = F.col("kb").bitwiseAND(_PACK_MASK)
 
-    def _pair_partials(p: DataFrame) -> tuple[DataFrame, DataFrame | None]:
-        """Packed (ka, kb, shared) pair-occurrence counts (plus, under
-        filter-mode capping, per-doc drop counts) over one postings
-        relation -- the single-pass body, reused per gram stripe.
+    # One bucket per gram, built ONCE (stripes reuse it).  Bucket
+    # elements are PACKED LONGS, not (id, n_grams) structs: the bucket
+    # collect_list and the pair-count aggregate are the two heaviest
+    # stages here, and 8-byte primitives cut both the
+    # ObjectHashAggregate's per-element allocation and the pair
+    # aggregate's key width (struct form measured 1.01 s -> 0.88 s
+    # end-to-end at sf0.1, same session).
+    groups = postings.groupBy("g").agg(F.collect_list("pk").alias("xs"))
+    buckets = groups.filter(F.size("xs") >= 2)
+    drops = None
+    if filter_cap:
+        # filter-mode cap: over-cap grams leave the pair path here and
+        # fold to per-doc drop counts; AQE reuses the one gram-shuffle
+        # stage for both branches at runtime.  Empty when no gram is
+        # over-cap -- the common case's two joins in _finish are
+        # broadcast no-ops.
+        buckets = buckets.filter(F.size("xs") <= max_df)
+        drops = (
+            groups.filter(F.size("xs") > max_df)
+            .select(F.explode("xs").alias("pk"))
+            .select(F.shiftright("pk", _PACK_SHIFT).alias("_did"))
+            .groupBy("_did").agg(F.count("*").alias("_d"))
+        )
 
-        One bucket per gram; the ordered-pk filter on the double
-        explode emits each unordered pair exactly once per shared
-        gram.  Bucket elements are PACKED LONGS, not (id, n_grams)
-        structs: the bucket collect_list and the pair-count aggregate
-        are the two heaviest stages here, and 8-byte primitives cut
-        both the ObjectHashAggregate's per-element allocation and the
-        pair aggregate's key width (struct form measured 1.01 s ->
-        0.88 s end-to-end at sf0.1, same session)."""
-        groups = p.groupBy("g").agg(F.collect_list("pk").alias("xs"))
-        buckets = groups.filter(F.size("xs") >= 2)
-        drops_p = None
-        if filter_cap:
-            # filter-mode cap: over-cap grams leave the pair path here
-            # and fold to per-doc drop counts; AQE reuses the one
-            # gram-shuffle stage for both branches at runtime.  Empty
-            # when no gram is over-cap -- the common case's two joins
-            # below are broadcast no-ops.
-            buckets = buckets.filter(F.size("xs") <= max_df)
-            drops_p = (
-                groups.filter(F.size("xs") > max_df)
-                .select(F.explode("xs").alias("pk"))
-                .select(F.shiftright("pk", _PACK_SHIFT).alias("_did"))
-                .groupBy("_did").agg(F.count("*").alias("_d"))
-            )
+    def _pair_counts(stripe: int | None = None, passes: int = 1) -> DataFrame:
+        """Packed (ka, kb, shared) counts over the bucket relation.
+        The ordered-pk filter on the double explode emits each
+        unordered pair exactly once per shared gram.  With ``stripe``
+        set, the FIRST explode is filtered to lower ids hashing into
+        the stripe before the second explode runs -- the stripe
+        enumerates and shuffles only its own pairs, and because
+        stripe membership is a function of the pair (its lower id)
+        while the stripe scans every bucket, its counts are COMPLETE,
+        never partial."""
+        e1 = buckets.select(F.explode("xs").alias("ka"), "xs")
+        if stripe is not None:
+            e1 = e1.filter(
+                F.pmod(F.shiftright("ka", _PACK_SHIFT), F.lit(passes))
+                == F.lit(stripe))
         prs = (
-            buckets.select(F.explode("xs").alias("ka"), "xs")
-            .select("ka", F.explode("xs").alias("kb"))
+            e1.select("ka", F.explode("xs").alias("kb"))
             # pk order == (id, n_grams) order and n_grams is a function
             # of id, so comparing packed values compares ids.
             .filter(F.col("ka") < F.col("kb"))
@@ -754,75 +785,69 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
         # Group on the packed keys themselves: na/nb are bit-functions
         # of the key, so no min() carry-alongs and the aggregate hashes
         # two longs.
-        return (prs.groupBy("ka", "kb").agg(F.count("*").alias("shared")),
-                drops_p)
+        return prs.groupBy("ka", "kb").agg(F.count("*").alias("shared"))
+
+    def _finish(shared: DataFrame) -> DataFrame:
+        """Unpack ids, cap-adjust sizes, score, threshold.  Applied to
+        the one complete relation in the single-pass plan, and PER
+        STRIPE in the striped plan (counts are complete there, so the
+        threshold prunes each stripe to final rows before anything
+        accumulates)."""
+        out = shared.select(
+            F.shiftright("ka", _PACK_SHIFT).alias("id_a"),
+            F.shiftright("kb", _PACK_SHIFT).alias("id_b"),
+            na.alias("na"), nb.alias("nb"), "shared",
+        )
+        if filter_cap:
+            # Subtract each doc's dropped-gram count from its raw size:
+            # arithmetically identical to recounting sizes over the
+            # surviving gram universe (what census mode and the oracle
+            # SQL do), without a second pass over the shingle lineage.
+            da = drops.select(F.col("_did").alias("id_a"),
+                              F.col("_d").alias("_da"))
+            db = drops.select(F.col("_did").alias("id_b"),
+                              F.col("_d").alias("_db"))
+            out = (
+                out.join(da, "id_a", "left").join(db, "id_b", "left")
+                .select(
+                    "id_a", "id_b", "shared",
+                    (F.col("na") - F.coalesce("_da", F.lit(0))).alias("na"),
+                    (F.col("nb") - F.coalesce("_db", F.lit(0))).alias("nb"),
+                )
+            )
+        jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+        return out.select(
+            "id_a", "id_b", round_portable(jac, 4).alias("jaccard")
+        ).filter(F.col("jaccard") >= threshold)
 
     passes = _resolve_scratch_passes(postings, scratch_passes, max_df)
     if passes <= 1:
-        shared, drops = _pair_partials(postings)
-    else:
-        # SCRATCH-STRIPED pair counting (see the module-level scratch
-        # note): disjoint gram ranges (pmod of the already-hashed gram
-        # long) partition the bucket space exactly, so per-pair shared
-        # counts are the SUM of per-stripe partials -- each stripe
-        # shuffles ~1/passes of the pair occurrences, its partial is
-        # localCheckpoint-materialized (bounded by distinct candidate
-        # pairs, orders of magnitude below occurrence volume), and the
-        # stripe's shuffle files are GC-reclaimed before the next
-        # stripe runs.  Postings persist once so the shingle lineage
-        # is not recomputed per stripe.
-        spark = postings.sparkSession
-        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
-        parts: list[DataFrame] = []
-        dparts: list[DataFrame] = []
-        for k in range(passes):
-            p_k = postings.filter(F.pmod(F.col("g"), F.lit(passes)) == k)
-            s_k, d_k = _pair_partials(p_k)
-            parts.append(s_k.localCheckpoint(eager=True))
-            if d_k is not None:
-                dparts.append(d_k.localCheckpoint(eager=True))
-            try:  # nudge ContextCleaner so stripe k's shuffle files
-                # are deleted while stripe k+1 runs, keeping peak
-                # scratch at ~est/passes instead of est
-                spark.sparkContext._jvm.System.gc()
-            except Exception:  # noqa: BLE001
-                pass
-        postings.unpersist()
-        shared = parts[0]
-        for s_k in parts[1:]:
-            shared = shared.unionByName(s_k)
-        shared = shared.groupBy("ka", "kb").agg(
-            F.sum("shared").alias("shared"))
-        drops = None
-        if dparts:
-            drops = dparts[0]
-            for d_k in dparts[1:]:
-                drops = drops.unionByName(d_k)
-            drops = drops.groupBy("_did").agg(F.sum("_d").alias("_d"))
-    shared = shared.select(
-        F.shiftright("ka", _PACK_SHIFT).alias("id_a"),
-        F.shiftright("kb", _PACK_SHIFT).alias("id_b"),
-        na.alias("na"), nb.alias("nb"), "shared",
-    )
-    if filter_cap:
-        # Subtract each doc's dropped-gram count from its raw size:
-        # arithmetically identical to recounting sizes over the
-        # surviving gram universe (what census mode and the oracle
-        # SQL do), without a second pass over the shingle lineage.
-        da = drops.select(F.col("_did").alias("id_a"), F.col("_d").alias("_da"))
-        db = drops.select(F.col("_did").alias("id_b"), F.col("_d").alias("_db"))
-        shared = (
-            shared.join(da, "id_a", "left").join(db, "id_b", "left")
-            .select(
-                "id_a", "id_b", "shared",
-                (F.col("na") - F.coalesce("_da", F.lit(0))).alias("na"),
-                (F.col("nb") - F.coalesce("_db", F.lit(0))).alias("nb"),
-            )
-        )
-    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
-    return shared.select(
-        "id_a", "id_b", round_portable(jac, 4).alias("jaccard")
-    ).filter(F.col("jaccard") >= threshold)
+        return _finish(_pair_counts())
+    # SCRATCH-STRIPED pair counting (module-level scratch note): each
+    # stripe shuffles ~est/passes of the pair occurrences and emits
+    # its slice of the FINAL thresholded relation -- the only thing
+    # checkpoint-materialized across stripes is result rows (the
+    # gram-range design this replaced accumulated pre-threshold count
+    # partials and heap-OOM'd at the sf10 uncapped tier).  The gram
+    # buckets persist once so the shingle lineage and the collect_list
+    # shuffle are not recomputed per stripe.
+    spark = postings.sparkSession
+    groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
+    parts: list[DataFrame] = []
+    for k in range(passes):
+        parts.append(
+            _finish(_pair_counts(k, passes)).localCheckpoint(eager=True))
+        try:  # nudge ContextCleaner so stripe k's shuffle files are
+            # deleted while stripe k+1 runs, keeping peak scratch at
+            # ~est/passes instead of est
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
+    groups.unpersist()
+    out = parts[0]
+    for p_k in parts[1:]:
+        out = out.unionByName(p_k)
+    return out
 
 
 def ngram_jaccard_pairs_prefix(docs: DataFrame, id_col: str = "doc_id",

@@ -165,11 +165,12 @@ def test_ngram_max_df_caps_degenerate_corpus(spark):
 
 def test_ngram_scratch_stripes_are_result_identical(spark):
     """The scratch-striped pair stage (scratch_passes > 1 /"auto") must
-    emit the EXACT single-pass relation in every cap mode: gram ranges
-    partition the bucket space, so per-pair shared counts are sums of
-    per-stripe partials -- pinned here on a corpus where the cap bites
-    AND drop-count subtraction runs (filter mode), sizes re-derive
-    (census mode), and the lopsided pre-filter applies (uncapped)."""
+    emit the EXACT single-pass relation in every cap mode: stripes key
+    on the pair's lower doc id against the full bucket relation, so
+    every pair's shared count is complete within its one stripe --
+    pinned here on a corpus where the cap bites AND drop-count
+    subtraction runs (filter mode), sizes re-derive (census mode), and
+    the lopsided pre-filter applies (uncapped)."""
     rows = [(i, f"x y z u{i // 2}a u{i // 2}b u{i // 2}c")
             for i in range(20)]
     docs = spark.createDataFrame(rows, ["doc_id", "text"])

@@ -33,7 +33,15 @@ This tool now applies its own anti-pattern discipline to the oracle:
 
 * DuckDB gets an explicit ``memory_limit`` (env ``SOAK_DUCKDB_MEM``,
   default 24GB) and a dedicated ``temp_directory`` under the scratch
-  root, swept after every entry.
+  root, swept after every entry -- and the temp is CAPPED
+  (``max_temp_directory_size``, env ``SOAK_DUCKDB_TEMP_GB``, default
+  60% of free space at entry start), so an oracle whose intermediate
+  exceeds the volume fails as a recorded per-entry DNF instead of
+  taking the host to zero bytes free.
+* If an entry ERROR leaves the driver JVM dead (liveness-probed), the
+  soak FAIL-STOPS instead of burning every remaining entry on an
+  unusable session; completed rows stay in the artifact and
+  ``--resume`` continues the run.
 * Spark's shuffle scratch (``spark.local.dir``) is pinned under the
   same scratch root so leftover files are visible and measurable;
   between entries the JVM is nudged (ContextCleaner runs off GC) and
@@ -176,6 +184,15 @@ def _budgeted_con(sf_dir: str):
     os.makedirs(tmp, exist_ok=True)
     con.execute(f"SET memory_limit = '{DUCKDB_MEM}'")
     con.execute(f"SET temp_directory = '{tmp}'")
+    # Temp spill is CAPPED, not just redirected (bench_crossover's r7
+    # lesson): an oracle whose intermediate exceeds the volume must
+    # fail as a recorded per-entry DNF with headroom left for the
+    # artifact write and the next entry's Spark scratch -- not take
+    # the host to 0 bytes free.  Sized at connect time: 60% of the
+    # volume's current free space, or SOAK_DUCKDB_TEMP_GB.
+    env = os.environ.get("SOAK_DUCKDB_TEMP_GB")
+    cap_gb = float(env) if env else shutil.disk_usage(SCRATCH).free * 0.6 / 1e9
+    con.execute(f"SET max_temp_directory_size = '{cap_gb:.0f}GB'")
     # insertion-order preservation forces buffering that the compare
     # never needs (every comparison is multiset-based)
     con.execute("SET preserve_insertion_order = false")
@@ -225,6 +242,19 @@ def _stage_totals(app_id: str | None) -> dict[str, int] | None:
 
 def _gb(n: int) -> float:
     return round(n / 1e9, 3)
+
+
+def _session_alive(spark) -> bool:
+    """Driver-JVM liveness probe, checked after any entry ERROR: a
+    task-level failure leaves the session usable, but a dead JVM (the
+    r12 sf10 heap OOM killed the gateway outright) poisons every later
+    entry with an instant EOFError -- the first run burned 26 entries
+    that way and overwrote their prior artifact rows with garbage.
+    Fail-stop + ``--resume`` is the recovery path."""
+    try:
+        return spark.sql("SELECT 1").collect()[0][0] == 1
+    except Exception:  # noqa: BLE001
+        return False
 
 
 def sample_selection(names: list[str], n: int,
@@ -427,6 +457,11 @@ def main() -> int:
               f"(spark {row.get('spark_sec', '?')}s, "
               f"oracle {row.get('oracle_sec', '?')}s, "
               f"min free {row['min_free_gb']}G)", flush=True)
+        if status == "ERROR" and not _session_alive(spark):
+            print("spark session DEAD after this entry -- aborting the "
+                  "soak (completed rows are in the artifact; re-run "
+                  "with --resume to continue)", flush=True)
+            break
 
     flush(final=True)
     n_pass = sum(1 for r in results.values()
