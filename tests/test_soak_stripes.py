@@ -1,0 +1,104 @@
+"""Striped oracle compare (tools/soak_oracle.py, r12).
+
+At the 100x tier the pair-relation oracles (n-gram Jaccard, MinHash
+LSH) exceed any one-shot DuckDB temp budget this sandbox can grant
+(measured >60 GB with 48 GB RAM at sf10), so the soak evaluates them
+in K passes striped on ``pmod(id_a, K)`` -- see the module docstring.
+These tests pin the three properties the striping rests on, at a
+scale where the one-shot compare is also cheap:
+
+1. striped == one-shot on an identical result (agreement);
+2. a VALUE divergence (same row count, one column's rounding changed)
+   is caught by the per-stripe symmetric EXCEPT ALL;
+3. a ROW divergence (one oracle row dropped) is caught by the summed
+   per-stripe counts;
+4. the gate engages exactly where the engine's own scratch striping
+   does (documents source past NGRAM_STAGE_SOURCE_FLOOR), so sub-floor
+   tiers keep the byte-identical historical compare path.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(_ROOT, "tools"))
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="driver testdata not present")
+
+
+def _setup(spark, name: str):
+    from soak_oracle import SCRATCH, _budgeted_con
+
+    from location_summary_etl_spark.plans import corpus
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    qs, oracles = corpus.queries(), corpus.oracle_sql()
+    df = qs[name](spark, SF)
+    return df, df.count(), _budgeted_con(SF), oracles[name]
+
+
+def test_striped_compare_agrees_with_oneshot(spark):
+    from soak_oracle import compare_large, compare_large_striped
+
+    df, n, con, sql = _setup(spark, "dedup_ngram_jaccard")
+    try:
+        compare_large(df, con, sql, n)
+        compare_large_striped(df, con, sql, n, "id_a", 3)
+    finally:
+        con.close()
+
+
+def test_striped_compare_catches_value_divergence(spark):
+    from soak_oracle import compare_large_striped
+
+    df, n, con, sql = _setup(spark, "dedup_ngram_jaccard")
+    bad = sql.replace("AS DOUBLE), 4) AS jaccard",
+                      "AS DOUBLE), 3) AS jaccard")
+    assert bad != sql
+    try:
+        with pytest.raises(AssertionError, match="value mismatch"):
+            compare_large_striped(df, con, bad, n, "id_a", 3)
+    finally:
+        con.close()
+
+
+def test_striped_compare_catches_row_divergence(spark):
+    from soak_oracle import compare_large_striped
+
+    df, n, con, sql = _setup(spark, "dedup_ngram_jaccard")
+    bad = (f"SELECT * FROM ({sql}) _q WHERE id_a <> "
+           f"(SELECT min(id_a) FROM ({sql}) _r)")
+    try:
+        with pytest.raises(AssertionError, match="row count mismatch"):
+            compare_large_striped(df, con, bad, n, "id_a", 3)
+    finally:
+        con.close()
+
+
+def test_stripe_gate_mirrors_engine_scratch_gate(tmp_path):
+    from soak_oracle import _oracle_stripe_col
+
+    from location_summary_etl_spark.operators.dedup import (
+        NGRAM_STAGE_SOURCE_FLOOR,
+    )
+
+    # Sub-floor documents source: one-shot path (None).
+    small = tmp_path / "small"
+    small.mkdir()
+    (small / "documents.parquet").write_bytes(b"x" * 1024)
+    assert _oracle_stripe_col("dedup_ngram_jaccard", str(small)) is None
+    # Past the floor: striped, with the pair's lower-id column.
+    big = tmp_path / "big"
+    big.mkdir()
+    with open(big / "documents.parquet", "wb") as f:
+        f.truncate(NGRAM_STAGE_SOURCE_FLOOR + 1)
+    assert _oracle_stripe_col("dedup_ngram_jaccard", str(big)) == "id_a"
+    # Non-member entries never stripe.
+    assert _oracle_stripe_col("pricing_summary", str(big)) is None

@@ -54,6 +54,29 @@ This tool now applies its own anti-pattern discipline to the oracle:
   monitoring REST API.  An entry that dies of ENOSPC therefore
   leaves behind its measured footprint, not just a stack trace.
 
+STRIPED ORACLE COMPARE (r12): the pair-relation oracles (n-gram
+Jaccard, MinHash LSH) evaluate a quadratic candidate join whose
+grouped intermediate at the 100x tier exceeds ANY one-shot DuckDB
+temp budget this sandbox can grant (measured: >60 GB temp with 48 GB
+RAM at sf10, where the engine under test finishes inside a 30 GB
+striped scratch budget).  For those entries the COMPARE gets the
+same scratch discipline the engine itself uses: the oracle is
+evaluated in K passes, each restricted to ``pmod(id_a, K) = k`` --
+a predicate on the pair's lower doc id that DuckDB pushes through
+the final joins, the GROUP BY (id_a is a grouping key), and into
+the candidate join's probe side, so each pass builds ~1/K of the
+intermediate.  The K result slices PARTITION the output multiset
+(id_a is non-null in every pair row), so per-stripe symmetric
+EXCEPT ALL counts sum to the full compare, and the per-stripe
+Spark-side counts are cross-checked against the unrestricted
+``df.count()`` -- a stripe predicate that dropped or duplicated
+rows would be caught, not silently accepted.  Striping engages via
+the SAME driver-side gate the engine's own scratch striping uses
+(documents source past NGRAM_STAGE_SOURCE_FLOOR), so sf0.01/sf1
+soak artifacts are produced by the byte-identical one-shot path;
+the artifact records ``compare: striped_except_all_k{K}`` where it
+engaged.  K defaults to 8 (env ``SOAK_ORACLE_STRIPE_K``).
+
 ARTIFACT SELF-DESCRIPTION (r12): the artifact always carries
 ``corpus_entries`` (the full registry size) next to ``n_entries``
 (what THIS artifact covers), so a subset run can never read as a
@@ -116,6 +139,23 @@ SCRATCH = os.environ.get("SOAK_SCRATCH", "/tmp/soak_scratch")
 DUCKDB_MEM = os.environ.get("SOAK_DUCKDB_MEM", "24GB")
 UI_PORT = int(os.environ.get("SOAK_UI_PORT", "4049"))
 
+# Pair-relation entries whose oracle needs the striped compare at
+# tiers where the documents source crosses the engine's own scratch
+# floor (see the module docstring).  The column is the stripe key:
+# the pair's lower doc id, non-null by construction in every row.
+ORACLE_STRIPE_COLS = {
+    "dedup_ngram_jaccard": "id_a",
+    "dedup_ngram_jaccard_auto": "id_a",
+    "dedup_ngram_jaccard_prefix": "id_a",
+    "dedup_ngram_jaccard_uncapped": "id_a",
+    "dedup_ngram_jaccard_capped": "id_a",
+    "dedup_minhash_lsh": "id_a",
+    "dedup_minhash_lsh_uncapped": "id_a",
+    "dedup_minhash_lsh_capped": "id_a",
+    "dedup_simhash_pairs": "id_a",
+}
+ORACLE_STRIPE_K = int(os.environ.get("SOAK_ORACLE_STRIPE_K", "8"))
+
 _METRIC_FIELDS = (
     "shuffleWriteBytes", "shuffleReadBytes",
     "diskBytesSpilled", "memoryBytesSpilled",
@@ -166,6 +206,87 @@ def compare_large(df, con, sql: str, n_spark: int) -> None:
         n_diff = con.execute(
             f"SELECT count(*) FROM (({sel_s} EXCEPT ALL ({sel_o})) "
             f"UNION ALL (({sel_o}) EXCEPT ALL ({sel_s})))").fetchone()[0]
+        assert n_diff == 0, (
+            f"value mismatch ({n_diff} rows in the symmetric EXCEPT ALL)"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _oracle_stripe_col(name: str, sf_dir: str) -> str | None:
+    """Stripe key for NAME's oracle compare, or None for the one-shot
+    path.  Gated on the same driver-side file stat the engine's own
+    scratch striping uses, so compares below the floor are
+    byte-identical to every earlier artifact's."""
+    col = ORACLE_STRIPE_COLS.get(name)
+    if not col:
+        return None
+    from location_summary_etl_spark.operators.dedup import (
+        NGRAM_STAGE_SOURCE_FLOOR,
+    )
+    from location_summary_etl_spark.operators.gates import path_fits
+    from location_summary_etl_spark.sources.registry import table_path
+
+    if path_fits(table_path(sf_dir, "documents"),
+                 cap_bytes=NGRAM_STAGE_SOURCE_FLOOR):
+        return None
+    return col
+
+
+def compare_large_striped(df, con, sql: str, n_spark: int,
+                          stripe_col: str, k_stripes: int) -> None:
+    """compare_large in K bounded passes (module docstring): each pass
+    materializes the oracle slice ``pmod(stripe_col, K) = k`` to a
+    temp table (ONE oracle evaluation per pass, with the stripe
+    predicate pushed into the candidate join), diffs it against the
+    same slice of the Spark result, and drops it.  Per-stripe counts
+    are summed and checked against the unrestricted totals, so the
+    stripes provably partition both multisets."""
+    tmp = os.path.join(SCRATCH, f"soak_{uuid.uuid4().hex}")
+    try:
+        df.write.mode("overwrite").parquet(tmp)
+        con.execute(
+            f"CREATE OR REPLACE TEMP VIEW _spark AS "
+            f"SELECT * FROM '{tmp}/*.parquet'")
+        con.execute(f"CREATE OR REPLACE TEMP VIEW _oracle AS {sql}")
+        s_desc = {r[0]: r[1] for r in con.execute("DESCRIBE _spark").fetchall()}
+        d_desc = {r[0]: r[1] for r in con.execute("DESCRIBE _oracle").fetchall()}
+        assert sorted(s_desc) == sorted(d_desc), (
+            f"column mismatch: spark={sorted(s_desc)} duckdb={sorted(d_desc)}"
+        )
+        cols = list(s_desc)
+        q = f'"{stripe_col}"'
+        n_oracle = n_spark_striped = n_diff = 0
+        for k in range(k_stripes):
+            pred = (f"(CAST({q} AS BIGINT) % {k_stripes} + {k_stripes}) "
+                    f"% {k_stripes} = {k}")
+            con.execute(
+                f"CREATE OR REPLACE TEMP TABLE _om AS "
+                f"SELECT * FROM _oracle WHERE {pred}")
+            con.execute(
+                f"CREATE OR REPLACE TEMP VIEW _sm AS "
+                f"SELECT * FROM _spark WHERE {pred}")
+            n_oracle += con.execute(
+                "SELECT count(*) FROM _om").fetchone()[0]
+            n_spark_striped += con.execute(
+                "SELECT count(*) FROM _sm").fetchone()[0]
+            sel_s = _norm_sql("_sm", cols, s_desc)
+            sel_o = _norm_sql("_om", cols, d_desc)
+            n_diff += con.execute(
+                f"SELECT count(*) FROM (({sel_s} EXCEPT ALL ({sel_o})) "
+                f"UNION ALL (({sel_o}) EXCEPT ALL ({sel_s})))"
+            ).fetchone()[0]
+            con.execute("DROP TABLE _om")
+        # The stripes must partition the Spark result exactly: a NULL
+        # stripe key (or a predicate bug) shows up as a shortfall here,
+        # never as a silent pass.
+        assert n_spark_striped == n_spark, (
+            f"row count mismatch: stripe union covered {n_spark_striped} "
+            f"of spark={n_spark} rows (null/dropped stripe key?)"
+        )
+        assert n_spark == n_oracle, (
+            f"row count mismatch: spark={n_spark} duckdb={n_oracle}"
+        )
         assert n_diff == 0, (
             f"value mismatch ({n_diff} rows in the symmetric EXCEPT ALL)"
         )
@@ -412,7 +533,13 @@ def main() -> int:
             if name in oracles:
                 con = _budgeted_con(sf_dir)  # fresh con: no staleness
                 n_rows = df.count()
-                if n_rows > BIG_ROWS:
+                stripe_col = _oracle_stripe_col(name, sf_dir)
+                if stripe_col is not None:
+                    compare_large_striped(df, con, oracles[name], n_rows,
+                                          stripe_col, ORACLE_STRIPE_K)
+                    row["compare"] = (
+                        f"striped_except_all_k{ORACLE_STRIPE_K}")
+                elif n_rows > BIG_ROWS:
                     compare_large(df, con, oracles[name], n_rows)
                     row["compare"] = "parquet_except_all"
                 else:
