@@ -82,6 +82,39 @@ def test_striped_compare_catches_row_divergence(spark):
         con.close()
 
 
+def test_inner_needle_striped_compare_agrees(spark):
+    """MinHash's banded oracle defeats DuckDB's outer-predicate
+    pushdown (measured 3.3x FULL cost per stripe at sf1), so its
+    stripe predicate is injected at id_a's binding site in the
+    candidate join -- same restriction, same result."""
+    from soak_oracle import (
+        ORACLE_STRIPE_INNER_NEEDLE,
+        compare_large,
+        compare_large_striped,
+    )
+
+    name = "dedup_minhash_lsh"
+    df, n, con, sql = _setup(spark, name)
+    needle = ORACLE_STRIPE_INNER_NEEDLE[name]
+    try:
+        compare_large(df, con, sql, n)
+        compare_large_striped(df, con, sql, n, "id_a", 3,
+                              inner_needle=needle)
+        # a value divergence still surfaces through the inner path
+        bad = sql.replace("AS DOUBLE), 4) AS est_jaccard",
+                          "AS DOUBLE), 3) AS est_jaccard")
+        assert bad != sql
+        with pytest.raises(AssertionError, match="value mismatch"):
+            compare_large_striped(df, con, bad, n, "id_a", 3,
+                                  inner_needle=needle)
+        # a needle that does not occur exactly once is refused loudly
+        with pytest.raises(AssertionError, match="exactly once"):
+            compare_large_striped(df, con, sql, n, "id_a", 3,
+                                  inner_needle="no such join condition")
+    finally:
+        con.close()
+
+
 def test_stripe_gate_mirrors_engine_scratch_gate(tmp_path):
     from soak_oracle import _oracle_stripe_col
 

@@ -75,7 +75,12 @@ the SAME driver-side gate the engine's own scratch striping uses
 (documents source past NGRAM_STAGE_SOURCE_FLOOR), so sf0.01/sf1
 soak artifacts are produced by the byte-identical one-shot path;
 the artifact records ``compare: striped_except_all_k{K}`` where it
-engaged.  K defaults to 8 (env ``SOAK_ORACLE_STRIPE_K``).
+engaged.  K defaults to 8 (env ``SOAK_ORACLE_STRIPE_K``).  Banded
+oracle shapes (MinHash/SimHash) defeat DuckDB's outer-predicate
+pushdown; for those the predicate is injected at id_a's binding
+site in the candidate join instead (``ORACLE_STRIPE_INNER_NEEDLE``
+-- the identical restriction, and the count cross-checks prove the
+partitioning empirically either way).
 
 ARTIFACT SELF-DESCRIPTION (r12): the artifact always carries
 ``corpus_entries`` (the full registry size) next to ``n_entries``
@@ -156,6 +161,28 @@ ORACLE_STRIPE_COLS = {
 }
 ORACLE_STRIPE_K = int(os.environ.get("SOAK_ORACLE_STRIPE_K", "8"))
 
+# For the n-gram oracles DuckDB pushes the outer ``pmod(id_a, K)``
+# predicate through the GROUP BY into the pair join (measured 0.10x
+# full cost per 1/8 stripe at sf1), so the wrapped form above is all
+# they need.  The banded oracles (MinHash LSH, SimHash) defeat that
+# pushdown: the optimizer leaves the stripe predicate ABOVE the two
+# signature joins (measured 3.3x FULL cost per stripe at sf1 -- worse
+# than no striping, and at sf10 the unpruned candidate-DISTINCT blew
+# a 56 GiB temp cap from the very first stripe).  For those entries
+# the predicate is instead injected at the id_a BINDING SITE -- the
+# candidate join's ``a.doc_id < b.doc_id`` condition, where
+# ``id_a := a.doc_id`` is defined one projection above -- which is
+# the identical restriction expressed where the engine can use it.
+# The needle must occur exactly once in the oracle text (asserted),
+# and the per-stripe count cross-checks in compare_large_striped
+# prove partition coverage empirically either way.
+ORACLE_STRIPE_INNER_NEEDLE = {
+    "dedup_minhash_lsh": "a.doc_id < b.doc_id",
+    "dedup_minhash_lsh_uncapped": "a.doc_id < b.doc_id",
+    "dedup_minhash_lsh_capped": "a.doc_id < b.doc_id",
+    "dedup_simhash_pairs": "a.doc_id < b.doc_id",
+}
+
 _METRIC_FIELDS = (
     "shuffleWriteBytes", "shuffleReadBytes",
     "diskBytesSpilled", "memoryBytesSpilled",
@@ -234,14 +261,21 @@ def _oracle_stripe_col(name: str, sf_dir: str) -> str | None:
 
 
 def compare_large_striped(df, con, sql: str, n_spark: int,
-                          stripe_col: str, k_stripes: int) -> None:
+                          stripe_col: str, k_stripes: int,
+                          inner_needle: str | None = None) -> None:
     """compare_large in K bounded passes (module docstring): each pass
     materializes the oracle slice ``pmod(stripe_col, K) = k`` to a
     temp table (ONE oracle evaluation per pass, with the stripe
     predicate pushed into the candidate join), diffs it against the
     same slice of the Spark result, and drops it.  Per-stripe counts
     are summed and checked against the unrestricted totals, so the
-    stripes provably partition both multisets."""
+    stripes provably partition both multisets.
+
+    ``inner_needle`` (ORACLE_STRIPE_INNER_NEEDLE): for oracle shapes
+    whose optimizer will not push the outer predicate, the stripe
+    predicate on ``a.doc_id`` (= the output's ``stripe_col``, bound
+    one projection above the needle) is injected into the candidate
+    join condition instead."""
     tmp = os.path.join(SCRATCH, f"soak_{uuid.uuid4().hex}")
     try:
         df.write.mode("overwrite").parquet(tmp)
@@ -256,13 +290,25 @@ def compare_large_striped(df, con, sql: str, n_spark: int,
         )
         cols = list(s_desc)
         q = f'"{stripe_col}"'
+        if inner_needle is not None:
+            assert sql.count(inner_needle) == 1, (
+                f"stripe needle {inner_needle!r} must occur exactly once "
+                f"in the oracle SQL (found {sql.count(inner_needle)})")
         n_oracle = n_spark_striped = n_diff = 0
         for k in range(k_stripes):
             pred = (f"(CAST({q} AS BIGINT) % {k_stripes} + {k_stripes}) "
                     f"% {k_stripes} = {k}")
-            con.execute(
-                f"CREATE OR REPLACE TEMP TABLE _om AS "
-                f"SELECT * FROM _oracle WHERE {pred}")
+            if inner_needle is not None:
+                pred_a = (f"(CAST(a.doc_id AS BIGINT) % {k_stripes} "
+                          f"+ {k_stripes}) % {k_stripes} = {k}")
+                sliced = sql.replace(
+                    inner_needle, f"{inner_needle} AND {pred_a}")
+                con.execute(
+                    f"CREATE OR REPLACE TEMP TABLE _om AS {sliced}")
+            else:
+                con.execute(
+                    f"CREATE OR REPLACE TEMP TABLE _om AS "
+                    f"SELECT * FROM _oracle WHERE {pred}")
             con.execute(
                 f"CREATE OR REPLACE TEMP VIEW _sm AS "
                 f"SELECT * FROM _spark WHERE {pred}")
@@ -535,10 +581,13 @@ def main() -> int:
                 n_rows = df.count()
                 stripe_col = _oracle_stripe_col(name, sf_dir)
                 if stripe_col is not None:
+                    needle = ORACLE_STRIPE_INNER_NEEDLE.get(name)
                     compare_large_striped(df, con, oracles[name], n_rows,
-                                          stripe_col, ORACLE_STRIPE_K)
+                                          stripe_col, ORACLE_STRIPE_K,
+                                          inner_needle=needle)
                     row["compare"] = (
-                        f"striped_except_all_k{ORACLE_STRIPE_K}")
+                        f"striped_except_all_k{ORACLE_STRIPE_K}"
+                        + ("_inner" if needle else ""))
                 elif n_rows > BIG_ROWS:
                     compare_large(df, con, oracles[name], n_rows)
                     row["compare"] = "parquet_except_all"
