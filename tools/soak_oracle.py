@@ -340,6 +340,25 @@ def compare_large_striped(df, con, sql: str, n_spark: int,
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _recap_temp(con) -> float:
+    """(Re-)size DuckDB's temp cap from the disk that is free RIGHT
+    NOW, minus a fixed landing margin.  A cap granted at connect time
+    is a promise the volume may no longer back once the entry's Spark
+    phase has parked its scratch (r12 run c: a 60 GB env cap met a
+    volume with ~70 GB free and took it to 0 bytes mid-stripe -- an
+    IOException instead of the budgeted DNF).  Called again just
+    before the compare, when the entry's Spark footprint is parked
+    and measurable.  Env ``SOAK_DUCKDB_TEMP_GB`` acts as a CEILING on
+    the dynamic value, never a grant beyond it."""
+    free_gb = shutil.disk_usage(SCRATCH).free / 1e9
+    cap_gb = max(4.0, free_gb - 12.0)
+    env = os.environ.get("SOAK_DUCKDB_TEMP_GB")
+    if env:
+        cap_gb = min(cap_gb, float(env))
+    con.execute(f"SET max_temp_directory_size = '{cap_gb:.0f}GB'")
+    return cap_gb
+
+
 def _budgeted_con(sf_dir: str):
     """tests.oracle_utils.duckdb_con plus the resource budget: the
     oracle must not be able to starve the engine under test (or vice
@@ -357,9 +376,7 @@ def _budgeted_con(sf_dir: str):
     # artifact write and the next entry's Spark scratch -- not take
     # the host to 0 bytes free.  Sized at connect time: 60% of the
     # volume's current free space, or SOAK_DUCKDB_TEMP_GB.
-    env = os.environ.get("SOAK_DUCKDB_TEMP_GB")
-    cap_gb = float(env) if env else shutil.disk_usage(SCRATCH).free * 0.6 / 1e9
-    con.execute(f"SET max_temp_directory_size = '{cap_gb:.0f}GB'")
+    _recap_temp(con)
     # insertion-order preservation forces buffering that the compare
     # never needs (every comparison is multiset-based)
     con.execute("SET preserve_insertion_order = false")
@@ -579,6 +596,9 @@ def main() -> int:
             if name in oracles:
                 con = _budgeted_con(sf_dir)  # fresh con: no staleness
                 n_rows = df.count()
+                # Spark's phase is done and its scratch parked: re-size
+                # the oracle's temp grant to what the volume still has.
+                row["duckdb_temp_cap_gb"] = round(_recap_temp(con), 1)
                 stripe_col = _oracle_stripe_col(name, sf_dir)
                 if stripe_col is not None:
                     needle = ORACLE_STRIPE_INNER_NEEDLE.get(name)
