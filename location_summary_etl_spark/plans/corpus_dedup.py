@@ -39,6 +39,17 @@ from location_summary_etl_spark.sources.registry import load_table
 
 # Word-3gram shingles (SHINGLE_NGRAM) -- must mirror
 # operators.dedup._posting_hashes exactly.
+#
+# AS MATERIALIZED on the multiply-referenced CTEs (sig x6, bands/tri/
+# tri2/cnt/blocks/e x2-3): DuckDB INLINES plain CTEs, so without the
+# hint every reference re-runs the whole shingle pipeline (parquet
+# scan -> UNNEST -> 150M-row DISTINCT -> minhash aggregate) as its own
+# concurrent plan tower.  At sf0.01 that is invisible; at the sf10
+# soak tier the six concurrent ~15 GB DISTINCT spills exceeded any
+# temp grant the volume could back (measured: >64 GiB and still
+# growing, vs 26 s / <20 GB for the identical pipeline evaluated
+# once).  The hint is a DuckDB evaluation directive, not a semantic
+# change -- results are bitwise identical, driver-gate verified.
 _TOKENS_CTE = """
 words AS (
     SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -60,7 +71,7 @@ _MINHASH_AGGS = ",\n           ".join(
 )
 
 _SIG_CTE = f"""
-sig AS (
+sig AS MATERIALIZED (
     SELECT doc_id,
            {_MINHASH_AGGS}
     FROM th GROUP BY doc_id
@@ -94,7 +105,7 @@ def minhash_near_dup_sql(threshold: float) -> str:
     straddle the threshold in either engine)."""
     return f"""
 WITH {_TOKENS_CTE}, {_SIG_CTE},
-bands AS (
+bands AS MATERIALIZED (
 {_band_select('x')}
 ),
 cand AS (
@@ -128,7 +139,7 @@ def minhash_near_dup_capped_sql(threshold: float, max_bucket: int) -> str:
     mirroring the Spark anti-join exactly."""
     return f"""
 WITH {_TOKENS_CTE}, {_SIG_CTE},
-bands AS (
+bands AS MATERIALIZED (
 {_band_select('x')}
 ),
 bc AS (
@@ -178,7 +189,7 @@ votes AS (
     FROM th GROUP BY doc_id
 ),
 sim AS (SELECT doc_id, CAST({_SIM_RECON} AS BIGINT) AS simhash FROM votes),
-blocks AS (
+blocks AS MATERIALIZED (
     SELECT doc_id, simhash, blk,
            (simhash >> (8 * blk)) & 255 AS blk_val
     FROM sim, (SELECT unnest([0, 1, 2, 3]) AS blk)
@@ -199,7 +210,7 @@ def ngram_jaccard_sql(threshold: float) -> str:
 WITH tok AS (
     SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ),
-tri AS (
+tri AS MATERIALIZED (
     -- Distinct on the gram STRING, then a 60-bit hash, mirroring the
     -- Spark operator exactly (array_distinct on grams map-side, hash
     -- post-explode): the inverted index carries longs in both engines.
@@ -210,7 +221,7 @@ tri AS (
         FROM tok, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
     )
 ),
-cnt AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+cnt AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
 shared AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
     FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -237,7 +248,7 @@ def ngram_jaccard_capped_sql(threshold: float, max_df: int) -> str:
 WITH tok AS (
     SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ),
-tri AS (
+tri AS MATERIALIZED (
     SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS g
     FROM (
         SELECT DISTINCT doc_id,
@@ -246,10 +257,10 @@ tri AS (
     )
 ),
 df AS (SELECT g, COUNT(*) AS c FROM tri GROUP BY g),
-tri2 AS (
+tri2 AS MATERIALIZED (
     SELECT tri.doc_id, tri.g FROM tri JOIN df USING (g) WHERE df.c <= {max_df}
 ),
-cnt AS (SELECT doc_id, COUNT(*) AS n FROM tri2 GROUP BY doc_id),
+cnt AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM tri2 GROUP BY doc_id),
 shared AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
     FROM tri2 a JOIN tri2 b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -265,7 +276,7 @@ WHERE round(CAST(shared / (ca.n + cb.n - shared) AS DOUBLE), 4) >= {threshold}
 
 
 EMBEDDING_NEAR_DUP_SQL = """
-WITH e AS (
+WITH e AS MATERIALIZED (
     SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
            sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
     FROM embeddings

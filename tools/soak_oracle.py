@@ -148,16 +148,21 @@ UI_PORT = int(os.environ.get("SOAK_UI_PORT", "4049"))
 # tiers where the documents source crosses the engine's own scratch
 # floor (see the module docstring).  The column is the stripe key:
 # the pair's lower doc id, non-null by construction in every row.
+# Only the n-gram family stripes: its pair-count GROUP BY output is
+# genuinely quadratic in the corpus (the temp hog no budget fits).
+# The banded MinHash/SimHash oracles turned out to need no striping
+# at all once their shared CTEs were MATERIALIZED (corpus_dedup.py):
+# their candidate volume is linear-ish (88M pairs at sf10, census),
+# and the >64 GiB temp that looked like a quadratic blowup was
+# DuckDB re-running the INLINED shingle pipeline once per CTE
+# reference -- six concurrent ~15 GB DISTINCT spills.  Materialized,
+# the sf10 minhash oracle one-shots in 51 s under a 25 GB grant.
 ORACLE_STRIPE_COLS = {
     "dedup_ngram_jaccard": "id_a",
     "dedup_ngram_jaccard_auto": "id_a",
     "dedup_ngram_jaccard_prefix": "id_a",
     "dedup_ngram_jaccard_uncapped": "id_a",
     "dedup_ngram_jaccard_capped": "id_a",
-    "dedup_minhash_lsh": "id_a",
-    "dedup_minhash_lsh_uncapped": "id_a",
-    "dedup_minhash_lsh_capped": "id_a",
-    "dedup_simhash_pairs": "id_a",
 }
 ORACLE_STRIPE_K = int(os.environ.get("SOAK_ORACLE_STRIPE_K", "8"))
 
