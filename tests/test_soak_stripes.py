@@ -55,6 +55,29 @@ def test_striped_compare_agrees_with_oneshot(spark):
         con.close()
 
 
+def test_striped_compare_parked_path(spark, tmp_path):
+    """The caller-parked variant (r12: the result is written to parquet
+    and the engine's scratch released BEFORE the oracle's temp grant is
+    sized) must agree with the df-owned path, catch the same value
+    divergence, and leave the caller-owned dir in place."""
+    from soak_oracle import compare_large_striped
+
+    df, n, con, sql = _setup(spark, "dedup_ngram_jaccard")
+    parked = str(tmp_path / "parked")
+    df.write.mode("overwrite").parquet(parked)
+    bad = sql.replace("AS DOUBLE), 4) AS jaccard",
+                      "AS DOUBLE), 3) AS jaccard")
+    try:
+        compare_large_striped(None, con, sql, n, "id_a", 3,
+                              parked=parked)
+        assert os.path.isdir(parked)  # caller keeps ownership
+        with pytest.raises(AssertionError, match="value mismatch"):
+            compare_large_striped(None, con, bad, n, "id_a", 3,
+                                  parked=parked)
+    finally:
+        con.close()
+
+
 def test_striped_compare_catches_value_divergence(spark):
     from soak_oracle import compare_large_striped
 

@@ -267,7 +267,8 @@ def _oracle_stripe_col(name: str, sf_dir: str) -> str | None:
 
 def compare_large_striped(df, con, sql: str, n_spark: int,
                           stripe_col: str, k_stripes: int,
-                          inner_needle: str | None = None) -> None:
+                          inner_needle: str | None = None,
+                          parked: str | None = None) -> None:
     """compare_large in K bounded passes (module docstring): each pass
     materializes the oracle slice ``pmod(stripe_col, K) = k`` to a
     temp table (ONE oracle evaluation per pass, with the stripe
@@ -280,10 +281,18 @@ def compare_large_striped(df, con, sql: str, n_spark: int,
     whose optimizer will not push the outer predicate, the stripe
     predicate on ``a.doc_id`` (= the output's ``stripe_col``, bound
     one projection above the needle) is injected into the candidate
-    join condition instead."""
-    tmp = os.path.join(SCRATCH, f"soak_{uuid.uuid4().hex}")
+    join condition instead.
+
+    ``parked``: a parquet dir the caller already wrote the Spark
+    result to (so it could release the engine's scratch BEFORE the
+    oracle's temp grant was sized -- see _release_spark_scratch).
+    The caller keeps ownership of that dir; without it this function
+    writes and removes its own."""
+    own_tmp = parked is None
+    tmp = parked or os.path.join(SCRATCH, f"soak_{uuid.uuid4().hex}")
     try:
-        df.write.mode("overwrite").parquet(tmp)
+        if own_tmp:
+            df.write.mode("overwrite").parquet(tmp)
         con.execute(
             f"CREATE OR REPLACE TEMP VIEW _spark AS "
             f"SELECT * FROM '{tmp}/*.parquet'")
@@ -342,7 +351,8 @@ def compare_large_striped(df, con, sql: str, n_spark: int,
             f"value mismatch ({n_diff} rows in the symmetric EXCEPT ALL)"
         )
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        if own_tmp:
+            shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _recap_temp(con) -> float:
@@ -362,6 +372,44 @@ def _recap_temp(con) -> float:
         cap_gb = min(cap_gb, float(env))
     con.execute(f"SET max_temp_directory_size = '{cap_gb:.0f}GB'")
     return cap_gb
+
+
+def _release_spark_scratch(spark, timeout_s: float = 90.0) -> None:
+    """Reclaim the entry's Spark disk footprint BEFORE the oracle's
+    temp grant is sized (r12 run d: the striped n-gram plan runs its
+    passes eagerly through localCheckpoint, so the result df IS ~50 GB
+    of parked checkpoint blocks -- _recap_temp saw 27 GB free on a
+    volume that had 77 GB the moment the session stopped, granted
+    DuckDB 21.9 GB, and the oracle DNF'd at 20.4 GiB used).  Once the
+    caller has parked the result to compare parquet, those blocks are
+    dead weight: unpersist every persisted/checkpointed RDD, drop
+    cached relations, then nudge the JVM GC so ContextCleaner deletes
+    the now-unreachable shuffle files, and wait (bounded) until the
+    volume's free space stops growing."""
+    sc = spark.sparkContext
+    try:
+        spark.catalog.clearCache()
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        for rdd in sc._jsc.getPersistentRDDs().values():
+            rdd.unpersist(True)
+    except Exception:  # noqa: BLE001
+        pass
+    import gc as _pygc
+    _pygc.collect()
+    deadline = time.time() + timeout_s
+    last = shutil.disk_usage(SCRATCH).free
+    quiet = 0
+    while time.time() < deadline and quiet < 2:
+        try:
+            sc._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
+        time.sleep(3.0)
+        cur = shutil.disk_usage(SCRATCH).free
+        quiet = quiet + 1 if cur - last < 128 * 1024 * 1024 else 0
+        last = cur
 
 
 def _budgeted_con(sf_dir: str):
@@ -599,24 +647,41 @@ def main() -> int:
             row["spark_sec"] = round(time.time() - t0, 2)
             t1 = time.time()
             if name in oracles:
-                con = _budgeted_con(sf_dir)  # fresh con: no staleness
                 n_rows = df.count()
-                # Spark's phase is done and its scratch parked: re-size
-                # the oracle's temp grant to what the volume still has.
-                row["duckdb_temp_cap_gb"] = round(_recap_temp(con), 1)
                 stripe_col = _oracle_stripe_col(name, sf_dir)
                 if stripe_col is not None:
-                    needle = ORACLE_STRIPE_INNER_NEEDLE.get(name)
-                    compare_large_striped(df, con, oracles[name], n_rows,
-                                          stripe_col, ORACLE_STRIPE_K,
-                                          inner_needle=needle)
+                    # Park the result FIRST, then release the engine's
+                    # scratch (the striped plans hold their output as
+                    # localCheckpoint blocks on this same volume), and
+                    # only THEN size the oracle's temp grant from what
+                    # the volume really has free.
+                    parked = os.path.join(
+                        SCRATCH, f"soak_{uuid.uuid4().hex}")
+                    try:
+                        df.write.mode("overwrite").parquet(parked)
+                        del df
+                        _release_spark_scratch(spark)
+                        con = _budgeted_con(sf_dir)
+                        row["duckdb_temp_cap_gb"] = round(
+                            _recap_temp(con), 1)
+                        needle = ORACLE_STRIPE_INNER_NEEDLE.get(name)
+                        compare_large_striped(
+                            None, con, oracles[name], n_rows,
+                            stripe_col, ORACLE_STRIPE_K,
+                            inner_needle=needle, parked=parked)
+                    finally:
+                        shutil.rmtree(parked, ignore_errors=True)
                     row["compare"] = (
                         f"striped_except_all_k{ORACLE_STRIPE_K}"
                         + ("_inner" if needle else ""))
                 elif n_rows > BIG_ROWS:
+                    con = _budgeted_con(sf_dir)
+                    row["duckdb_temp_cap_gb"] = round(_recap_temp(con), 1)
                     compare_large(df, con, oracles[name], n_rows)
                     row["compare"] = "parquet_except_all"
                 else:
+                    con = _budgeted_con(sf_dir)
+                    row["duckdb_temp_cap_gb"] = round(_recap_temp(con), 1)
                     compare(df, con, oracles[name])
                 row.update(rows_match=True, schema_match=True,
                            hash_match=True)
