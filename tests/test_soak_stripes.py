@@ -138,6 +138,28 @@ def test_inner_needle_striped_compare_agrees(spark):
         con.close()
 
 
+def test_cte_splitter_shapes():
+    """_split_ctes handles every striped oracle's generated shape and
+    passes through SQL it must not touch (no top-level WITH; a WITH
+    nested under a wrapper SELECT, the row-divergence test's shape)."""
+    from soak_oracle import _split_ctes
+
+    from location_summary_etl_spark.plans import corpus
+
+    oracles = corpus.oracle_sql()
+    for name in ("dedup_ngram_jaccard", "dedup_ngram_jaccard_auto",
+                 "dedup_minhash_lsh", "dedup_simhash_pairs"):
+        ctes, final = _split_ctes(oracles[name])
+        assert any(mat for _, _, mat in ctes), name
+        assert final.lstrip().upper().startswith("SELECT"), name
+        # reassembled text preserves every body verbatim
+        for n2, body, _ in ctes:
+            assert body in oracles[name], (name, n2)
+    assert _split_ctes("SELECT 1 AS x") == ([], "SELECT 1 AS x")
+    wrapped = "SELECT * FROM (WITH a AS (SELECT 1) SELECT * FROM a) q"
+    assert _split_ctes(wrapped) == ([], wrapped)
+
+
 def test_stripe_gate_mirrors_engine_scratch_gate(tmp_path):
     from soak_oracle import _oracle_stripe_col
 

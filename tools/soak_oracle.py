@@ -245,6 +245,110 @@ def compare_large(df, con, sql: str, n_spark: int) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _split_ctes(sql: str) -> tuple[list[tuple[str, str, bool]], str]:
+    """Split a corpus oracle's top-level WITH-chain into
+    ``([(name, body, is_materialized)], final_select)``.
+
+    Handles exactly the shape the corpus generator emits: one
+    top-level ``WITH``, CTEs ``name AS [MATERIALIZED] ( body )``
+    separated by commas, then the final SELECT.  Bodies may nest
+    parentheses and contain single-quoted literals (skipped).  A SQL
+    with no top-level WITH returns ``([], sql)``."""
+    s = sql
+    i = 0
+    n = len(s)
+
+    def _skip_ws(j: int) -> int:
+        while j < n and s[j].isspace():
+            j += 1
+        return j
+
+    i = _skip_ws(i)
+    if s[i:i + 4].upper() != "WITH" or (i + 4 < n and not s[i + 4].isspace()):
+        return [], sql
+    i += 4
+    ctes: list[tuple[str, str, bool]] = []
+    while True:
+        i = _skip_ws(i)
+        j = i
+        while j < n and (s[j].isalnum() or s[j] == "_"):
+            j += 1
+        name = s[i:j]
+        assert name, f"CTE name expected at offset {i}"
+        i = _skip_ws(j)
+        assert s[i:i + 2].upper() == "AS", f"AS expected after CTE {name}"
+        i = _skip_ws(i + 2)
+        mat = False
+        if s[i:i + 12].upper() == "MATERIALIZED":
+            mat = True
+            i = _skip_ws(i + 12)
+        assert s[i] == "(", f"( expected after CTE {name}"
+        depth = 0
+        k = i
+        while k < n:
+            c = s[k]
+            if c == "'":  # skip string literal ('' is an escaped quote)
+                k += 1
+                while k < n:
+                    if s[k] == "'":
+                        if k + 1 < n and s[k + 1] == "'":
+                            k += 2
+                            continue
+                        break
+                    k += 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        assert depth == 0, f"unbalanced parens in CTE {name}"
+        ctes.append((name, s[i + 1:k].strip(), mat))
+        i = _skip_ws(k + 1)
+        if s[i] == ",":
+            i += 1
+            continue
+        return ctes, s[i:]
+
+
+def _materialize_ctes(con, sql: str) -> str:
+    """CREATE TEMP TABLE for every ``AS MATERIALIZED`` CTE of SQL, in
+    definition order, and return the per-stripe remainder (the final
+    SELECT under a WITH of only the non-materialized CTEs).
+
+    Why: ``AS MATERIALIZED`` dedups CTE references WITHIN one query,
+    but the striped compare runs K separate queries -- each pass was
+    re-running the whole shingle pipeline (r12 run e: the capped
+    n-gram oracle's per-pass spill, tri DISTINCT + document-frequency
+    join, exceeded a 70 GB grant that its own pair stage fits easily).
+    Materializing the marked CTEs once per connection makes each pass
+    pay only its own (striped) pair join.  Bodies are taken verbatim
+    from the entry's committed oracle_sql, so the compared relation is
+    unchanged."""
+    ctes, final = _split_ctes(sql)
+    if not any(mat for _, _, mat in ctes):
+        return sql
+    pending: list[tuple[str, str]] = []  # non-materialized defs so far
+    for name, body, mat in ctes:
+        if not mat:
+            pending.append((name, body))
+            continue
+        prefix = ""
+        if pending:
+            defs = ", ".join(f"{n2} AS ({b})" for n2, b in pending)
+            prefix = f"WITH {defs} "
+        t0 = time.time()
+        con.execute(f"CREATE OR REPLACE TEMP TABLE {name} AS "
+                    f"{prefix}{body}")
+        print(f"    oracle CTE {name} materialized in "
+              f"{time.time() - t0:.0f}s", flush=True)
+    if pending:
+        defs = ", ".join(f"{n2} AS ({b})" for n2, b in pending)
+        return f"WITH {defs} {final}"
+    return final
+
+
 def _oracle_stripe_col(name: str, sf_dir: str) -> str | None:
     """Stripe key for NAME's oracle compare, or None for the one-shot
     path.  Gated on the same driver-side file stat the engine's own
@@ -296,6 +400,10 @@ def compare_large_striped(df, con, sql: str, n_spark: int,
         con.execute(
             f"CREATE OR REPLACE TEMP VIEW _spark AS "
             f"SELECT * FROM '{tmp}/*.parquet'")
+        # Shared pipeline ONCE per connection, pair stage K times
+        # (see _materialize_ctes); the needle lives in a CTE body
+        # that survives the rewrite verbatim.
+        sql = _materialize_ctes(con, sql)
         con.execute(f"CREATE OR REPLACE TEMP VIEW _oracle AS {sql}")
         s_desc = {r[0]: r[1] for r in con.execute("DESCRIBE _spark").fetchall()}
         d_desc = {r[0]: r[1] for r in con.execute("DESCRIBE _oracle").fetchall()}
@@ -337,6 +445,8 @@ def compare_large_striped(df, con, sql: str, n_spark: int,
                 f"UNION ALL (({sel_o}) EXCEPT ALL ({sel_s})))"
             ).fetchone()[0]
             con.execute("DROP TABLE _om")
+            print(f"    stripe {k + 1}/{k_stripes} compared "
+                  f"({n_oracle} oracle rows so far)", flush=True)
         # The stripes must partition the Spark result exactly: a NULL
         # stripe key (or a predicate bug) shows up as a shortfall here,
         # never as a silent pass.
