@@ -184,10 +184,14 @@ SHINGLE_NGRAM = 3  # word n-gram size for MinHash/SimHash features
 def _tokenized(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, _toks token-array) -- tokenize once into a projected column
     (see ngrams_from_tokens on why an inlined split re-evaluates per
-    n-gram element)."""
+    n-gram element).  Widened by HASH on the unique doc id (r12): no
+    round-robin pre-sort of the text payload, and the per-doc
+    aggregates downstream (minhash/simhash signatures, census
+    regroups) inherit the partitioning instead of paying their own
+    exchange (session.ensure_parallelism ``by`` note)."""
     from location_summary_etl_spark.session import ensure_parallelism
 
-    return ensure_parallelism(docs).select(
+    return ensure_parallelism(docs, by=id_col).select(
         id_col, tokens(text_col).alias("_toks")
     )
 
@@ -677,21 +681,34 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     filter_cap = max_df is not None and not census
     # The count is zipped INTO the generator input (element, n) pairs:
     # a neighbouring size(...) projection would be re-evaluated per
-    # exploded OUTPUT row (measured 15x slower), and a projected-alias
-    # array triggers InferFiltersFromGenerate (see _posting_hashes).
-    # The 3 per-doc evaluations of the gram array inside arrays_zip/
-    # array_repeat are map-side and O(grams), invisible next to either.
+    # exploded OUTPUT row (measured 15x slower), and a BARE
+    # projected-alias array as the generator input triggers
+    # InferFiltersFromGenerate (see _posting_hashes).  r12: the
+    # distinct-gram array is projected ONCE below the explode -- the
+    # previous inline form evaluated the shingle transform +
+    # array_distinct three times per row inside arrays_zip/
+    # array_repeat (GenerateExec gets no codegen subexpression
+    # elimination); the alias is non-cheap and referenced 3x, so
+    # CollapseProject leaves it alone, and the generator input is
+    # still the non-attribute arrays_zip, keeping the
+    # InferFiltersFromGenerate exemption.  Measured 1.036 -> 1.000 s
+    # uncapped at sf0.1 (tools/ab_r12_ngram_proj.py, parity-anchored
+    # to the operator itself); the same fix measured -15% on
+    # doc_fingerprints, whose per-doc shingle array is ~4x wider.
     dgrams = F.array_distinct(ngrams_from_tokens(F.col("_toks"), n))
     if not census:
         packed = F.explode(
-            F.arrays_zip(dgrams, F.array_repeat(F.size(dgrams), F.size(dgrams)))
+            F.arrays_zip(
+                F.col("_dgs"),
+                F.array_repeat(F.size("_dgs"), F.size("_dgs")))
         )
         postings = (
             _tokenized(docs, id_col, text_col)
+            .select(F.col(id_col), dgrams.alias("_dgs"))
             .select(F.col(id_col), packed.alias("_z"))
             .select(
                 _pack_posting(F.col(id_col), F.col("_z")["1"]).alias("pk"),
-                F.xxhash64(F.col("_z")["0"]).alias("g"),
+                F.xxhash64(F.col("_z")["_dgs"]).alias("g"),
             )
         )
     else:
@@ -1114,7 +1131,7 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
     from location_summary_etl_spark.functions.vectors import cosine, l2_norm
     from location_summary_etl_spark.session import ensure_parallelism
 
-    emb = ensure_parallelism(emb)
+    emb = ensure_parallelism(emb, by=id_col)
     base = emb.select(
         F.col(id_col), F.col(block_col).alias("blk"),
         F.col(vec_col).cast("array<double>").alias("v"),

@@ -149,7 +149,7 @@ def brute_force_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
 
     The query side is a broadcast of |Q| rows; scoring is map-only.
     """
-    emb = ensure_parallelism(emb)  # 1-partition small scans -> all cores
+    emb = ensure_parallelism(emb, by=id_col)  # 1-partition small scans -> all cores
     q = _with_norm(
         emb.filter(F.col(id_col).isin(query_ids)), id_col, vec_col, "q"
     ).withColumnRenamed("q_id", "query_id")
@@ -187,7 +187,7 @@ def lsh_bucket_topk(emb: DataFrame, query_ids: list[int], k: int = 3,
     hash-partitioned by bucket once and each query probes one
     partition, instead of scanning the full table per query.
     """
-    emb = ensure_parallelism(emb)  # 1-partition small scans -> all cores
+    emb = ensure_parallelism(emb, by=id_col)  # 1-partition small scans -> all cores
     q = (
         _with_norm(emb.filter(F.col(id_col).isin(query_ids)),
                    id_col, vec_col, "q")
@@ -266,7 +266,7 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     never |N| x |Q|.  This is the standard IVF bargain -- recall
     bounded by n_probe/cells -- expressed entirely in DataFrame ops.
     """
-    emb = ensure_parallelism(emb)  # 1-partition small scans -> all cores
+    emb = ensure_parallelism(emb, by=id_col)  # 1-partition small scans -> all cores
     cent = ivf_centroids(emb, label_col, vec_col)
     cells = ivf_cells(emb, id_col, vec_col, label_col)
     return ivf_search(cells, cent, query_ids, k=k, n_probe=n_probe)

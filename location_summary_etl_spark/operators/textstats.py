@@ -46,7 +46,7 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id",
     # re-evaluation).
     from location_summary_etl_spark.session import ensure_parallelism
 
-    base = ensure_parallelism(docs).select(
+    base = ensure_parallelism(docs, by=id_col).select(
         F.col(id_col),
         F.length(text_col).alias("_chars"),
         tokens(text_col).alias("_toks"),
@@ -77,7 +77,7 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id",
     trigrams that hit the English profile; >= 2% -> 'en'."""
     from location_summary_etl_spark.session import ensure_parallelism
 
-    base = ensure_parallelism(docs).select(
+    base = ensure_parallelism(docs, by=id_col).select(
         F.col(id_col), F.col("lang"),
         char_shingles(text_col, 3).alias("_tris"),  # build shingles once
     )
@@ -144,22 +144,43 @@ def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     array transform lambda runs interpreted per element (measured ~4x
     on this operator: md5 of every k-char window dominates).  The
     distinct count rides the generator input as (shingle, count) pairs
-    (arrays_zip), keeping the explode input inlined and exempt from
-    InferFiltersFromGenerate (see operators.dedup._posting_hashes).
+    (arrays_zip), keeping the explode input a NON-attribute and so
+    exempt from InferFiltersFromGenerate (see
+    operators.dedup._posting_hashes).
+
+    r12: the distinct-shingle array is PROJECTED ONCE below the
+    explode instead of inlined three times into the generator input
+    (arrays_zip(dsh, array_repeat(size(dsh), size(dsh))) re-ran the
+    whole shingle transform + array_distinct per reference --
+    GenerateExec evaluates its input without the codegen
+    subexpression elimination a Project gets).  CollapseProject
+    leaves the alias alone (non-cheap, referenced 3x), and the
+    generator input stays a non-attribute (the arrays_zip), so the
+    InferFiltersFromGenerate exemption holds.  Measured with the
+    hash-partition change below (tools/ab_r12_parallelism.py,
+    interleaved min-of-8 at sf0.1): inline+round-robin 0.732 s,
+    projected+round-robin 0.623 s, projected+hash 0.265 s -- same
+    result multiset, one exchange deleted (groupBy(doc_id) reuses the
+    ensure_parallelism hash partitioning).
     """
     from location_summary_etl_spark.functions.scalars import portable_hash32
     from location_summary_etl_spark.session import ensure_parallelism
 
-    dsh = F.array_distinct(char_shingles(text_col, k))
     packed = F.explode(
-        F.arrays_zip(dsh, F.array_repeat(F.size(dsh), F.size(dsh)))
+        F.arrays_zip(
+            F.col("_dsh"),
+            F.array_repeat(F.size("_dsh"), F.size("_dsh")))
     )
     return (
-        ensure_parallelism(docs)
+        ensure_parallelism(docs, by=id_col)
+        .select(
+            F.col(id_col),
+            F.array_distinct(char_shingles(text_col, k)).alias("_dsh"),
+        )
         .select(F.col(id_col), packed.alias("_z"))
         .select(
             F.col(id_col),
-            portable_hash32(F.col("_z")["0"]).alias("_h"),
+            portable_hash32(F.col("_z")["_dsh"]).alias("_h"),
             F.col("_z")["1"].alias("_nd"),
         )
         .groupBy(id_col)

@@ -117,7 +117,7 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
 
-    base = ensure_parallelism(docs).select(
+    base = ensure_parallelism(docs, by="doc_id").select(
         "doc_id",
         tokens("text").alias("_toks"),
         char_shingles("text", 3).alias("_tris"),

@@ -33,7 +33,7 @@ def corpus_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from location_summary_etl_spark.session import ensure_parallelism
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return doc_quality_rules(ensure_parallelism(docs))
+    return doc_quality_rules(ensure_parallelism(docs, by="doc_id"))
 
 
 # The oracle computes the same statistics through the explode +
@@ -236,7 +236,7 @@ def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source")
-    rules = doc_quality_rules(ensure_parallelism(docs)).select(
+    rules = doc_quality_rules(ensure_parallelism(docs, by="doc_id")).select(
         "doc_id", "n_words", "keep")
     joined = docs.select("doc_id", "lang", "source").join(rules, "doc_id")
     per_source = joined.groupBy("source").agg(

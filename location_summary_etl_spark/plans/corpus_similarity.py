@@ -613,7 +613,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from location_summary_etl_spark.session import ensure_parallelism
 
     return kmeans_assign(
-        ensure_parallelism(_emb(spark, sf_dir)),
+        ensure_parallelism(_emb(spark, sf_dir), by="vec_id"),
         k=KMEANS_K, iters=KMEANS_ITERS)
 
 
@@ -675,7 +675,7 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from location_summary_etl_spark.session import ensure_parallelism
 
-    emb = ensure_parallelism(_emb(spark, sf_dir))
+    emb = ensure_parallelism(_emb(spark, sf_dir), by="vec_id")
     clusters = kmeans_assign(emb, k=KMEANS_K, iters=KMEANS_ITERS)
     blocked = emb.join(clusters, "vec_id").select(
         "vec_id", "embedding", "cluster")

@@ -125,7 +125,10 @@ def doc_token_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     counts = (
-        ensure_parallelism(docs.select("doc_id", "text"))
+        # hash-widened on doc_id (r12): both downstream aggregates
+        # (groupBy(doc_id, tok), groupBy(doc_id)) reuse the
+        # partitioning -- two exchanges deleted
+        ensure_parallelism(docs.select("doc_id", "text"), by="doc_id")
         .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("cnt"))

@@ -147,7 +147,12 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     tf = (
-        ensure_parallelism(docs.select("doc_id", "text"))
+        # hash-widened on doc_id (r12): groupBy(doc_id, tok) below
+        # reuses the partitioning -- ClusteredDistribution is satisfied
+        # by any subset of the keys -- so the tf aggregate's exchange
+        # disappears (measured 0.978 -> 0.577 s at sf0.1, interleaved;
+        # tools/ab_r12_parallelism.py)
+        ensure_parallelism(docs.select("doc_id", "text"), by="doc_id")
         .select("doc_id", F.explode(tokens("text")).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf"))

@@ -99,7 +99,7 @@ def _ngram_stream(docs: DataFrame, widen: bool = True) -> DataFrame:
     n = CONTAM_NGRAM
     base = docs.select("doc_id", "text")
     if widen:
-        base = ensure_parallelism(base)
+        base = ensure_parallelism(base, by="doc_id")
     toks = base.select("doc_id", tokens("text").alias("toks"))
     idx = F.when(
         F.size("toks") >= n, F.sequence(F.lit(1), F.size("toks") - (n - 1))

@@ -42,10 +42,37 @@ def _parse_bytes(raw: str, default: int) -> int:
         return default
 
 
-def ensure_parallelism(df, min_partitions: int | None = None):
-    """Round-robin repartition a narrow relation whose scan parallelism
-    is below the session's core count, BEFORE CPU-heavy per-row work
+def ensure_parallelism(df, min_partitions: int | None = None,
+                       by: str | None = None):
+    """Repartition a narrow relation whose scan parallelism is below
+    the session's core count, BEFORE CPU-heavy per-row work
     (shingling, hashing, vector math) is chained onto it.
+
+    ``by`` (r12): hash-partition on a UNIQUE id column instead of
+    round-robin.  Two measured effects (tools/ab_r12_parallelism.py,
+    interleaved same-session min-of-8 at sf0.1):
+
+    - every keyless ``repartition(n)`` first pays a LOCAL SORT of its
+      input rows (``spark.sql.execution.sortBeforeRepartition``, on by
+      default since SPARK-23207 so retried tasks reproduce the same
+      row-to-partition assignment) -- for a payload-bearing relation
+      (documents with text) that sort is a real pass over the bytes;
+      hash partitioning is deterministic per row and skips it, keeping
+      the retry-safety the sort exists for;
+    - ``HashPartitioning(id)`` satisfies ``ClusteredDistribution`` for
+      every downstream aggregate keyed on the id (or any superset:
+      groupBy(id), groupBy(id, tok)), so the per-doc aggregate's own
+      exchange DISAPPEARS (EnsureRequirements sees the partitioning is
+      already established).  Measured: text_fingerprints 0.732 ->
+      0.408 s, text_tfidf_top_terms 0.978 -> 0.577 s,
+      dedup_minhash_lsh 0.954 -> 0.819 s, identical result multisets.
+
+    Caller contract for ``by``: a (near-)unique, non-null key, so the
+    hash spreads evenly -- a low-cardinality or skewed key would
+    recreate exactly the imbalance this helper exists to fix (the
+    round-robin form remains for relations with no such key).  Results
+    must not depend on partitioning, which the corpus guarantees
+    globally (exact fixed-point aggregation policy, r11).
 
     Why: a small parquet file with one row group scans as ONE partition,
     so everything fused into that scan stage runs on one core no matter
@@ -99,6 +126,10 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     est = (padded + max_split - 1) // max(max_split, 1)
     if est >= n:
         return df
+    if by is not None:
+        from pyspark.sql import functions as F
+
+        return df.repartition(n, F.col(by))
     return df.repartition(n)
 
 
