@@ -217,18 +217,25 @@ SELECT (SELECT COUNT(*) FROM orders) AS n_orders,
 
 # ------------------------------------------------------------------
 # Gaps-and-islands: collapse each user's consecutive runs of the same
-# event_type into (run_start, run_end, run_len) rows -- the classic
-# row_number() difference trick (rn over user minus rn over
-# (user, type) is constant within a run).  Both row_numbers share the
-# (user_id, ts) sort order, so Catalyst evaluates them in ONE
-# exchange + sort; ties broken by event_id for determinism.
+# event_type into (run_start, run_end, run_len) rows.  The oracle keeps
+# the classic row_number() difference form; Spark uses the lag form
+# (new_run = type != lag(type), grp = running count of run starts) --
+# both windows share ONE order (user_id / ts, event_id), so the single
+# exchange is followed by a single sort, where the rn-difference form's
+# second window (partitioned by user_id, event_type) forced a second
+# full sort of the data (r12 A/B: 0.343 -> 0.315 s at sf0.1).  grp
+# values differ between the two forms but grp is dropped; runs are
+# maximal same-type streaks under the same total order either way, so
+# the (user, type, len, start, end) multiset is identical.
 def events_state_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_run = F.when(F.lag("event_type").over(w) == F.col("event_type"), 0).otherwise(1)
     runs = ev.select(
         "user_id", "event_type", "ts",
-        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("grp"),
+        F.sum(new_run)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("grp"),
     )
     return (
         runs.groupBy("user_id", "event_type", "grp")

@@ -213,23 +213,27 @@ def test_incremental_delta_prunes_source_partitions(spark, tmp_path):
         == {"2024-01-02", "2024-01-03"}
 
 
-def test_state_runs_is_single_exchange(spark, sf_dir):
-    """events_state_runs layers two row_numbers (windows keyed on
-    user_id and (user_id, event_type)) plus a grouped aggregation --
-    all satisfiable by ONE hash partitioning on user_id, because a
-    subset-keyed HashPartitioning satisfies the wider clustered
-    distributions.  More than one Exchange means Catalyst stopped
-    reusing the partitioning and the query re-shuffles the events
-    table at 100 TB."""
+def test_state_runs_is_single_exchange_single_sort(spark, sf_dir):
+    """events_state_runs (lag form since r12) computes run boundaries
+    with lag + running sum over ONE window order (user_id / ts,
+    event_id), and the grouped aggregation reuses the same hash
+    partitioning on user_id (subset-keyed HashPartitioning satisfies
+    the wider clustered distribution).  More than one Exchange means
+    Catalyst stopped reusing the partitioning and the query
+    re-shuffles the events table at 100 TB; more than one Sort means
+    the query regressed to the rn-difference form's second full sort
+    (r12 A/B: 0.343 -> 0.315 s at sf0.1)."""
     saved = spark.conf.get("spark.sql.adaptive.enabled")
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         df = contract.queries()["events_state_runs"](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        n_exchange = sum(
-            1 for line in plan.splitlines() if "Exchange" in line
-        )
+        lines = plan.splitlines()
+        n_exchange = sum(1 for line in lines if "Exchange" in line)
+        n_sort = sum(1 for line in lines if line.lstrip("+- :*(0123456789) ")
+                     .startswith("Sort "))
         assert n_exchange == 1, f"expected 1 shuffle, got {n_exchange}:\n{plan}"
+        assert n_sort == 1, f"expected 1 sort, got {n_sort}:\n{plan}"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", saved)
 
