@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from location_summary_etl_spark.session import ensure_parallelism
+
 
 def asof_join_backward(probe: DataFrame, base: DataFrame,
                        keys: list[str], probe_ts: str, base_ts: str,
@@ -42,6 +44,17 @@ def asof_join_backward(probe: DataFrame, base: DataFrame,
         if c not in keys:
             b = b.withColumn(c, F.lit(None).cast(probe.schema[c].dataType))
     u = p.unionByName(b.select(*p.columns))
+    # r12: Union erases child partitioning, so the window below always
+    # pays one exchange on the key -- but that exchange carries little
+    # at small inputs and AQE parallelism-first coalescing then shrinks
+    # it below core width, running the per-key sort+window nearly
+    # serial.  The explicit hash repartition is the same exchange in
+    # the same position, tagged REPARTITION_BY_NUM (coalescing-exempt);
+    # subset-key hash partitioning satisfies the window's clustered
+    # distribution, so no second exchange appears.  File-gated: no-op
+    # whenever the union's source scans are already core-wide
+    # (tools/ab_r12_eventswiden.py: 0.291 -> 0.278 s at sf0.1).
+    u = ensure_parallelism(u, by=keys[0])
     # Base rows sort before probe rows at equal timestamps (__p asc), so
     # the inclusive (<=) match sees same-instant base rows inside the
     # running frame; strict mode flips the tag order so equal-ts base

@@ -17,6 +17,7 @@ from location_summary_etl_spark.functions.scalars import (
 )
 from location_summary_etl_spark.operators.windows import epoch_seconds
 from location_summary_etl_spark.plans.corpus import register
+from location_summary_etl_spark.session import ensure_parallelism
 from location_summary_etl_spark.sources.registry import load_table
 
 
@@ -228,7 +229,13 @@ SELECT (SELECT COUNT(*) FROM orders) AS n_orders,
 # maximal same-type streaks under the same total order either way, so
 # the (user, type, len, start, end) multiset is identical.
 def events_state_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # r12: widen the scan by the window key -- AQE parallelism-first
+    # coalescing shrinks the ~2 MB window exchange to a couple of
+    # partitions, serializing the sort+window; the explicit repartition
+    # is the same exchange, REPARTITION_BY_NUM (coalescing-exempt).
+    # Interleaved A/B (tools/ab_r12_eventswiden.py): 0.368 -> 0.222 s
+    # on top of the lag-form rewrite.  File-gated no-op at scale.
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"), by="user_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     new_run = F.when(F.lag("event_type").over(w) == F.col("event_type"), 0).otherwise(1)
     runs = ev.select(

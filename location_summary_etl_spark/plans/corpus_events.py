@@ -20,6 +20,7 @@ from location_summary_etl_spark.operators.windows import (
     tumbling_bucket,
 )
 from location_summary_etl_spark.plans.corpus import register
+from location_summary_etl_spark.session import ensure_parallelism
 from location_summary_etl_spark.sources.registry import load_table
 
 
@@ -182,7 +183,16 @@ GROUP BY 1
 # ------------------------------------------------------------------
 # Sessionization: 30-minute inactivity gap, per-user session stats.
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = sessionize(_events(spark, sf_dir), "user_id", "ts", 1800)
+    # r12: widen the events scan by the window key.  The session window
+    # exchange carries ~2 MB here, so AQE parallelism-first coalescing
+    # shrinks it to a couple of partitions and the sort+window run
+    # nearly serial; the explicit hash repartition is the SAME exchange
+    # in the SAME position but REPARTITION_BY_NUM (coalescing-exempt),
+    # and the final groupBy(user_id) still reuses it.  Interleaved A/B
+    # (tools/ab_r12_eventswiden.py): 0.262 -> 0.230 s.  File-gated
+    # no-op at any tier where the scan is already wide.
+    ev = ensure_parallelism(_events(spark, sf_dir), by="user_id")
+    ev = sessionize(ev, "user_id", "ts", 1800)
     return ev.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
         (F.max("session_id") + 1).alias("n_sessions"),

@@ -137,12 +137,30 @@ def order_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Residue verdict: one fact exchange whose per-task cost shrinks
     with executor count; DuckDB's 0.40 s is the same dataflow without
-    shuffle materialization."""
-    from location_summary_etl_spark.session import broadcast_if_small
+    shuffle materialization.
+
+    r12: the lineitem scan is widened with ``ensure_parallelism(by=
+    "l_orderkey")``.  At bench scale the single-row-group file scans
+    as ONE partition, so the per-orderkey partial aggregate (a ~150k
+    group hash table over 600k rows) ran serially inside the scan
+    stage; hash-partitioning by the aggregation key moves it wide and
+    the exchange the aggregate needed is REPLACED, not added -- same
+    exchange count, the shuffle just carries filtered raw rows
+    (~2x the bytes of the collapsed rows, trivial at this size)
+    instead of serializing the group build.  Interleaved A/B
+    (tools/ab_r12_scanwiden.py): 0.671 -> 0.440 s (-34%).  Queries
+    where the same widening would ADD an exchange (Q1, Q5, Q17, the
+    map-only derives) measured 19-258% WORSE and keep their shapes.
+    At production scale the file-metadata gate makes this a no-op."""
+    from location_summary_etl_spark.session import (
+        broadcast_if_small,
+        ensure_parallelism,
+    )
 
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    lineitem = ensure_parallelism(
+        load_table(spark, sf_dir, "lineitem"), by="l_orderkey")
     cutoff = F.lit(Q3_CUTOFF).cast("timestamp_ntz")
     cust_ord = (
         customer.filter(F.col("c_mktsegment") == Q3_SEGMENT)
