@@ -89,16 +89,31 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     under any partitioning; a float sum is not), and the per-group
     division + rounding runs on identical integers in both engines."""
     li = _t(spark, sf_dir, "lineitem")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc * (1 + F.col("l_tax"))
-    return (
+    # r12: project the shared subexpressions once below the aggregate.
+    # Inlined, the partial agg evaluated price*(1-discount) three times
+    # per row (disc-price units, charge units, charge's SIGNUM) --
+    # aggregate function children do not get the cross-expression CSE a
+    # Project's codegen does.  _charge keeps the original association
+    # (disc * (1 + tax)), so the doubles -- and the oracle hash -- are
+    # bit-identical.  Interleaved A/B (tools/ab_r12_q1proj.py):
+    # 0.681 -> 0.601 s (-12%).
+    pre = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp_ntz"))
-        .groupBy("l_returnflag", "l_linestatus")
+        .select(
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_disc"),
+        )
+        .withColumn("_charge", F.col("_disc") * (1 + F.col("l_tax")))
+        .drop("l_tax")
+    )
+    return (
+        pre.groupBy("l_returnflag", "l_linestatus")
         .agg(
             sum_fixed_point("l_quantity", 0, 2).alias("sum_qty"),
             sum_fixed_point("l_extendedprice", 2, 2).alias("sum_base_price"),
-            sum_fixed_point(disc, 4, 2).alias("sum_disc_price"),
-            sum_fixed_point(charge, 6, 2).alias("sum_charge"),
+            sum_fixed_point(F.col("_disc"), 4, 2).alias("sum_disc_price"),
+            sum_fixed_point(F.col("_charge"), 6, 2).alias("sum_charge"),
             avg_fixed_point("l_quantity", 0, 4).alias("avg_qty"),
             avg_fixed_point("l_extendedprice", 2, 4).alias("avg_price"),
             avg_fixed_point("l_discount", 2, 4).alias("avg_disc"),
