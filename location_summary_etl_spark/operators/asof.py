@@ -54,7 +54,13 @@ def asof_join_backward(probe: DataFrame, base: DataFrame,
     # distribution, so no second exchange appears.  File-gated: no-op
     # whenever the union's source scans are already core-wide
     # (tools/ab_r12_eventswiden.py: 0.291 -> 0.278 s at sf0.1).
-    u = ensure_parallelism(u, by=keys[0])
+    # keys[0] is a per-entity id (user_id here): not unique, but the
+    # window below partitions by the same key, so the widening exchange
+    # carries exactly the skew the window itself would -- no new skew
+    # is introduced (session.ensure_parallelism ``by`` caveat).  An
+    # empty keys list degrades to the keyless round-robin widening
+    # (the window is then global and single-partition regardless).
+    u = ensure_parallelism(u, by=keys[0]) if keys else ensure_parallelism(u)
     # Base rows sort before probe rows at equal timestamps (__p asc), so
     # the inclusive (<=) match sees same-instant base rows inside the
     # running frame; strict mode flips the tag order so equal-ts base

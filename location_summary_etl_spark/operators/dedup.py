@@ -180,20 +180,39 @@ def exact_dedup(df: DataFrame, content_cols: list[str],
 
 SHINGLE_NGRAM = 3  # word n-gram size for MinHash/SimHash features
 
+# r13 (guide §2.2/§2.6, tools/ab_r13_minhash.py): width bound for the
+# signature pipelines' widening repartition -- one task per ~64 KB of
+# source text, cores-capped.  The 3-gram shingle+md5+minhash stage
+# measures ~1.5 us/byte of real work, so a 64 KB task carries ~100 ms
+# of compute vs the ~4 ms/task fixed cost that made 32 tasks of 18 KB
+# SLOWER than 8 tasks of 74 KB (stage executorRunTime 6838 ms at
+# width 32 vs 910 ms at width 8 for identical work; query 0.648 ->
+# 0.549 s, flat across widths 8-16).  The n-gram Jaccard operators
+# measured width-INDIFFERENT (0.934 vs 0.939 -- their cost is the
+# pair stage), so they keep the default full width and their plans
+# byte-stable; the 8-char-shingle fingerprint pipeline measured the
+# OPPOSITE (0.275 at 32 vs 0.533 at 8: ~4x heavier per byte), so this
+# constant deliberately does not reach it.  At any real tier
+# bytes/64KB far exceeds the core cap and the bound is inert.
+SIGNATURE_TASK_TARGET_BYTES = 64 * 1024
 
-def _tokenized(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+
+def _tokenized(docs: DataFrame, id_col: str, text_col: str,
+               target_task_bytes: int | None = None) -> DataFrame:
     """(id, _toks token-array) -- tokenize once into a projected column
     (see ngrams_from_tokens on why an inlined split re-evaluates per
     n-gram element).  Widened by HASH on the unique doc id (r12): no
     round-robin pre-sort of the text payload, and the per-doc
     aggregates downstream (minhash/simhash signatures, census
     regroups) inherit the partitioning instead of paying their own
-    exchange (session.ensure_parallelism ``by`` note)."""
+    exchange (session.ensure_parallelism ``by`` note).
+    ``target_task_bytes`` bounds the width data-proportionally (r13,
+    see SIGNATURE_TASK_TARGET_BYTES)."""
     from location_summary_etl_spark.session import ensure_parallelism
 
-    return ensure_parallelism(docs, by=id_col).select(
-        id_col, tokens(text_col).alias("_toks")
-    )
+    return ensure_parallelism(
+        docs, by=id_col, target_task_bytes=target_task_bytes
+    ).select(id_col, tokens(text_col).alias("_toks"))
 
 
 def _posting_hashes(docs: DataFrame, id_col: str, text_col: str,
@@ -263,7 +282,8 @@ def _posting_hashes(docs: DataFrame, id_col: str, text_col: str,
         grams = F.array_distinct(grams)
     hashf = portable_hash32 if bits == 32 else portable_hash60
     return (
-        _tokenized(docs, id_col, text_col)
+        _tokenized(docs, id_col, text_col,
+                   target_task_bytes=SIGNATURE_TASK_TARGET_BYTES)
         .select(F.col(id_col), F.explode(grams).alias("_g0"))
         .select(F.col(id_col), hashf("_g0").alias("h"))
     )

@@ -237,7 +237,16 @@ def events_state_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on top of the lag-form rewrite.  File-gated no-op at scale.
     ev = ensure_parallelism(load_table(spark, sf_dir, "events"), by="user_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    new_run = F.when(F.lag("event_type").over(w) == F.col("event_type"), 0).otherwise(1)
+    # eqNullSafe, not ==: with a nullable event_type, `lag(type) ==
+    # type` is NULL for consecutive NULLs, so each NULL row would start
+    # its own run, where the oracle's rn-difference form groups
+    # consecutive NULLs into one run.  Null-safe equality makes the lag
+    # form equivalent for nullable inputs too (identical on the
+    # null-free fixtures; first-row lag NULL vs non-null type is false
+    # either way, so run starts are unchanged).
+    new_run = F.when(
+        F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 0
+    ).otherwise(1)
     runs = ev.select(
         "user_id", "event_type", "ts",
         F.sum(new_run)

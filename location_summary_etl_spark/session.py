@@ -43,10 +43,33 @@ def _parse_bytes(raw: str, default: int) -> int:
 
 
 def ensure_parallelism(df, min_partitions: int | None = None,
-                       by: str | None = None):
+                       by: str | None = None,
+                       target_task_bytes: int | None = None):
     """Repartition a narrow relation whose scan parallelism is below
     the session's core count, BEFORE CPU-heavy per-row work
     (shingling, hashing, vector math) is chained onto it.
+
+    ``target_task_bytes`` (r13): bound the widened width to
+    DATA-PROPORTIONAL size -- ``ceil(source_bytes / target)``, still
+    cores-capped -- instead of the unconditional core-width fan-out.
+    Motivation (guide §2.2/§2.6 tiny-task overhead, measured
+    tools/ab_r13_minhash.py): dedup_minhash_lsh at sf0.1 widens 594 KB
+    of documents to 32 tasks of ~18 KB, and the stage's total
+    executorRunTime measures 6838 ms at width 32 vs 910 ms at width 8
+    for identical work -- per-task fixed cost (aggregate-buffer
+    allocation, task deser, 32-thread contention) exceeds the per-task
+    work, and the driver's c8-vs-c32 scaling block showed the query
+    RUNNING 2x FASTER at 8 cores (PERF_r12.json scaling 0.50).  Width
+    8/16 time 0.549/0.550 s vs 0.648 at 32 and 0.963 unwidened.  The
+    caller picks the target from its measured per-byte work: operators
+    whose per-row work is heavy enough to amortize a task at 18 KB
+    (8-char shingle fingerprints: 0.275 s at 32 vs 0.533 at 8) keep
+    the default full width.  At any real tier the bytes/target ratio
+    exceeds the core cap and this is exactly today's behavior -- the
+    bound only engages in the small-input/wide-machine regime the
+    helper exists for, and keeps width proportional to input on the
+    way there (a lower $SPARK_GRAFT_CPUS run derives the same width,
+    so the driver's scaling comparison sees matched plans).
 
     ``by`` (r12): hash-partition on a UNIQUE id column instead of
     round-robin.  Two measured effects (tools/ab_r12_parallelism.py,
@@ -70,7 +93,14 @@ def ensure_parallelism(df, min_partitions: int | None = None,
     Caller contract for ``by``: a (near-)unique, non-null key, so the
     hash spreads evenly -- a low-cardinality or skewed key would
     recreate exactly the imbalance this helper exists to fix (the
-    round-robin form remains for relations with no such key).  Results
+    round-robin form remains for relations with no such key).  ONE
+    sanctioned exception: a per-entity key (events ``user_id``) is
+    acceptable exactly when the downstream window/aggregate partitions
+    by the SAME key, because the widening exchange then carries the
+    identical skew the operator's own exchange would -- it replaces
+    that exchange rather than adding imbalance (asof.py / the events
+    plans document this at each such call site).  Do not copy that
+    pattern onto a hot key feeding differently-keyed work.  Results
     must not depend on partitioning, which the corpus guarantees
     globally (exact fixed-point aggregation policy, r11).
 
@@ -114,21 +144,34 @@ def ensure_parallelism(df, min_partitions: int | None = None,
         spark.conf.get("spark.sql.files.openCostInBytes", "4194304"),
         4 * 1024 * 1024)
     padded = 0
+    raw = 0
     for f in files:
         p = f.removeprefix("file:")
         try:
             sz = _os.path.getsize(p)
         except OSError:
             return df
+        raw += sz
         padded += max(sz, open_cost)
     core = spark.sparkContext.defaultParallelism
     max_split = min(max_pb, max(open_cost, padded // max(core, 1)))
     est = (padded + max_split - 1) // max(max_split, 1)
-    if est >= n:
+    if target_task_bytes is not None:
+        # RAW bytes, not open-cost-padded: the padding floor (4 MB)
+        # would saturate the ratio for exactly the tiny inputs the
+        # bound exists to keep narrow.
+        n = min(n, max(1, -(-raw // target_task_bytes)))
+    if est >= n or n <= 1:
         return df
     if by is not None:
         from pyspark.sql import functions as F
 
+        if by not in df.columns:
+            # eager typo guard: a wrong name would otherwise surface
+            # as an AnalysisException deep in the caller's lineage
+            raise ValueError(
+                f"ensure_parallelism: by={by!r} is not a column of the "
+                f"relation (columns: {df.columns})")
         return df.repartition(n, F.col(by))
     return df.repartition(n)
 

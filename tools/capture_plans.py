@@ -40,7 +40,8 @@ def main() -> None:
     qs = contract.queries()
     names = only or [n for n in HEADLINE + EXTRAS if n in qs]
 
-    out_dir = os.path.join(_ROOT, "plans", "r12")
+    out_dir = os.path.join(
+        _ROOT, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"))
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = qs[name](spark, sf_dir)
