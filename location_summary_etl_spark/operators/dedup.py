@@ -196,6 +196,26 @@ SHINGLE_NGRAM = 3  # word n-gram size for MinHash/SimHash features
 # bytes/64KB far exceeds the core cap and the bound is inert.
 SIGNATURE_TASK_TARGET_BYTES = 64 * 1024
 
+# r13: width pin for the n-gram PAIR stage (guide §2.4/§2.6).  AQE
+# parallelism-first coalescing sizes the gram-bucket shuffle by BYTES
+# (4.4 MB at sf0.1 -> 4 post-shuffle partitions), but the work above
+# that exchange is the quadratic in-bucket pair expansion -- REST
+# stage metrics measure it at ~1.5 s executorRunTime on 4 tasks while
+# 28 cores idle.  Hash-repartitioning the postings by gram BELOW the
+# bucket aggregate (REPARTITION_BY_NUM: coalescing-exempt, and
+# HashPartitioning(g) satisfies the aggregate's distribution so the
+# exchange count is unchanged) runs the expansion data-proportionally
+# wide.  None disables the pin (the r12 shape).  Value decided by
+# tools/ab_r13_ngram_pairstage.py: 64 KB (width 10 at sf0.1) measured
+# capped 0.863 -> 0.621 s / uncapped 0.674 -> 0.608 s, beating head in
+# every interleaved round; 32 KB within noise of 64 KB; 16 KB (full 32
+# fan-out) worse -- the same tiny-task fixed-cost curve the signature
+# pipelines measured.  The single-phase aggregate ships raw 16 B
+# postings (~3x the partial-list bytes locally, where the "network" is
+# memory); at any tier with core-wide scans the gate disables the pin
+# and the two-phase shape stands.
+NGRAM_BUCKET_TASK_TARGET_BYTES: int | None = 64 * 1024
+
 
 def _tokenized(docs: DataFrame, id_col: str, text_col: str,
                target_task_bytes: int | None = None) -> DataFrame:
@@ -777,6 +797,18 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     # ObjectHashAggregate's per-element allocation and the pair
     # aggregate's key width (struct form measured 1.01 s -> 0.88 s
     # end-to-end at sf0.1, same session).
+    if NGRAM_BUCKET_TASK_TARGET_BYTES is not None:
+        # Pin the pair-expansion width (see the constant's note): the
+        # explicit gram repartition replaces the aggregate's own
+        # ENSURE_REQUIREMENTS exchange (same count, coalescing-exempt)
+        # and the aggregate runs single-phase above it.  File-gated
+        # through ensure_parallelism: inert at any tier whose scans
+        # are already core-wide.
+        from location_summary_etl_spark.session import ensure_parallelism
+
+        postings = ensure_parallelism(
+            postings, by="g",
+            target_task_bytes=NGRAM_BUCKET_TASK_TARGET_BYTES)
     groups = postings.groupBy("g").agg(F.collect_list("pk").alias("xs"))
     buckets = groups.filter(F.size("xs") >= 2)
     drops = None
