@@ -90,16 +90,22 @@ def _ngram_stream(docs: DataFrame, widen: bool = True) -> DataFrame:
     (on a real corpus with disjoint vocab it would help; the
     broadcast semi-join already bounds the shuffle either way).
 
-    ``widen`` round-robins the narrow scan to core width before the
-    CPU-heavy explode+hash (see session.ensure_parallelism); pass
-    False for slivers (e.g. the eval split) where the extra exchange
-    costs more than the parallelism buys."""
+    ``widen`` hash-widens the narrow scan before the CPU-heavy
+    explode+hash (see session.ensure_parallelism); pass False for
+    slivers (e.g. the eval split) where the extra exchange costs more
+    than the parallelism buys.  r13: the width is bounded
+    data-proportionally (64 KB of source text per task, cores-capped)
+    -- the same tiny-task fixed-cost curve the dedup signature
+    pipelines measured; full-width 0.546-0.653 s vs bounded
+    0.466-0.500 s on the whole check across three interleaved rounds
+    (together with the eval-side coalesce below)."""
     from location_summary_etl_spark.session import ensure_parallelism
 
     n = CONTAM_NGRAM
     base = docs.select("doc_id", "text")
     if widen:
-        base = ensure_parallelism(base, by="doc_id")
+        base = ensure_parallelism(base, by="doc_id",
+                                  target_task_bytes=64 * 1024)
     toks = base.select("doc_id", tokens("text").alias("toks"))
     idx = F.when(
         F.size("toks") >= n, F.sequence(F.lit(1), F.size("toks") - (n - 1))
@@ -136,7 +142,16 @@ def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     is_eval = (F.col("doc_id") % EVAL_MOD == 0) & (
         F.col("doc_id") < EVAL_MAX_DOC_ID)
-    ev_post = _ngram_stream(docs.filter(is_eval), widen=False)
+    # coalesce(1): the eval split is <= 100 documents BY CONSTRUCTION
+    # (the id cap above), so its postings are a single partition's
+    # worth at any corpus size.  Making that static deletes the
+    # distinct's exchange below (numPartitions == 1 satisfies the
+    # aggregate's ClusteredDistribution), i.e. one whole AQE stage
+    # from the critical path -- at bench scale the check is stage-
+    # count-bound (REST profile: ~0.13 s of task time inside a
+    # ~0.65 s wall, the rest inter-stage orchestration).  r13 A/B,
+    # three interleaved rounds: part of 0.546-0.653 -> 0.466-0.500 s.
+    ev_post = _ngram_stream(docs.filter(is_eval), widen=False).coalesce(1)
     eval_hashes = ev_post.select("h").distinct()
     train_hits = (
         _ngram_stream(docs.filter(~is_eval))
