@@ -1183,7 +1183,16 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
     from location_summary_etl_spark.functions.vectors import cosine, l2_norm
     from location_summary_etl_spark.session import ensure_parallelism
 
-    emb = ensure_parallelism(emb, by=id_col)
+    # r13: width bounded data-proportionally (the signature-pipeline
+    # tiny-task curve, see SIGNATURE_TASK_TARGET_BYTES): per-vector
+    # norm + blocked HOF dot products are light per byte, the same
+    # class as the 3-gram posting work.  No corpus entry routes here
+    # (the benched twin is embedding_near_dups_pandas, whose
+    # partitioning is partition_for_python_scan), so this aligns the
+    # library path with the measured policy rather than claiming its
+    # own bench delta.
+    emb = ensure_parallelism(emb, by=id_col,
+                             target_task_bytes=SIGNATURE_TASK_TARGET_BYTES)
     base = emb.select(
         F.col(id_col), F.col(block_col).alias("blk"),
         F.col(vec_col).cast("array<double>").alias("v"),
