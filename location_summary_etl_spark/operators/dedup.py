@@ -216,6 +216,17 @@ SIGNATURE_TASK_TARGET_BYTES = 64 * 1024
 # and the two-phase shape stands.
 NGRAM_BUCKET_TASK_TARGET_BYTES: int | None = 64 * 1024
 
+# Share one bucket-aggregate materialization between the pair branch
+# and the filter-cap drops branch (see the persist site in
+# ngram_jaccard_pairs).  A/B'd r13 and REJECTED (stays False): the
+# duplicated drops-side collect_list is ~1 s of CPU but only ~100 ms
+# of 10-wide wall, and the cache materialization + InMemoryTableScan
+# overhead gives it straight back (nopersist 0.781/0.790/0.912 s vs
+# persist 0.811/0.827/0.898 across three interleaved rounds at
+# sf0.1).  Kept as a flag because the trade flips if a tier ever
+# makes the bucket aggregate wall-dominant.
+NGRAM_PERSIST_BUCKETS = False
+
 
 def _tokenized(docs: DataFrame, id_col: str, text_col: str,
                target_task_bytes: int | None = None) -> DataFrame:
@@ -891,6 +902,16 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
 
     passes = _resolve_scratch_passes(postings, scratch_passes, max_df)
     if passes <= 1:
+        if filter_cap and NGRAM_PERSIST_BUCKETS:
+            # r13: under the width-pinned single-phase bucket aggregate
+            # the drops branch re-runs the whole collect_list above the
+            # reused raw-posting exchange (plan-level duplication;
+            # ReuseExchange shares only the exchange).  Caching the
+            # bucket relation makes the two branches share one
+            # materialization.  CacheManager substitutes by
+            # canonicalized plan, so the buckets/drops frames derived
+            # above hit the cache even though persist is called after.
+            groups.persist(StorageLevel.MEMORY_AND_DISK)
         return _finish(_pair_counts())
     # SCRATCH-STRIPED pair counting (module-level scratch note): each
     # stripe shuffles ~est/passes of the pair occurrences and emits
