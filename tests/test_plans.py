@@ -678,3 +678,89 @@ def test_recursive_chain_cap_sized_to_input(spark, sf_dir):
         assert spark.conf.get(key) == big
     finally:
         spark.conf.set(key, old)
+
+
+# ------------------------------------------------------------------
+# r13: data-proportional widening (tiny-task fixed-cost fix).  The
+# assertions run at sf0.1 (at the sf0.001 smoke tier the bytes/64KB
+# ratio is 1 and the gate correctly widens nothing at all -- asserted
+# too).
+SF_BENCH = "/root/testdata/sf0.1"
+
+
+def _expected_bounded_width(spark, path: str, target: int) -> int:
+    import os
+
+    return min(spark.sparkContext.defaultParallelism,
+               -(-os.path.getsize(path) // target))
+
+
+def test_minhash_widening_is_data_proportional(spark):
+    """The signature pipeline's widening exchange is sized by source
+    bytes (SIGNATURE_TASK_TARGET_BYTES), not pinned to core width:
+    32 tasks of ~18 KB measured 7.5x the executorRunTime of 8 tasks of
+    ~74 KB on identical work (tools/ab_r13_minhash.py) and inverted
+    the driver's c8/c32 scaling.  Bytes-derived width keeps the plan
+    matched across core counts."""
+    from location_summary_etl_spark.operators.dedup import (
+        SIGNATURE_TASK_TARGET_BYTES,
+    )
+
+    want = _expected_bounded_width(
+        spark, f"{SF_BENCH}/documents.parquet", SIGNATURE_TASK_TARGET_BYTES)
+    plan = plan_of(spark, "dedup_minhash_lsh", SF_BENCH)
+    assert f"hashpartitioning(doc_id#" in plan
+    reps = [l for l in plan.splitlines()
+            if "REPARTITION_BY_NUM" in l and "hashpartitioning(doc_id" in l]
+    assert reps, "widening repartition missing from the minhash plan"
+    assert all(f", {want})" in l for l in reps), (
+        f"expected width {want}, got: {reps}")
+
+
+def test_ngram_pair_stage_exchange_is_pinned(spark):
+    """The gram-bucket exchange is REPARTITION_BY_NUM (coalescing-
+    exempt) at data-proportional width: AQE's byte-sized coalescing ran
+    the quadratic pair expansion on 4 of 32 cores
+    (tools/ab_r13_ngram_pairstage.py, 0.863 -> 0.621 s).  The pin
+    replaces the aggregate's ENSURE_REQUIREMENTS exchange, so the
+    exchange count must not grow."""
+    from location_summary_etl_spark.operators.dedup import (
+        NGRAM_BUCKET_TASK_TARGET_BYTES,
+    )
+
+    assert NGRAM_BUCKET_TASK_TARGET_BYTES is not None
+    want = _expected_bounded_width(
+        spark, f"{SF_BENCH}/documents.parquet", NGRAM_BUCKET_TASK_TARGET_BYTES)
+    plan = plan_of(spark, "dedup_ngram_jaccard", SF_BENCH)
+    gram_exchanges = [
+        l for l in plan.splitlines()
+        if "hashpartitioning(g#" in l]
+    assert gram_exchanges, "gram-bucket exchange missing"
+    for l in gram_exchanges:
+        assert "REPARTITION_BY_NUM" in l, f"gram exchange not pinned: {l}"
+        assert f", {want})" in l, f"expected width {want}: {l}"
+
+
+def test_widening_gate_stays_off_at_smoke_tier(spark, sf_dir):
+    """At sf0.001 the bytes/target ratio is 1: the bound must disable
+    the widening entirely (repartitioning a sub-64KB relation to ONE
+    partition would add an exchange for nothing)."""
+    plan = plan_of(spark, "dedup_minhash_lsh", sf_dir)
+    assert "REPARTITION_BY_NUM" not in plan
+
+
+def test_contamination_eval_side_plans_single_partition(spark):
+    """The eval split is bounded at EVAL_MAX_DOC_ID/EVAL_MOD documents
+    by construction, so its postings coalesce(1) statically -- which
+    deletes the eval distinct's exchange AND the final per-doc
+    groupBy's exchange (6 -> 4 at sf0.1; the check is stage-count
+    bound at bench scale)."""
+    plan = plan_of(spark, "corpus_contamination_check", SF_BENCH)
+    n_shuffle = sum(
+        1 for l in plan.splitlines()
+        if l.startswith("Arguments: hashpartitioning")
+        or " ENSURE_REQUIREMENTS" in l or " REPARTITION_BY_NUM" in l)
+    # 2 shuffle exchanges (widened train scan + survivor distinct);
+    # the broadcasts are separate nodes.
+    assert "Coalesce" in plan, "eval-side coalesce(1) missing"
+    assert n_shuffle <= 2, f"expected <=2 shuffle exchanges, got {n_shuffle}"

@@ -1,7 +1,8 @@
 """Capture ``explain("formatted")`` for the bench families into
-``plans/r12/<query>_<tag>.txt`` -- the judge-readable evidence behind
-every plan claim in OPTIMIZATION_r12.md (Exchange count, join
-strategy, PushedFilters/ReadSchema, WholeStageCodegen spans,
+``plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<tag>.txt`` (default r13) --
+the judge-readable evidence behind every plan claim in
+OPTIMIZATION_r{N}.md (Exchange count, join strategy,
+PushedFilters/ReadSchema, WholeStageCodegen spans,
 Batch/ArrowEvalPython nodes).
 
 Driver-only: ``explain`` plans without executing, so this never
