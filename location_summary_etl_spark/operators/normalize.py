@@ -60,7 +60,18 @@ def minmax_score_window(df: DataFrame, col: str, out_col: str) -> DataFrame:
         guarded_unpartitioned,
     )
 
+    # r13: the aggregate-sized contract, made STATIC.  coalesce(1) is
+    # a narrow dependency whose output partitioning is SinglePartition,
+    # so the empty-spec window's exchange disappears from the plan
+    # (flagship: 9 -> 8 Exchanges, parity-identical).  The callers'
+    # inputs sit above their own aggregate exchange (or a size-gated
+    # <=8 MB lineage via minmax_score_auto), so fusing the final step
+    # into the window's one task serializes only aggregate-sized work
+    # -- the same single task the deleted exchange fed, one stage
+    # earlier.  The 100k-row guard still enforces the claim at run
+    # time.
     w = Window.partitionBy()
+    df = df.coalesce(1)
     return df.withColumn(
         out_col,
         guarded_unpartitioned(

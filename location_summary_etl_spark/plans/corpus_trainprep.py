@@ -350,6 +350,11 @@ def corpus_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # guarded: |sources| rows by construction; the guard raise_errors
     # if this ever stops being aggregate-sized (shares the WindowExec).
     sized = (counts.join(F.broadcast(weights), "source")
+             # coalesce(1): |sources| rows by construction (the
+             # broadcast-join against the fixed weights list bounds
+             # it); static single-partition deletes the two empty-spec
+             # windows' exchange (the minmax_score_window r13 note)
+             .coalesce(1)
              .withColumn("_wsum", guarded_unpartitioned(
                  F.sum("w").over(Window.partitionBy()),
                  "mixture per-source counts"))
@@ -371,6 +376,7 @@ def corpus_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+        .coalesce(1)  # |sources| rows; same exchange deletion as above
         .withColumn(
             "achieved_share",
             guarded_unpartitioned(
